@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship multi-way join; ``queries()`` /
+``oracle_sql()`` expose the full declared inventory (SURVEY.md §2.6 plus
+the LLM-pipeline operator extensions) for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q5-shaped multi-way join + revenue aggregate
+    (broadcast dims, single large shuffle) on sf0.001."""
+    from goose_spark.queries import load_all
+
+    return load_all()["q06_multiway_join_agg"].builder(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from goose_spark.queries import load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.builder for name, spec in sorted(load_all().items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL twin for each hash-matchable query.
+
+    Queries absent here (streaming / iterative ops) get the driver's
+    weaker rows-only check by design.
     """
-    return {}
+    from goose_spark.queries import load_all
+
+    return {
+        name: spec.oracle
+        for name, spec in sorted(load_all().items())
+        if spec.oracle is not None
+    }

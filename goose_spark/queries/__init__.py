@@ -1,0 +1,14 @@
+"""Declared query inventory (SURVEY.md §2.6).
+
+Importing the submodules populates :data:`goose_spark.queries.base.REGISTRY`.
+"""
+
+from goose_spark.queries import base, jobs, relational  # noqa: F401
+from goose_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
+
+
+def load_all() -> dict:
+    """Import every query-providing module (incl. operator extensions)."""
+    from goose_spark.operators import dedup, similarity, text  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,74 @@
+"""Query registry: each declared query pairs a Spark DataFrame builder
+with the ANSI-SQL oracle string the driver runs on DuckDB.
+
+Hash-stability rules (SURVEY §2.6): every LIMIT query has a total ORDER
+BY; money/double aggregates are cast to DECIMAL(18,2) *pre-aggregation*
+(exact arithmetic on both engines) or reduced via exact-sum/count; column
+names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+#: Absolute path the DuckDB oracle uses for the job-domain fixture tables
+#: (they are not part of the driver's pre-registered testdata views).
+FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+    "fixtures",
+)
+
+
+def fixture_rel(name: str) -> str:
+    """DuckDB relation expression for a fixture table."""
+    return f"read_parquet('{os.path.join(FIXTURES_DIR, name + '.parquet')}')"
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: Optional[str]  # None → driver records weaker rows-only check
+    doc: str = ""
+    tags: tuple = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = ()):
+    """Decorator: add a (spark, sf_dir) -> DataFrame builder to the registry."""
+
+    def wrap(fn: Builder) -> Builder:
+        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (parquet scan; Catalyst
+    pushes predicates/pruning into it).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos as long and convert to the engine's
+    microsecond TimestampType (the testdata is µs-aligned, so lossless).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def fixture(spark: SparkSession, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(FIXTURES_DIR, f"{name}.parquet"))

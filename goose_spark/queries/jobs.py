@@ -1,0 +1,203 @@
+"""Job-domain observability queries Q-J1..Q-J8 (SURVEY.md §2.6).
+
+These re-express goose's console/API "query engine" — lazy SCAN-cursor
+walks with client-side predicates (``src/goose/brokers/redis/commands.clj:
+24-47``) — as declarative SQL over the columnar job ledger. Each docstring
+cites the console/API code whose semantics it mirrors. They run on the
+deterministic fixture snapshot (FIXTURES.md §2.1), independent of sf_dir.
+
+At 100 TB the ledger would be partitioned by (status, date(enqueued_at)):
+every query below then prunes to a handful of partitions instead of
+scanning the full history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.queries.base import fixture, fixture_rel, register
+
+_JOBS = fixture_rel("jobs")
+
+
+@register(
+    "qj1_dashboard_counts",
+    f"""SELECT status, COUNT(*) AS n FROM {_JOBS} GROUP BY status ORDER BY status""",
+    doc="Home-page dashboard fan-out counts — mirrors "
+        "src/goose/brokers/redis/console/data.clj:18-28 (enqueued per queue "
+        "+ scheduled + dead sizes) collapsed into one GROUP BY.",
+)
+def qj1(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        fixture(spark, "jobs").groupBy("status").agg(F.count("*").alias("n")).orderBy("status")
+    )
+
+
+@register(
+    "qj2_failed_jobs_filter",
+    f"""SELECT id FROM {_JOBS}
+        WHERE queue = 'default' AND error IS NOT NULL ORDER BY id LIMIT 10""",
+    doc="Console 'failed' filter-type — mirrors data.clj:39-47; retried? = "
+        "error IS NOT NULL per src/goose/job.clj:18-19.",
+)
+def qj2(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        fixture(spark, "jobs")
+        .filter((F.col("queue") == "default") & F.col("error").isNotNull())
+        .select("id")
+        .orderBy("id")
+        .limit(10)
+    )
+
+
+@register(
+    "qj3_find_by_fn",
+    f"""SELECT id, queue FROM {_JOBS}
+        WHERE execute_fn = 'app.jobs/send-email'
+        ORDER BY enqueued_at, id LIMIT 10""",
+    doc="find-by-pattern on execute-fn-sym with bounded result — mirrors "
+        "data.clj:33-38 / commands.clj:205-210 (lazy scan + take limit).",
+)
+def qj3(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        fixture(spark, "jobs")
+        .filter(F.col("execute_fn") == "app.jobs/send-email")
+        .orderBy("enqueued_at", "id")
+        .select("id", "queue")
+        .limit(10)
+    )
+
+
+@register(
+    "qj4_pagination_page2",
+    f"""SELECT id FROM {_JOBS}
+        WHERE status = 'enqueued' AND queue = 'default'
+        ORDER BY priority DESC, enqueued_at, id LIMIT 10 OFFSET 10""",
+    doc="Console pagination, page 2, page-size 10 (defaults.clj:82) — "
+        "mirrors LRANGE windowing at commands.clj:198-203 / data.clj:66-72. "
+        "Priority DESC first approximates front-of-queue semantics (SURVEY "
+        "§7.4 delta P8).",
+)
+def qj4(spark: SparkSession, sf: str) -> DataFrame:
+    ranked = (
+        fixture(spark, "jobs")
+        .filter((F.col("status") == "enqueued") & (F.col("queue") == "default"))
+        .orderBy(F.col("priority").desc(), "enqueued_at", "id")
+        .select("id")
+        .limit(20)
+    )
+    # OFFSET via anti-slice: deterministic total order makes page 2 = rows
+    # 11..20 of the limited head (Spark has .offset in 3.4+/4.x).
+    return ranked.offset(10)
+
+
+@register(
+    "qj5_dead_retention",
+    f"""SELECT COUNT(*) AS would_delete FROM {_JOBS}
+        WHERE status = 'dead' AND died_at < TIMESTAMP '2026-04-01 00:00:00'""",
+    doc="dead-jobs delete-older-than retention scan — mirrors ZREMRANGEBYSCORE "
+        "at src/goose/brokers/redis/api/dead_jobs.clj:52-54.",
+)
+def qj5(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        fixture(spark, "jobs")
+        .filter(
+            (F.col("status") == "dead")
+            & (F.col("died_at") < F.lit("2026-04-01 00:00:00").cast("timestamp"))
+        )
+        .agg(F.count("*").alias("would_delete"))
+    )
+
+
+@register(
+    "qj6_batch_status",
+    f"""SELECT batch_id,
+               CAST(SUM(CASE WHEN status IN ('enqueued','in_progress','scheduled') THEN 1 ELSE 0 END) AS BIGINT) AS enq,
+               CAST(SUM(CASE WHEN status = 'retrying' THEN 1 ELSE 0 END) AS BIGINT) AS retrying,
+               CAST(SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END) AS BIGINT) AS success,
+               CAST(SUM(CASE WHEN status = 'dead' THEN 1 ELSE 0 END) AS BIGINT) AS dead,
+               CASE WHEN SUM(CASE WHEN status IN ('enqueued','in_progress','scheduled','retrying') THEN 1 ELSE 0 END) > 0 THEN 'in-progress'
+                    WHEN SUM(CASE WHEN status = 'dead' THEN 1 ELSE 0 END) = 0 THEN 'success'
+                    WHEN SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END) = 0 THEN 'dead'
+                    ELSE 'partial-success' END AS batch_status
+        FROM {_JOBS} WHERE batch_id IS NOT NULL
+        GROUP BY batch_id ORDER BY batch_id""",
+    doc="Batch status derivation over member cardinalities — the pure fn at "
+        "src/goose/batch.clj:40-46 as a CASE over conditional counts "
+        "(set-cardinality reads at src/goose/brokers/redis/batch.clj:45-60).",
+)
+def qj6(spark: SparkSession, sf: str) -> DataFrame:
+    j = fixture(spark, "jobs").filter(F.col("batch_id").isNotNull())
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    enq = cnt(F.col("status").isin("enqueued", "in_progress", "scheduled")).alias("enq")
+    retrying = cnt(F.col("status") == "retrying").alias("retrying")
+    success = cnt(F.col("status") == "success").alias("success")
+    dead = cnt(F.col("status") == "dead").alias("dead")
+    agg = j.groupBy("batch_id").agg(enq, retrying, success, dead)
+    return agg.select(
+        "batch_id",
+        "enq",
+        "retrying",
+        "success",
+        "dead",
+        F.when(F.col("enq") + F.col("retrying") > 0, "in-progress")
+        .when(F.col("dead") == 0, "success")
+        .when(F.col("success") == 0, "dead")
+        .otherwise("partial-success")
+        .alias("batch_status"),
+    ).orderBy("batch_id")
+
+
+@register(
+    "qj7_scheduler_due_scan",
+    f"""SELECT id FROM {_JOBS}
+        WHERE status IN ('scheduled','retrying')
+          AND run_at <= TIMESTAMP '2026-06-01 00:00:00'
+        ORDER BY run_at, id LIMIT 50""",
+    doc="Scheduler due-scan — ZRANGEBYSCORE -inf..now LIMIT 50 at "
+        "src/goose/brokers/redis/commands.clj:219-228 (pop limit 50 per "
+        "defaults.clj:49); run_at is the zset score.",
+)
+def qj7(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        fixture(spark, "jobs")
+        .filter(
+            F.col("status").isin("scheduled", "retrying")
+            & (F.col("run_at") <= F.lit("2026-06-01 00:00:00").cast("timestamp"))
+        )
+        .orderBy("run_at", "id")
+        .select("id")
+        .limit(50)
+    )
+
+
+@register(
+    "qj8_latency_classes",
+    f"""SELECT CASE WHEN run_at IS NOT NULL AND error IS NOT NULL THEN 'retry'
+                    WHEN run_at IS NOT NULL THEN 'schedule'
+                    WHEN cron_name IS NOT NULL THEN 'cron'
+                    ELSE 'execution' END AS latency_class,
+               COUNT(*) AS n
+        FROM {_JOBS} GROUP BY 1 ORDER BY latency_class""",
+    doc="Latency classification — mirrors the latency-type dispatch at "
+        "src/goose/job.clj:45-55 (retry-at > schedule-run-at > cron-run-at "
+        "> enqueued-at precedence).",
+)
+def qj8(spark: SparkSession, sf: str) -> DataFrame:
+    cls = (
+        F.when(F.col("run_at").isNotNull() & F.col("error").isNotNull(), "retry")
+        .when(F.col("run_at").isNotNull(), "schedule")
+        .when(F.col("cron_name").isNotNull(), "cron")
+        .otherwise("execution")
+        .alias("latency_class")
+    )
+    return (
+        fixture(spark, "jobs")
+        .groupBy(cls)
+        .agg(F.count("*").alias("n"))
+        .orderBy("latency_class")
+    )

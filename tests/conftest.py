@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from goose_spark.session import TESTDATA_TABLES, get_spark
+
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMOKE = os.path.join(TESTDATA_ROOT, "sf0.001")
+SF_CORRECT = os.path.join(TESTDATA_ROOT, "sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("gosling-tests")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """DuckDB connection with the testdata tables registered as views at
+    sf0.01 — the same setup the driver's correctness gate uses."""
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(SF_CORRECT, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
