@@ -1,0 +1,169 @@
+"""Observability / management API — goose's ``src/goose/api/*`` surface
+(Q1–Q11 in SURVEY §2.4) over the job ledger.
+
+Reads are plain DataFrame queries on the current-state view; mutations
+(prioritise / replay / delete) append transition rows — the ledger is
+event-sourced, so "delete" is a tombstone status, and purge compaction
+is a retention job (Delta ``VACUUM`` at scale).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.schema import (
+    PRIORITY_FRONT,
+    STATUS_DEAD,
+    STATUS_ENQUEUED,
+    STATUS_RETRYING,
+    STATUS_SCHEDULED,
+)
+from goose_spark.streaming.ledger import Ledger
+
+PAGE_SIZE = 10  # src/goose/defaults.clj:82
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class LedgerAPI:
+    def __init__(self, spark: SparkSession, ledger: Ledger | str):
+        self.spark = spark
+        self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
+
+    def state(self) -> DataFrame:
+        return self.ledger.state(self.spark)
+
+    # ---- Q1/Q2: queue listing & sizes ------------------------------------
+
+    def list_queues(self) -> list[str]:
+        """SCAN goose/queue:* analog (api/enqueued_jobs.clj:7-10)."""
+        rows = (
+            self.state()
+            .filter(F.col("status") == STATUS_ENQUEUED)
+            .select("queue")
+            .distinct()
+            .orderBy("queue")
+            .collect()
+        )
+        return [r["queue"] for r in rows]
+
+    def size(self, queue: str | None = None, status: str = STATUS_ENQUEUED) -> int:
+        df = self.state().filter(F.col("status") == status)
+        if queue:
+            df = df.filter(F.col("queue") == queue)
+        return df.count()
+
+    # ---- Q3/Q4/Q5: finds ---------------------------------------------------
+
+    def find_by_id(self, job_id: str) -> dict | None:
+        rows = self.state().filter(F.col("id") == job_id).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def find_by_pattern(self, predicate, limit: int = 10) -> list[dict]:
+        """Arbitrary-predicate find with bounded result — the lazy
+        scan-seq + take analog (commands.clj:205-210). ``predicate`` is a
+        Column expression (pushed into the scan), not a client-side fn."""
+        return [r.asDict() for r in self.state().filter(predicate).limit(limit).collect()]
+
+    # ---- Q6: pagination ------------------------------------------------------
+
+    def page(self, queue: str, page: int = 1, status: str = STATUS_ENQUEUED) -> list[dict]:
+        df = (
+            self.state()
+            .filter((F.col("status") == status) & (F.col("queue") == queue))
+            .orderBy(F.col("priority").desc(), "enqueued_at", "id")
+            .limit(page * PAGE_SIZE)
+            .offset((page - 1) * PAGE_SIZE)
+        )
+        return [r.asDict() for r in df.collect()]
+
+    # ---- Q7: top-k oldest dead --------------------------------------------
+
+    def peek_dead(self, n: int = 1) -> list[dict]:
+        df = (
+            self.state()
+            .filter(F.col("status") == STATUS_DEAD)
+            .orderBy("died_at", "id")
+            .limit(n)
+        )
+        return [r.asDict() for r in df.collect()]
+
+    # ---- Q8: prioritise (requeue to front) ----------------------------------
+
+    def prioritise_execution(self, job_ids: list[str]) -> int:
+        """LREM+RPUSH / ZREM+RPUSH analog (commands.clj:145-164):
+        re-emit as front-priority enqueued rows."""
+        rows = (
+            self.state()
+            .filter(F.col("id").isin(job_ids) & F.col("status").isin(
+                STATUS_ENQUEUED, STATUS_SCHEDULED, STATUS_RETRYING))
+            .collect()
+        )
+        updates = []
+        for r in rows:
+            d = r.asDict()
+            d.pop("seq", None)
+            d.update(status=STATUS_ENQUEUED, priority=PRIORITY_FRONT, run_at=None)
+            updates.append(d)
+        self.ledger.append_rows(updates)
+        return len(updates)
+
+    # ---- Q9: replay dead ------------------------------------------------------
+
+    def replay_dead(self, n: int = 1) -> int:
+        """Move n oldest dead jobs to the front of their ready queue
+        (api/dead_jobs.clj:25-47)."""
+        updates = []
+        for d in self.peek_dead(n):
+            d.pop("seq", None)
+            d.update(status=STATUS_ENQUEUED, priority=PRIORITY_FRONT,
+                     died_at=None, run_at=None)
+            updates.append(d)
+        self.ledger.append_rows(updates)
+        return len(updates)
+
+    # ---- Q10: purge / retention -------------------------------------------------
+
+    def delete_dead_older_than(self, cutoff: datetime) -> int:
+        """ZREMRANGEBYSCORE analog (api/dead_jobs.clj:52-54) — tombstone
+        rows; physical removal is compaction/VACUUM."""
+        rows = (
+            self.state()
+            .filter((F.col("status") == STATUS_DEAD) & (F.col("died_at") < F.lit(cutoff)))
+            .collect()
+        )
+        updates = []
+        for r in rows:
+            d = r.asDict()
+            d.pop("seq", None)
+            d.update(status="deleted")
+            updates.append(d)
+        self.ledger.append_rows(updates)
+        return len(updates)
+
+    # ---- Q12/Q13: dashboard ----------------------------------------------------
+
+    def dashboard_counts(self) -> dict[str, int]:
+        rows = self.state().groupBy("status").agg(F.count("*").alias("n")).collect()
+        return {r["status"]: r["n"] for r in rows}
+
+    # ---- Q14: latency ------------------------------------------------------------
+
+    def latency_report(self) -> DataFrame:
+        """now − coalesce(run_at, enqueued_at) per latency class
+        (job.clj:45-61)."""
+        s = self.state()
+        cls = (
+            F.when(F.col("run_at").isNotNull() & F.col("error").isNotNull(), "retry")
+            .when(F.col("run_at").isNotNull(), "schedule")
+            .when(F.col("cron_name").isNotNull(), "cron")
+            .otherwise("execution")
+        )
+        lag = F.current_timestamp().cast("double") - F.coalesce("run_at", "enqueued_at").cast("double")
+        return s.select(cls.alias("latency_class"), lag.alias("latency_sec"))

@@ -1,0 +1,70 @@
+"""Job-function registry — the engine's ``require-resolve``.
+
+The reference resolves a qualified Clojure symbol to a function at
+execution time (``src/goose/consumer.clj:5-7`` via
+``src/goose/utils.clj:72-80``). Python has no safe equivalent of
+resolving arbitrary dotted names for side-effectful execution, so jobs
+reference keys in an explicit registry. Register with::
+
+    @job_fn("app.jobs/send-email")
+    def send_email(addr): ...
+
+The registry module is imported on executors (it's plain package code),
+so ``mapInPandas`` workers resolve the same table.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+FN_REGISTRY: dict[str, Callable] = {}
+
+
+def job_fn(name: str):
+    def wrap(fn: Callable) -> Callable:
+        FN_REGISTRY[name] = fn
+        return fn
+
+    return wrap
+
+
+def resolve(name: str) -> Callable:
+    try:
+        return FN_REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"execute_fn {name!r} not registered (known: {sorted(FN_REGISTRY)})")
+
+
+def execute(execute_fn: str, args_json: str | None):
+    """Apply the registered fn to JSON-decoded args —
+    ``(apply (require-resolve fn-sym) args)`` parity."""
+    args = json.loads(args_json) if args_json else []
+    return resolve(execute_fn)(*args)
+
+
+# --- built-ins used by tests and the perf-parity load ---------------------
+
+@job_fn("noop")
+def noop(*args):
+    return None
+
+
+_FAIL_COUNTS: dict[str, int] = {}
+
+
+@job_fn("flaky")
+def flaky(key: str, fail_times: int):
+    """Fails the first ``fail_times`` invocations per key, then succeeds —
+    mirrors the retry-chain integration test shape
+    (test/goose/brokers/redis/integration_test.clj:106-154)."""
+    n = _FAIL_COUNTS.get(key, 0)
+    _FAIL_COUNTS[key] = n + 1
+    if n < fail_times:
+        raise RuntimeError(f"induced failure {n + 1}/{fail_times} for {key}")
+    return "ok"
+
+
+@job_fn("always-fail")
+def always_fail(*args):
+    raise RuntimeError("this job always fails")

@@ -1,0 +1,168 @@
+"""The job ledger — an append-only parquet event log.
+
+Replaces goose's broker storage (Redis lists/zsets of nippy blobs,
+``src/goose/brokers/redis/commands.clj``) with an event-sourced columnar
+log: every state transition appends a full job row stamped with a
+monotonic ``seq``; the *current* state of a job is its max-seq row.
+
+Layout under a ledger root:
+
+    log/        append-only job rows (JOB_SCHEMA + seq) — streaming source
+    scheduled/  parked scheduled/retrying rows awaiting run_at (the
+                engine's sorted-set analog; rewritten per due-sweep)
+    batches/    batch entity rows (event-sourced like the log)
+    cron/       registry.parquet — cron entries + next-run state
+                (atomic file swap on update, mirrors the WATCH/MULTI
+                registration txn at src/goose/brokers/redis/cron.clj:38-50)
+    checkpoint/ Structured Streaming checkpoints (the in-progress /
+                preservation-queue analog — replay after crash recovers
+                exactly the unacked micro-batch, replacing goose's
+                orphan checker, src/goose/brokers/redis/orphan_checker.clj)
+
+Scale notes (100 TB): ``log/`` becomes a Delta table or Kafka topic
+partitioned by ``date(enqueued_at)`` × ``queue`` — the append/stream
+semantics here are identical. ``scheduled/`` is partitioned by
+run_at-hour buckets so a due-sweep rewrites only the due bucket, never
+the full set.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.schema import JOB_SCHEMA
+
+_TS = pa.timestamp("us")
+ARROW_JOB_FIELDS = [
+    ("id", pa.string()),
+    ("queue", pa.string()),
+    ("execute_fn", pa.string()),
+    ("args", pa.string()),
+    ("status", pa.string()),
+    ("priority", pa.int32()),
+    ("enqueued_at", _TS),
+    ("run_at", _TS),
+    ("cron_name", pa.string()),
+    ("batch_id", pa.string()),
+    ("retry_count", pa.int32()),
+    ("max_retries", pa.int32()),
+    ("retry_queue", pa.string()),
+    ("error", pa.string()),
+    ("first_failed_at", _TS),
+    ("last_retried_at", _TS),
+    ("died_at", _TS),
+    ("worker_id", pa.string()),
+]
+ARROW_LOG_SCHEMA = pa.schema(ARROW_JOB_FIELDS + [("seq", pa.int64())])
+
+_seq_tiebreak = itertools.count()
+
+
+def next_seq() -> int:
+    """Monotonic log sequence (ns clock + in-process tiebreak)."""
+    return time.time_ns() + next(_seq_tiebreak)
+
+
+class Ledger:
+    def __init__(self, root: str):
+        self.root = root
+        self.log_dir = os.path.join(root, "log")
+        self.scheduled_dir = os.path.join(root, "scheduled")
+        self.batches_dir = os.path.join(root, "batches")
+        self.cron_path = os.path.join(root, "cron", "registry.parquet")
+        self.checkpoint_dir = os.path.join(root, "checkpoint")
+        for d in (self.log_dir, self.scheduled_dir, self.batches_dir,
+                  os.path.join(root, "cron"), self.checkpoint_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # ---- producer-side append (Spark-free, like the goose client) -------
+
+    def append_rows(self, rows: list[dict]) -> None:
+        """Atomically append job rows as ONE parquet file — the analog of
+        goose's single LPUSH / MULTI enqueue (one file == one txn for the
+        file-source consumer)."""
+        if not rows:
+            return
+        base_seq = next_seq()
+        cols = {name: [] for name, _ in ARROW_JOB_FIELDS}
+        seqs = []
+        for i, r in enumerate(rows):
+            for name, _ in ARROW_JOB_FIELDS:
+                cols[name].append(r.get(name))
+            seqs.append(r.get("seq", base_seq + i))
+        arrays = [pa.array(cols[name], type=typ) for name, typ in ARROW_JOB_FIELDS]
+        arrays.append(pa.array(seqs, type=pa.int64()))
+        table = pa.Table.from_arrays(arrays, schema=ARROW_LOG_SCHEMA)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.log_dir, f"{base_seq}-{uuid.uuid4().hex}.parquet"))
+
+    # ---- Spark-side reads -------------------------------------------------
+
+    def log(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(self._spark_log_schema()).parquet(self.log_dir)
+
+    def log_stream(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.readStream.schema(self._spark_log_schema())
+            .option("maxFilesPerTrigger", 512)
+            .parquet(self.log_dir)
+        )
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """Current job state = max-seq row per id. At scale this is a
+        materialized Delta MERGE target; here a window over the log."""
+        w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+        return (
+            self.log(spark)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    @staticmethod
+    def _spark_log_schema():
+        from pyspark.sql import types as T
+
+        return T.StructType(JOB_SCHEMA.fields + [T.StructField("seq", T.LongType(), False)])
+
+    # ---- scheduled store (sorted-set analog) ------------------------------
+
+    def scheduled_files(self) -> list[str]:
+        return [
+            os.path.join(self.scheduled_dir, f)
+            for f in os.listdir(self.scheduled_dir)
+            if f.endswith(".parquet")
+        ]
+
+    def park(self, table: pa.Table) -> None:
+        if table.num_rows == 0:
+            return
+        tmp = os.path.join(self.scheduled_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.scheduled_dir, f"{next_seq()}.parquet"))
+
+    def read_scheduled(self) -> pa.Table | None:
+        files = self.scheduled_files()
+        if not files:
+            return None
+        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+    def replace_scheduled(self, remaining: pa.Table | None, old_files: list[str]) -> None:
+        """Swap the scheduled set: write survivors, drop consumed files.
+        Single-writer (the worker's foreachBatch) — same serialization
+        goose gets from its Redis txn (commands.clj:230-237)."""
+        if remaining is not None and remaining.num_rows > 0:
+            self.park(remaining)
+        for f in old_files:
+            os.remove(f)

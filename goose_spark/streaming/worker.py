@@ -1,0 +1,370 @@
+"""Worker — the Structured Streaming consumer (W1–W12 in SURVEY §2.2).
+
+One streaming query replaces goose's whole worker fleet:
+
+* **Reliable dequeue (W1/W10)**: the file-source checkpoint is the
+  in-progress/preservation queue. A crash mid-batch replays exactly the
+  unacked micro-batch on restart — the orphan checker
+  (``src/goose/brokers/redis/orphan_checker.clj:9-40``) becomes a no-op.
+  Same at-least-once contract as the reference (ADR reliability.md).
+* **Execution (W2/W3)**: ``mapInPandas`` applies the registered job fn
+  row-by-row on executors; Arrow batches move the rows, not pickled
+  Python rows.
+* **Retry/bury (W5/W6)**: failure-state fields and the
+  ``20 + rand(20)·(n+1) + n⁴`` backoff mirror ``src/goose/retry.clj``.
+* **Scheduler (W7)**: scheduled/retrying rows are parked in the
+  scheduled store (the zset analog) and swept by ``run_at <= now`` each
+  trigger — the event-time filter replaces ZRANGEBYSCORE polling.
+* **Cron (W8)**: a per-trigger tick materializes due entries from the
+  registry and re-arms ``next_run_at``; exactly one missed occurrence is
+  backfilled (cron-jobs.md ADR parity).
+* **Batch machine (B2–B4)**: per-batch counters derive the terminal
+  status (``src/goose/batch.clj:40-46``); the single-threaded
+  foreachBatch callback gives the same exactly-one-callback guarantee
+  goose gets from its MULTI txn (batch-jobs.md ADR).
+* **Priority (P8 delta)**: due/replayed jobs carry ``priority=1`` and
+  each micro-batch executes in ``priority DESC, enqueued_at`` order —
+  bounded-staleness front-of-queue (SURVEY §7.4.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from typing import Callable, Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.functions import cron as cronlib
+from goose_spark.functions.backoff import default_retry_delay_sec, max_retries_exceeded
+from goose_spark.schema import (
+    PRIORITY_FRONT,
+    STATUS_DEAD,
+    STATUS_ENQUEUED,
+    STATUS_RETRYING,
+    STATUS_SCHEDULED,
+    STATUS_SUCCESS,
+    batch_status,
+)
+from goose_spark.streaming.ledger import ARROW_LOG_SCHEMA, Ledger, next_seq
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def _make_executor(rand_int: Callable[[int], int] | None, worker_id: str):
+    """Build the mapInPandas execution fn (W3/W4/W5/W6). The returned
+    closure is serialized to executors; it resolves fns via the registry
+    and emits full outcome rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_spark.functions.registry import execute
+
+        for pdf in batches:
+            out = pdf.copy()
+            now = pd.Timestamp(_now())
+            for i in pdf.index:
+                row = pdf.loc[i]
+                try:
+                    execute(row["execute_fn"], row["args"])
+                    out.loc[i, "status"] = STATUS_SUCCESS
+                except Exception as exc:  # noqa: BLE001 — job errors are data
+                    retry_count = row["retry_count"]
+                    n = 0 if pd.isna(retry_count) else int(retry_count)
+                    # failure-state parity: src/goose/retry.clj:79-91
+                    out.loc[i, "error"] = f"{type(exc).__name__}: {exc}"
+                    if pd.isna(row["first_failed_at"]):
+                        out.loc[i, "first_failed_at"] = now
+                    if max_retries_exceeded(n, int(row["max_retries"])):
+                        out.loc[i, "status"] = STATUS_DEAD
+                        out.loc[i, "died_at"] = now
+                        out.loc[i, "run_at"] = pd.NaT
+                    else:
+                        delay = default_retry_delay_sec(n, rand_int)
+                        out.loc[i, "status"] = STATUS_RETRYING
+                        out.loc[i, "retry_count"] = n + 1
+                        out.loc[i, "last_retried_at"] = now
+                        out.loc[i, "run_at"] = now + pd.Timedelta(seconds=delay)
+                        rq = row["retry_queue"]
+                        if not pd.isna(rq):  # retry on alternate queue (retry.clj:68-72)
+                            out.loc[i, "queue"] = rq
+                out.loc[i, "worker_id"] = worker_id
+                out.loc[i, "seq"] = next_seq()
+            yield out
+
+    return run
+
+
+class Worker:
+    """Consumes the ledger log; executes; appends transition rows.
+
+    ``process_available()`` = one availableNow streaming pass (tests,
+    drain-then-stop). ``run_loop()`` = repeated passes + timer ticks,
+    goose's long-poll loop shape (consumer.clj:12-21)."""
+
+    def __init__(self, spark: SparkSession, ledger: Ledger | str,
+                 worker_id: str = "worker-1",
+                 rand_int: Callable[[int], int] | None = None):
+        self.spark = spark
+        self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
+        self.worker_id = worker_id
+        self.rand_int = rand_int
+        self.executions = 0
+
+    # ------------------------------------------------------------------
+    # streaming entry points
+    # ------------------------------------------------------------------
+
+    def process_available(self) -> None:
+        """One exactly-once-checkpointed pass over all unconsumed log rows
+        (trigger=availableNow), then a timer tick."""
+        stream = self.ledger.log_stream(self.spark)
+        query = (
+            stream.writeStream.foreachBatch(self._for_each_batch)
+            .option("checkpointLocation", self.ledger.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        self.tick()
+
+    def run_loop(self, passes: int, sleep_sec: float = 0.0) -> None:
+        import time as _t
+
+        for _ in range(passes):
+            self.process_available()
+            if sleep_sec:
+                _t.sleep(sleep_sec)
+
+    # ------------------------------------------------------------------
+    # micro-batch body
+    # ------------------------------------------------------------------
+
+    def _for_each_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.persist()
+        try:
+            runnable = rows.filter(F.col("status") == STATUS_ENQUEUED)
+            to_park = rows.filter(F.col("status").isin(STATUS_SCHEDULED, STATUS_RETRYING))
+            park_tbl = self._to_arrow(to_park)
+            self.ledger.park(park_tbl)
+            self._execute_and_log(runnable)
+        finally:
+            rows.unpersist()
+
+    def tick(self) -> None:
+        """Timer sweep: due scheduled/retrying jobs + due cron entries.
+        Mirrors the scheduler poll (scheduler.clj:22-48) and cron tick
+        (cron.clj:57-103); runs between micro-batches."""
+        self._sweep_due()
+        self._cron_tick()
+
+    # ------------------------------------------------------------------
+
+    def _execute_and_log(self, df: DataFrame) -> None:
+        if df.isEmpty():
+            return
+        # bounded-staleness priority (P8): front-priority rows first
+        ordered = df.orderBy(F.col("priority").desc(), F.col("enqueued_at"))
+        outcome = ordered.mapInPandas(
+            _make_executor(self.rand_int, self.worker_id), schema=df.schema
+        )
+        out_tbl = self._to_arrow(outcome)
+        self.executions += out_tbl.num_rows
+        # one parquet file per micro-batch == the ack/commit txn
+        self._append_log_table(out_tbl)
+        # park retry outcomes immediately so the next tick can sweep them
+        # (the stream will also redeliver them; the sweep dedupes by seq)
+        retrying = out_tbl.filter(
+            pa.compute.equal(out_tbl["status"], pa.scalar(STATUS_RETRYING))
+        )
+        self.ledger.park(retrying)
+        self._batch_callbacks(out_tbl)
+
+    def _append_log_table(self, table: pa.Table) -> None:
+        if table.num_rows == 0:
+            return
+        import uuid as _uuid
+
+        tmp = os.path.join(self.ledger.log_dir, f".tmp-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(table.cast(ARROW_LOG_SCHEMA), tmp)
+        os.replace(tmp, os.path.join(self.ledger.log_dir, f"{next_seq()}-{_uuid.uuid4().hex}.parquet"))
+
+    @staticmethod
+    def _to_arrow(df: DataFrame) -> pa.Table:
+        """Micro-batch → arrow (bounded by maxFilesPerTrigger; at 100 TB
+        this would be a distributed Delta append instead)."""
+        return pa.Table.from_pandas(df.toPandas(), schema=ARROW_LOG_SCHEMA, preserve_index=False)
+
+    # ------------------------------------------------------------------
+    # scheduler sweep (W7)
+    # ------------------------------------------------------------------
+
+    def _sweep_due(self) -> None:
+        files = self.ledger.scheduled_files()
+        tbl = self.ledger.read_scheduled()
+        if tbl is None or tbl.num_rows == 0:
+            return
+        # latest parked row per id (a retry may re-park the same id)
+        pdf = tbl.to_pandas().sort_values("seq").drop_duplicates("id", keep="last")
+        # stale-guard: a parked row is live only if it is STILL the job's
+        # latest ledger row (redelivered history must never re-execute)
+        latest = {
+            r["id"]: (r["seq"], r["status"])
+            for r in self.ledger.state(self.spark)
+            .filter(F.col("id").isin(pdf["id"].tolist()))
+            .select("id", "seq", "status")
+            .collect()
+        }
+        live_mask = pdf.apply(
+            lambda r: latest.get(r["id"], (None, None))[0] == r["seq"]
+            and latest[r["id"]][1] in (STATUS_SCHEDULED, STATUS_RETRYING),
+            axis=1,
+        )
+        pdf = pdf[live_mask]
+        if len(pdf) == 0:
+            self.ledger.replace_scheduled(None, files)
+            return
+        due_mask = pdf["run_at"] <= pd.Timestamp(_now())
+        due, remaining = pdf[due_mask], pdf[~due_mask]
+        remaining_tbl = pa.Table.from_pandas(remaining, schema=ARROW_LOG_SCHEMA, preserve_index=False)
+        self.ledger.replace_scheduled(remaining_tbl if len(remaining) else None, files)
+        if len(due) == 0:
+            return
+        # due jobs jump the queue (front-enqueue parity, commands.clj:145-160)
+        due = due.copy()
+        due["priority"] = PRIORITY_FRONT
+        due["status"] = STATUS_ENQUEUED
+        due_df = self.spark.createDataFrame(
+            due, schema=self.ledger._spark_log_schema()
+        )
+        self._execute_and_log(due_df)
+
+    # ------------------------------------------------------------------
+    # cron tick (W8)
+    # ------------------------------------------------------------------
+
+    def _cron_tick(self) -> None:
+        path = self.ledger.cron_path
+        if not os.path.exists(path):
+            return
+        entries = pq.read_table(path).to_pylist()
+        if not entries:
+            return
+        now = _now()
+        changed = False
+        import uuid as _uuid
+
+        new_jobs: list[dict] = []
+        for e in entries:
+            nxt = e["next_run_at"]
+            if nxt is None or nxt > now:
+                continue
+            # backfill exactly ONE missed occurrence (cron-jobs.md ADR):
+            # stamp the most recent due occurrence, not every missed one
+            occurrence = cronlib.prev_run(e["cron_schedule"], e["timezone"], now)
+            new_jobs.append(
+                {
+                    "id": str(_uuid.uuid4()),
+                    "queue": e["queue"],
+                    "execute_fn": e["execute_fn"],
+                    "args": e["args"],
+                    "status": STATUS_ENQUEUED,
+                    "priority": PRIORITY_FRONT,
+                    "enqueued_at": occurrence,  # cron-run-at stamp (cron.clj:83-87)
+                    "cron_name": e["cron_name"],
+                    "max_retries": 27,
+                }
+            )
+            e["last_run_at"] = occurrence
+            e["next_run_at"] = cronlib.next_run(e["cron_schedule"], e["timezone"], now)
+            changed = True
+        if new_jobs:
+            self.ledger.append_rows(new_jobs)
+        if changed:
+            schema = pq.read_schema(path)
+            tmp = path + f".tmp-{_uuid.uuid4().hex}"
+            pq.write_table(pa.Table.from_pylist(entries, schema=schema), tmp)
+            os.replace(tmp, path)
+
+    # ------------------------------------------------------------------
+    # batch state machine (B2–B4)
+    # ------------------------------------------------------------------
+
+    def _batch_callbacks(self, outcomes: pa.Table) -> None:
+        if outcomes.num_rows == 0:
+            return
+        pdf = outcomes.to_pandas()
+        touched = sorted(set(pdf["batch_id"].dropna()))
+        if not touched:
+            return
+        state = self.ledger.state(self.spark)
+        counts = (
+            state.filter(F.col("batch_id").isin(touched))
+            .groupBy("batch_id")
+            .agg(
+                F.sum(F.when(F.col("status").isin(STATUS_ENQUEUED, "in_progress", STATUS_SCHEDULED), 1).otherwise(0)).alias("enq"),
+                F.sum(F.when(F.col("status") == STATUS_RETRYING, 1).otherwise(0)).alias("retrying"),
+                F.sum(F.when(F.col("status") == STATUS_SUCCESS, 1).otherwise(0)).alias("success"),
+                F.sum(F.when(F.col("status") == STATUS_DEAD, 1).otherwise(0)).alias("dead"),
+            )
+            .collect()
+        )
+        batches = self._batches_state()
+        for r in counts:
+            derived = batch_status(int(r["enq"]), int(r["retrying"]), int(r["success"]), int(r["dead"]))
+            current = batches.get(r["batch_id"])
+            if current is None or current["status"] != "in-progress" or derived == "in-progress":
+                continue
+            # terminal transition — exactly-one callback (batch.clj:73-99):
+            # foreachBatch is single-threaded per ledger, same guarantee as
+            # goose's atomic SMOVE+SCARD txn
+            current = dict(current)
+            current["status"] = derived
+            current["seq"] = next_seq()
+            self._append_batch_update(current)
+            if current.get("callback_fn"):
+                self.ledger.append_rows(
+                    [
+                        {
+                            "id": f"callback-{current['id']}",
+                            "queue": current["queue"],
+                            "execute_fn": current["callback_fn"],
+                            "args": json.dumps([current["id"], derived]),
+                            "status": STATUS_ENQUEUED,
+                            "priority": PRIORITY_FRONT,
+                            "enqueued_at": _now(),
+                            "max_retries": 27,
+                        }
+                    ]
+                )
+
+    def _batches_state(self) -> dict[str, dict]:
+        rows: dict[str, dict] = {}
+        d = self.ledger.batches_dir
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            for r in pq.read_table(os.path.join(d, f)).to_pylist():
+                cur = rows.get(r["id"])
+                if cur is None or r["seq"] > cur["seq"]:
+                    rows[r["id"]] = r
+        return rows
+
+    def _append_batch_update(self, row: dict) -> None:
+        schema = None
+        d = self.ledger.batches_dir
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                schema = pq.read_schema(os.path.join(d, f))
+                break
+        if schema is None:
+            return
+        tmp = os.path.join(d, f".tmp-{row['seq']}.parquet")
+        pq.write_table(pa.Table.from_pylist([row], schema=schema), tmp)
+        os.replace(tmp, os.path.join(d, f"{row['seq']}.parquet"))

@@ -1,0 +1,236 @@
+"""Streaming scenario tests — modeled on goose's broker integration
+tests (test/goose/brokers/redis/integration_test.clj): enqueue → run a
+real worker pass → assert ledger state. availableNow triggers replace
+the promise-with-timeout pattern."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from goose_spark.api import LedgerAPI
+from goose_spark.client import JobClient
+from goose_spark.functions.registry import _FAIL_COUNTS
+from goose_spark.streaming.ledger import Ledger
+from goose_spark.streaming.worker import Worker
+
+
+def utcnow():
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+@pytest.fixture()
+def ledger(tmp_path):
+    return Ledger(str(tmp_path / "ledger"))
+
+
+@pytest.fixture(autouse=True)
+def _reset_flaky():
+    _FAIL_COUNTS.clear()
+
+
+def counts(spark, ledger):
+    return LedgerAPI(spark, ledger).dashboard_counts()
+
+
+# --- async execution (integration_test.clj:30-37) --------------------------
+
+def test_async_execution(spark, ledger):
+    client = JobClient(ledger)
+    for i in range(100):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    assert counts(spark, ledger) == {"success": 100}
+    assert worker.executions == 100
+
+
+# --- checkpoint = preservation queue: no re-execution on second pass -------
+
+def test_no_duplicate_execution_across_passes(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("noop")
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    worker.process_available()  # nothing new → nothing executed
+    assert worker.executions == 1
+    assert counts(spark, ledger) == {"success": 1}
+
+
+# --- retry chain: fail → retry w/ backoff → succeed (clj:106-154) ----------
+
+def test_retry_then_success(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("flaky", "job-a", 2, max_retries=5)
+    # zero jitter → delay = 20 + n⁴ sec; we shrink it by parking manually:
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    st = counts(spark, ledger)
+    assert st == {"retrying": 1}
+
+    # force the parked retry due: rewrite its run_at to the past
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for _ in range(2):  # two more executions: fail#2 then success
+        files = ledger.scheduled_files()
+        tbl = ledger.read_scheduled()
+        pdf = tbl.to_pandas()
+        pdf["run_at"] = utcnow() - timedelta(seconds=1)
+        from goose_spark.streaming.ledger import ARROW_LOG_SCHEMA
+
+        ledger.replace_scheduled(pa.Table.from_pandas(pdf, schema=ARROW_LOG_SCHEMA,
+                                                      preserve_index=False), files)
+        worker.tick()
+
+    final = counts(spark, ledger)
+    assert final == {"success": 1}
+    # failure state audit trail is in the log history
+    from pyspark.sql import functions as F
+
+    api = LedgerAPI(spark, ledger)
+    job = api.find_by_pattern(F.col("id").isNotNull(), limit=1)[0]
+    assert job["retry_count"] == 2 and job["error"] is not None
+
+
+# --- death after max retries (clj:171-188): exact execution count ----------
+
+def test_death_after_max_retries(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("always-fail", max_retries=2)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+
+    import pyarrow as pa
+    from goose_spark.streaming.ledger import ARROW_LOG_SCHEMA
+
+    for _ in range(2):
+        files = ledger.scheduled_files()
+        tbl = ledger.read_scheduled()
+        if tbl is None or tbl.num_rows == 0:
+            break
+        pdf = tbl.to_pandas()
+        pdf["run_at"] = utcnow() - timedelta(seconds=1)
+        ledger.replace_scheduled(pa.Table.from_pandas(pdf, schema=ARROW_LOG_SCHEMA,
+                                                      preserve_index=False), files)
+        worker.tick()
+
+    assert counts(spark, ledger) == {"dead": 1}
+    # executes exactly max_retries + 1 times (retry.clj:86-91)
+    assert worker.executions == 3
+    dead = LedgerAPI(spark, ledger).peek_dead(1)[0]
+    assert dead["died_at"] is not None and dead["retry_count"] == 2
+
+
+# --- scheduled job: future stays parked, due executes ----------------------
+
+def test_scheduled_job_not_due_then_due(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_at(utcnow() + timedelta(hours=1), "noop")
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    assert counts(spark, ledger) == {"scheduled": 1}  # parked, not run
+
+    client.perform_at(utcnow() - timedelta(seconds=5), "noop")  # past-due
+    worker.process_available()
+    st = counts(spark, ledger)
+    assert st["success"] == 1 and st["scheduled"] == 1
+
+
+# --- batch lifecycle: terminal status + exactly-one callback (clj:190-286) --
+
+def test_batch_success_callback(spark, ledger):
+    client = JobClient(ledger)
+    res = client.perform_batch("noop", [(i,) for i in range(10)],
+                               callback_fn="noop", queue="batch-q")
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    worker.process_available()  # second pass runs the callback job
+
+    api = LedgerAPI(spark, ledger)
+    state = {r["id"]: r for r in api.state().collect()}
+    callback = state.get(f"callback-{res['id']}")
+    assert callback is not None and callback["status"] == "success"
+    assert json.loads(callback["args"]) == [res["id"], "success"]
+    batches = worker._batches_state()
+    assert batches[res["id"]]["status"] == "success"
+    # callback emitted exactly once even after more passes
+    worker.process_available()
+    log_rows = ledger.log(spark).filter(f"id = 'callback-{res['id']}'").count()
+    assert log_rows == 2  # enqueue row + success row
+
+
+def test_batch_partial_success(spark, ledger):
+    client = JobClient(ledger)
+    res = client.perform_batch("flaky", [("k1", 0), ("k2", 99)],
+                               callback_fn="noop", queue="batch-q", max_retries=0)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    batches = worker._batches_state()
+    assert batches[res["id"]]["status"] == "partial-success"
+
+
+# --- cron: registration upsert + tick materializes a job -------------------
+
+def test_cron_tick_materializes_job(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_every("tick-test", "* * * * *", "noop", queue="cron-q")
+    # force the entry due
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    tbl = pq.read_table(ledger.cron_path).to_pylist()
+    tbl[0]["next_run_at"] = utcnow() - timedelta(minutes=1)
+    pq.write_table(pa.Table.from_pylist(tbl, schema=pq.read_schema(ledger.cron_path)),
+                   ledger.cron_path)
+
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.tick()            # materialize due cron job
+    worker.process_available()  # consume + execute it
+    from pyspark.sql import functions as F
+
+    api = LedgerAPI(spark, ledger)
+    jobs = api.find_by_pattern(F.col("cron_name") == "tick-test", limit=10)
+    assert len(jobs) == 1 and jobs[0]["status"] == "success"
+    # re-armed into the future
+    entries = pq.read_table(ledger.cron_path).to_pylist()
+    assert entries[0]["next_run_at"] > utcnow() - timedelta(seconds=60)
+    assert entries[0]["last_run_at"] is not None
+
+
+def test_cron_registration_overwrite(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_every("same-name", "*/5 * * * *", "noop")
+    client.perform_every("same-name", "0 * * * *", "noop")
+    import pyarrow.parquet as pq
+
+    entries = pq.read_table(ledger.cron_path).to_pylist()
+    assert len(entries) == 1 and entries[0]["cron_schedule"] == "0 * * * *"
+
+
+# --- management API: prioritise, replay dead, retention ---------------------
+
+def test_replay_dead_and_retention(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("always-fail", max_retries=0)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    api = LedgerAPI(spark, ledger)
+    assert api.dashboard_counts() == {"dead": 1}
+
+    assert api.replay_dead(1) == 1
+    worker.process_available()  # replayed job fails again → dead again
+    assert api.dashboard_counts() == {"dead": 1}
+
+    assert api.delete_dead_older_than(utcnow() + timedelta(days=1)) == 1
+    assert api.dashboard_counts() == {"deleted": 1}
+
+
+def test_queue_validation():
+    with pytest.raises(ValueError):
+        JobClient.__new__(JobClient)  # bypass init for static check
+        from goose_spark.client import _validate_queue
+
+        _validate_queue("scheduled-jobs")
