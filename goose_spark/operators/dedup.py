@@ -1,1 +1,315 @@
-"""Placeholder — populated by the LLM-pipeline operator build step."""
+"""Deduplication operators over ``documents`` / ``embeddings``
+(north-star extension): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+* exact (dd1): one hash-shuffle on the fingerprint — the cheapest
+  possible full-corpus dedup; AQE handles fingerprint skew.
+* minhash-LSH (dd2): shuffle cost is O(docs × bands), never O(docs²);
+  candidate verification touches only band-bucket collisions. Band
+  count/width tune recall vs cost.
+* simhash (dd3): signature is a per-doc aggregate (one shuffle on
+  doc_id after the token explode); hamming-bucket grouping replaces
+  pairwise comparison.
+* n-gram Jaccard (dd4): blocked self-join — the block key (lang ×
+  length bucket) bounds each join partition.
+* embedding near-dup (dd5): label-blocked; at scale the block is an
+  IVF/LSH bucket id (see similarity.py).
+
+All Spark sides are pure DataFrame algebra; each has an exact DuckDB
+twin for the value-hash gate.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.operators.textlib import normalized_fingerprint, shingles3, words
+from goose_spark.queries.base import register, t
+
+N_HASHES = 16
+N_BANDS = 4
+BAND_WIDTH = N_HASHES // N_BANDS
+
+_SHINGLES_SQL = """list_distinct(
+    case when len(string_split_regex(lower(text), '\\s+')) >= 3 then
+      list_transform(generate_series(1, len(string_split_regex(lower(text), '\\s+')) - 2),
+        i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+             string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+             string_split_regex(lower(text), '\\s+')[i+2])
+    else [] end)"""
+
+
+# ---------------------------------------------------------------------------
+# dd1 — exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dd1_exact_dedup",
+    """SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+              COUNT(*) AS copies, MIN(doc_id) AS keeper
+       FROM documents GROUP BY 1 ORDER BY fp LIMIT 200""",
+    doc="Exact dedup: hash-groupBy on the normalized fingerprint, keep "
+        "min doc_id per group. One shuffle, map-side partial agg.",
+    tags=("llm", "dedup"),
+)
+def dd1(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return (
+        d.groupBy(normalized_fingerprint(F.col("text")).alias("fp"))
+        .agg(F.count("*").alias("copies"), F.min("doc_id").alias("keeper"))
+        .orderBy("fp")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd2 — MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_sig(df: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15): per-seed min of md5('<seed>|'||shingle).
+    Lexicographic min over salted md5 hex == an independent permutation
+    surrogate per seed — portable across engines (no murmur parity
+    issues)."""
+    ex = df.select("doc_id", F.explode(shingles3(F.col("text"))).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
+        for k in range(N_HASHES)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * BAND_WIDTH + j}") for j in range(BAND_WIDTH)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("bkey"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), bands)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{k}|' || sh)) AS h{k}" for k in range(N_HASHES)
+    )
+    return f"""sig AS (
+        SELECT doc_id, {mins}
+        FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents)
+        GROUP BY doc_id)"""
+
+
+def _band_sql() -> str:
+    selects = []
+    for b in range(N_BANDS):
+        cols = " || ".join(f"h{b * BAND_WIDTH + j}" for j in range(BAND_WIDTH))
+        selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+_DD2_ORACLE = f"""
+WITH {_minhash_sig_sql()},
+{_band_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents)
+SELECT c.a_id, c.b_id,
+       ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jac
+FROM cand c JOIN sh x ON x.doc_id = c.a_id JOIN sh y ON y.doc_id = c.b_id
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+ORDER BY a_id, b_id"""
+
+
+@register(
+    "dd2_minhash_lsh",
+    _DD2_ORACLE,
+    doc="MinHash(16 hashes)+LSH(4 bands × 4): shingle → salted-md5 min "
+        "signature → band-bucket join → candidate pairs → exact-Jaccard "
+        "verify ≥ 0.5. Shuffles O(docs×bands), not O(docs²).",
+    tags=("llm", "dedup"),
+)
+def dd2(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    sig = _minhash_sig(d)
+    bands = _band_keys(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = d.select("doc_id", shingles3(F.col("text")).alias("s"))
+    x = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    y = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+    jac = inter / union
+    return (
+        cand.join(x, "a_id")
+        .join(y, "b_id")
+        .filter(jac >= 0.5)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd3 — SimHash (16-bit)
+# ---------------------------------------------------------------------------
+
+N_SIM_BITS = 16
+
+
+def _dd3_oracle() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(N_SIM_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIM_BITS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents),
+sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums ORDER BY doc_id LIMIT 200"""
+
+
+@register(
+    "dd3_simhash",
+    _dd3_oracle(),
+    doc="SimHash(16-bit) fingerprints: token md5-nibble high bits, "
+        "±1-weighted per-bit sums, sign → bits. One explode + one "
+        "doc_id shuffle; near-dup grouping is then hamming-bucket "
+        "equality instead of pairwise comparison.",
+    tags=("llm", "dedup"),
+)
+def dd3(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    md5c = F.md5(F.col("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(md5c, i + 1, 1).isin(*high), 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(N_SIM_BITS)
+        ]
+    )
+    fp = reduce(
+        lambda acc, i: acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0),
+        range(1, N_SIM_BITS),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(0),
+    )
+    return (
+        sums.select("doc_id", fp.cast("long").alias("simhash"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd4 — n-gram Jaccard with blocking
+# ---------------------------------------------------------------------------
+
+_DD4_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars // 64 AS bkt, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+FROM s a JOIN s b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+ORDER BY a_id, b_id"""
+
+
+@register(
+    "dd4_ngram_jaccard",
+    _DD4_ORACLE,
+    doc="n-gram Jaccard near-dup with (lang × length-bucket) blocking — "
+        "the self-join is bounded per block, never corpus².",
+    tags=("llm", "dedup"),
+)
+def dd4(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("bkt"),
+        shingles3(F.col("text")).alias("sh"),
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), "lang", "bkt", F.col("sh").alias("sa"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("lang_b"),
+                 F.col("bkt").alias("bkt_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    jac = inter / (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb")))
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("bkt") == F.col("bkt_b"))
+               & (F.col("a_id") < F.col("b_id")))
+        .filter(jac >= 0.3)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd5 — embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_DD5_ORACLE = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_dot_product(a.emb, b.emb)
+             / sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)), 6) AS cos
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+      / sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)) >= 0.4
+ORDER BY a_id, b_id"""
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
+
+
+def _as_double(col):
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+@register(
+    "dd5_embedding_near_dup",
+    _DD5_ORACLE,
+    doc="Embedding-cosine near-dup, label-blocked (at scale the block is "
+        "an LSH/IVF bucket). Dot products via zip_with/aggregate — "
+        "JVM-side, no Python.",
+    tags=("llm", "dedup"),
+)
+def dd5(spark: SparkSession, sf: str) -> DataFrame:
+    v = t(spark, sf, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    a = v.select(F.col("vec_id").alias("a_id"), "label", F.col("emb").alias("ea"))
+    b = v.select(F.col("vec_id").alias("b_id"), F.col("label").alias("label_b"),
+                 F.col("emb").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(
+        _dot(F.col("ea"), F.col("ea")) * _dot(F.col("eb"), F.col("eb"))
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")))
+        .filter(cos >= 0.4)
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+        .orderBy("a_id", "b_id")
+    )

@@ -1,0 +1,80 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video travel as opaque ``binary`` columns with typed
+metadata; decode / feature-extraction runs as Arrow-batched Pandas UDFs
+over ``mapInPandas``. The container has no image/audio libraries, so the
+real decoders are STUBBED behind ``NotImplementedError`` — but the
+Spark-side plumbing (schema, batch shape, partitioning, UDF signature)
+is real and oracle-checked via a deterministic fake extractor.
+
+At 100 TB: binary payloads dominate IO — keep them in their own parquet
+column (never in a struct with hot metadata), size
+``maxPartitionBytes`` to a few batches, and let the metadata columns
+drive partition pruning before any payload is read.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.queries.base import register, t
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires an imaging library not present in
+    this environment. The Spark plumbing calls ``fake_features``
+    instead; swap this in when PIL/libvips is available."""
+    raise NotImplementedError("image decoding requires an imaging library")
+
+
+def fake_features(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode+measure: derive (width, height,
+    frames) from payload length. Arithmetic is mirrored in the oracle."""
+    return n_bytes % 640, (7 * n_bytes) % 480, n_bytes % 16 + 1
+
+
+_MM1_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST((7 * octet_length(encode(text))) % 480 AS BIGINT) AS height,
+       CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS frames
+FROM documents ORDER BY doc_id LIMIT 200"""
+
+
+@register(
+    "mm1_multimodal_features",
+    _MM1_ORACLE,
+    doc="Multimodal plumbing: binary payload column (UTF-8 bytes of text "
+        "stand in for image bytes) → mapInPandas feature extraction with "
+        "a deterministic fake decoder. Exercises the exact schema / Arrow "
+        "batch path a real decoder would use.",
+    tags=("llm", "multimodal"),
+)
+def mm1(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            feats = n.map(fake_features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "width": feats.map(lambda f: f[0]).astype("int64"),
+                    "height": feats.map(lambda f: f[1]).astype("int64"),
+                    "frames": feats.map(lambda f: f[2]).astype("int64"),
+                }
+            )
+
+    out = d.mapInPandas(
+        extract, schema="doc_id long, n_bytes long, width long, height long, frames long"
+    )
+    return out.orderBy("doc_id").limit(200)

@@ -1,1 +1,155 @@
-"""Placeholder — populated by the LLM-pipeline operator build step."""
+"""Similarity search over the ``embeddings`` table (north-star
+extension): brute-force cosine top-k (exact baseline, oracle-checked)
+and an LSH-bucketed approximate variant (the 100 TB scale path).
+
+Scale design: brute force is O(queries × corpus) — exact and fine for
+small query sets or as a per-bucket kernel. The ANN path hashes every
+vector into sign-random-projection band buckets; a query only scores
+vectors sharing a band, so cost is O(queries × bucket), and the bucket
+table is a broadcast-joinable skeleton. Recall tunes with bands/bits.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.queries.base import register, t
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+_SS1_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_dot_product(q.qe, v.emb)
+           / sqrt(list_dot_product(q.qe, q.qe) * list_dot_product(v.emb, v.emb)) AS cos
+  FROM q JOIN v ON v.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS score
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
+
+
+def _as_double(col):
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+@register(
+    "ss1_cosine_topk_bruteforce",
+    _SS1_ORACLE,
+    doc="Exact cosine top-k: broadcast the query set against the corpus "
+        "scan, rank per query with WindowGroupLimit (rank<=k pushes the "
+        "per-partition top-k below the shuffle).",
+    tags=("llm", "similarity"),
+)
+def ss1(spark: SparkSession, sf: str) -> DataFrame:
+    v = t(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    cos = _dot(F.col("qe"), F.col("emb")) / F.sqrt(
+        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss2 — LSH-bucketed ANN (scale path; rows-only check + recall test)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 16
+N_SIG_BANDS = 4
+BITS_PER_BAND = N_PLANES // N_SIG_BANDS
+_PLANE_SEED = 7
+_DIM = 64
+
+
+def _band_signatures(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bkey): sign-random-projection signature split into
+    bands. Planes are deterministic (seeded) and regenerated inside the
+    Arrow batch — nothing is collected to the driver."""
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = np.random.RandomState(_PLANE_SEED).randn(_DIM, N_PLANES)
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            bits = (mat @ planes) > 0  # (n, N_PLANES)
+            rows = []
+            for i, vid in enumerate(pdf[id_col]):
+                for b in range(N_SIG_BANDS):
+                    chunk = bits[i, b * BITS_PER_BAND : (b + 1) * BITS_PER_BAND]
+                    key = int(np.packbits(chunk, bitorder="little")[0])
+                    rows.append((vid, b, key))
+            yield pd.DataFrame(rows, columns=[id_col, "band", "bkey"])
+
+    return df.mapInPandas(sig, schema=f"{id_col} long, band int, bkey int")
+
+
+@register(
+    "ss2_ann_lsh",
+    None,  # approximate — verified by the recall test, rows-only for the driver
+    doc="ANN via sign-random-projection LSH (16 planes, 4 bands × 4 bits): "
+        "score only band-collision candidates, then exact cosine + top-k. "
+        "At 100 TB the band table is the shuffle key — cost O(q × bucket).",
+    tags=("llm", "similarity"),
+)
+def ss2(spark: SparkSession, sf: str) -> DataFrame:
+    v = t(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    bands = _band_signatures(v, "vec_id")
+    q_ids = v.filter(F.col("vec_id") < N_QUERIES)
+    q_bands = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bkey"
+    )
+    cand = (
+        F.broadcast(q_bands)
+        .join(bands, ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = q_ids.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    ne = v.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+    cos = _dot(F.col("qe"), F.col("ne")) / F.sqrt(
+        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("ne"), F.col("ne"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+        .orderBy("query_id", "rank")
+    )

@@ -1,1 +1,155 @@
-"""Placeholder — populated by the LLM-pipeline operator build step."""
+"""Text-analysis operators over the ``documents`` table (north-star
+extension, SURVEY §2.5): token counting, language-ID, quality scoring,
+document fingerprinting.
+
+All pure column algebra (no UDFs) — at 100 TB these run inside
+whole-stage codegen directly over the parquet scan, shuffling only the
+tiny per-group aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.operators.textlib import (
+    LANG_MARKERS,
+    TOKEN_RE,
+    marker_count,
+    normalized_fingerprint,
+    token_count_bpe,
+    token_count_ws,
+)
+from goose_spark.queries.base import register, t
+
+_WORDS = "string_split_regex(lower(text), '\\s+')"
+
+
+@register(
+    "tx1_token_counts",
+    f"""SELECT lang, source,
+               CAST(SUM(len({_WORDS})) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS bpe_tokens,
+               ROUND(CAST(SUM(len({_WORDS})) AS DOUBLE) / COUNT(*), 2) AS avg_ws_tokens
+        FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    doc="Token counting: whitespace + BPE-ish regex tokenizer, aggregated "
+        "per (lang, source). Pure codegen expressions over the scan.",
+    tags=("llm", "text"),
+)
+def tx1(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    ws, bpe = token_count_ws(F.col("text")), token_count_bpe(F.col("text"))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.sum(ws).cast("long").alias("ws_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_tokens"),
+            F.round(F.sum(ws).cast("double") / F.count("*"), 2).alias("avg_ws_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _predicted_lang_sql() -> str:
+    cnt = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in LANG_MARKERS.items()
+    }
+    return f"""CASE
+        WHEN {cnt['en']} >= {cnt['es']} AND {cnt['en']} >= {cnt['de']}
+         AND {cnt['en']} >= {cnt['fr']} AND {cnt['en']} >= {cnt['zh']} THEN 'en'
+        WHEN {cnt['es']} >= {cnt['de']} AND {cnt['es']} >= {cnt['fr']}
+         AND {cnt['es']} >= {cnt['zh']} THEN 'es'
+        WHEN {cnt['de']} >= {cnt['fr']} AND {cnt['de']} >= {cnt['zh']} THEN 'de'
+        WHEN {cnt['fr']} >= {cnt['zh']} THEN 'fr'
+        ELSE 'zh' END"""
+
+
+@register(
+    "tx2_langid_confusion",
+    f"""SELECT lang, {_predicted_lang_sql()} AS predicted, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""",
+    doc="Language-ID via stopword-marker counts (n-gram heuristic) with "
+        "deterministic tie precedence; output is the confusion matrix "
+        "against the labeled lang column.",
+    tags=("llm", "text"),
+)
+def tx2(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    c = {lang: marker_count(F.col("text"), lang) for lang in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["zh"]),
+            "en",
+        )
+        .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]) & (c["es"] >= c["zh"]), "es")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["zh"]), "de")
+        .when(c["fr"] >= c["zh"], "fr")
+        .otherwise("zh")
+        .alias("predicted")
+    )
+    return (
+        d.groupBy("lang", predicted)
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "tx3_quality_scores",
+    f"""SELECT doc_id,
+               CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+               ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                     / length(text), 4) AS alpha_ratio,
+               ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                     / length(text), 4) AS punct_ratio,
+               ROUND(CAST(length(text) AS DOUBLE) / len({_WORDS}), 4) AS avg_token_span,
+               CASE WHEN length(text) >= 200 AND
+                         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                         / length(text) >= 0.7 THEN 'high'
+                    WHEN length(text) >= 100 THEN 'medium'
+                    ELSE 'low' END AS quality_bucket
+        FROM documents ORDER BY doc_id LIMIT 200""",
+    doc="Quality scoring: length / alpha / punctuation ratios + bucket — "
+        "the heuristic pre-filter of an LLM data pipeline.",
+    tags=("llm", "text"),
+)
+def tx3(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    n_tok = token_count_ws(F.col("text"))
+    alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), F.lit(0))).cast("double")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), F.lit(0))).cast("double")
+    length = F.length("text")
+    alpha_ratio = F.round(alpha / length, 4)
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            alpha_ratio.alias("alpha_ratio"),
+            F.round(punct / length, 4).alias("punct_ratio"),
+            F.round(length.cast("double") / n_tok, 4).alias("avg_token_span"),
+            F.when((length >= 200) & (alpha / length >= 0.7), "high")
+            .when(length >= 100, "medium")
+            .otherwise("low")
+            .alias("quality_bucket"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "tx4_fingerprints",
+    """SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+       FROM documents ORDER BY doc_id LIMIT 200""",
+    doc="Document fingerprinting: md5 over normalized text (the exact-dup "
+        "key used by dd1).",
+    tags=("llm", "text"),
+)
+def tx4(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -1,0 +1,73 @@
+"""Shared text-analysis column expressions.
+
+Every helper has an exact DuckDB-SQL twin (documented inline) so the
+dedup/text operators can be oracle-checked value-for-value. All
+expressions are built-in Spark functions — JVM-side, whole-stage
+codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: whitespace tokenization — DuckDB: string_split_regex(lower(text), '\s+')
+def words(col: Column) -> Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+#: BPE-ish token regex — alpha runs, digit runs, single punctuation
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(words(col)).cast("long")
+
+
+def token_count_bpe(col: Column) -> Column:
+    # DuckDB: len(regexp_extract_all(text, TOKEN_RE))
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0))).cast("long")
+
+
+def shingles3(col: Column) -> Column:
+    """Distinct word 3-gram shingles.
+
+    DuckDB twin::
+
+        list_distinct(case when len(w) >= 3 then
+          list_transform(generate_series(1, len(w)-2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        else [] end)   -- w := string_split_regex(lower(text), '\\s+')
+    """
+    w = words(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text.
+    DuckDB: md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"""
+    return F.md5(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+# language-ID marker patterns (n-gram/stopword heuristic). The CASE
+# precedence on ties is en > es > de > fr > zh in both engines.
+LANG_MARKERS = {
+    "en": r"\b(the|a|of|and|to)\b",
+    "es": r"\b(el|la|de|los|y)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|les|et|est|une)\b",
+    "zh": r"[\x{4e00}-\x{9fff}]",
+}
+
+
+def marker_count(col: Column, lang: str) -> Column:
+    # DuckDB: len(regexp_extract_all(lower(text), pattern))
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(LANG_MARKERS[lang]), F.lit(0))).cast("long")

@@ -9,6 +9,6 @@ from goose_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 
 def load_all() -> dict:
     """Import every query-providing module (incl. operator extensions)."""
-    from goose_spark.operators import dedup, similarity, text  # noqa: F401
+    from goose_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,40 @@
+"""ANN quality gate: the LSH path must recall a healthy fraction of the
+exact brute-force top-k (it is approximate — the driver only rows-checks
+it, so the recall bar lives here)."""
+
+from __future__ import annotations
+
+from goose_spark.queries import load_all
+from tests.conftest import SF_CORRECT
+
+REGISTRY = load_all()
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    exact = REGISTRY["ss1_cosine_topk_bruteforce"].builder(spark, SF_CORRECT).collect()
+    approx = REGISTRY["ss2_ann_lsh"].builder(spark, SF_CORRECT).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    avg = sum(recalls) / len(recalls)
+    # 4 bands × 4 bits is a loose filter; random 64-dim data is the hard
+    # case for LSH — still expect a solid majority of true neighbors
+    assert avg >= 0.4, f"ANN recall too low: {avg:.2f} (per-query {recalls})"
+
+
+def test_ann_scores_match_exact_for_shared_neighbors(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in REGISTRY["ss1_cosine_topk_bruteforce"].builder(spark, SF_CORRECT).collect()
+    }
+    approx = REGISTRY["ss2_ann_lsh"].builder(spark, SF_CORRECT).collect()
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["score"]) < 1e-9
