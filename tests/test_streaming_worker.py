@@ -12,7 +12,7 @@ import pytest
 
 from goose_spark.api import LedgerAPI
 from goose_spark.client import JobClient
-from goose_spark.functions.registry import _FAIL_COUNTS
+from goose_spark.functions.registry import reset_flaky
 from goose_spark.streaming.ledger import Ledger
 from goose_spark.streaming.worker import Worker
 
@@ -28,7 +28,7 @@ def ledger(tmp_path):
 
 @pytest.fixture(autouse=True)
 def _reset_flaky():
-    _FAIL_COUNTS.clear()
+    reset_flaky()
 
 
 def counts(spark, ledger):
