@@ -147,6 +147,73 @@ class LedgerAPI:
         self.ledger.append_rows(updates)
         return len(updates)
 
+    # ---- Q11: cron registry queries ---------------------------------------------
+    # (src/goose/brokers/redis/cron.clj:23-27,105-119: size / get / get-all /
+    #  delete / purge)
+
+    def cron_size(self) -> int:
+        return len(self.cron_entries())
+
+    def cron_entries(self) -> list[dict]:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = self.ledger.cron_path
+        if not os.path.exists(path):
+            return []
+        return pq.read_table(path).to_pylist()
+
+    def cron_get(self, name: str) -> dict | None:
+        return next((e for e in self.cron_entries() if e["cron_name"] == name), None)
+
+    def cron_delete(self, name: str) -> bool:
+        return self._cron_rewrite(lambda e: e["cron_name"] != name)
+
+    def cron_purge(self) -> bool:
+        return self._cron_rewrite(lambda e: False)
+
+    def _cron_rewrite(self, keep) -> bool:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self.ledger.cron_path
+        if not os.path.exists(path):
+            return False
+        schema = pq.read_schema(path)
+        entries = pq.read_table(path).to_pylist()
+        kept = [e for e in entries if keep(e)]
+        changed = len(kept) != len(entries)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(pa.Table.from_pylist(kept, schema=schema), tmp)
+        os.replace(tmp, path)
+        return changed
+
+    # ---- B6: batch delete ----------------------------------------------------------
+    # (src/goose/brokers/redis/api/batch.clj:11-38 — documented-expensive
+    #  there; a single predicate tombstone here)
+
+    def delete_batch(self, batch_id: str) -> int:
+        rows = (
+            self.state()
+            .filter(
+                (F.col("batch_id") == batch_id)
+                & F.col("status").isin(STATUS_ENQUEUED, STATUS_SCHEDULED, STATUS_RETRYING)
+            )
+            .collect()
+        )
+        updates = []
+        for r in rows:
+            d = r.asDict()
+            d.pop("seq", None)
+            d.update(status="deleted")
+            updates.append(d)
+        self.ledger.append_rows(updates)
+        return len(updates)
+
     # ---- Q12/Q13: dashboard ----------------------------------------------------
 
     def dashboard_counts(self) -> dict[str, int]:

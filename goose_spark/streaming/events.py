@@ -1,0 +1,87 @@
+"""Structured Streaming analytics over event streams — watermarks,
+tumbling/sliding/session windows, late-data policy.
+
+The reference's only time-indexed structures are sorted sets scored by
+epoch-ms (scheduler/cron); it has no windowed aggregation at all
+(SURVEY §2.5). These operators supply the streaming layer the engine
+needs for the events table / job-metrics streams, with the batch-form
+twins (q21 and the Q-J queries) giving the DuckDB-checkable semantics.
+
+Late-data policy (SURVEY §2.5 watermark row): a watermark of
+``delay`` drops events older than ``max(event_time) - delay`` once the
+window closes — the streaming analog of goose's "backfill exactly one
+missed cron run, not n" bounded-lateness stance (cron-jobs.md ADR).
+
+All builders accept any streaming OR batch DataFrame with an event-time
+column, so tests drive them with a file-source stream over the same
+parquet the batch oracle reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(events: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay)
+    return events
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Per (window, event_type) count + sum — the streaming twin of
+    q21_tumbling_window_batch."""
+    return (
+        with_watermark(events, ts_col, delay)
+        .groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_rates(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes",
+                  ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Sliding-window event rate per type (overlapping windows)."""
+    return (
+        with_watermark(events, ts_col, delay)
+        .groupBy(F.window(ts_col, width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (F.session_window — dynamic, data-driven window bounds)."""
+    return (
+        with_watermark(events, ts_col, delay)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
+def job_queue_depth_stream(log_stream: DataFrame) -> DataFrame:
+    """Queue-depth gauge stream over the job ledger — the streaming
+    analog of the metrics sweep at src/goose/brokers/redis/metrics.clj:
+    14-44 (LLEN per queue + global total, emitted per trigger)."""
+    return (
+        log_stream.filter(F.col("status") == "enqueued")
+        .groupBy("queue")
+        .agg(F.count("*").alias("enqueued_total"))
+    )

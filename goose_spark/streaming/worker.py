@@ -132,13 +132,15 @@ class Worker:
     def __init__(self, spark: SparkSession, ledger: Ledger | str,
                  worker_id: str = "worker-1",
                  rand_int: Callable[[int], int] | None = None,
-                 retry_delay_fn: Callable[[int], int] | None = None):
+                 retry_delay_fn: Callable[[int], int] | None = None,
+                 metrics=None):
         self.spark = spark
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.worker_id = worker_id
         if retry_delay_fn is None and rand_int is not None:
             retry_delay_fn = lambda n: default_retry_delay_sec(n, rand_int)  # noqa: E731
         self.retry_delay_fn = retry_delay_fn
+        self.metrics = metrics  # MetricsSink | None — the W4 metrics wrap
         self.executions = 0
 
     # ------------------------------------------------------------------
@@ -193,6 +195,9 @@ class Worker:
     def _execute_and_log(self, df: DataFrame) -> None:
         if df.isEmpty():
             return
+        import time as _time
+
+        _exec_start = _time.perf_counter()
         # bounded-staleness priority (P8): front-priority rows first.
         # sortWithinPartitions (not a global orderBy): priority is already
         # an approximation per SURVEY §7.4.1, and a global sort would add
@@ -213,6 +218,12 @@ class Worker:
             pa.compute.equal(out_tbl["status"], pa.scalar(STATUS_RETRYING))
         )
         self.ledger.park(retrying)
+        if self.metrics is not None:
+            # metrics middleware position parity (worker.clj:46-55)
+            self.metrics.record_outcomes(
+                out_tbl["status"].to_pylist(),
+                (_time.perf_counter() - _exec_start) * 1000,
+            )
         self._batch_callbacks(out_tbl)
 
     def _append_log_table(self, table: pa.Table) -> None:

@@ -1,0 +1,139 @@
+"""Streaming window/watermark scenarios: drive the builders with a real
+file-source stream (availableNow → memory sink) and check the tumbling
+aggregation against its own batch twin on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goose_spark.queries.base import t
+from goose_spark.streaming import events as ev
+from tests.conftest import SF_SMOKE
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, tmp_path_factory):
+    # re-materialize sf0.001 events as a µs-timestamp parquet dir so the
+    # streaming file source can read it without the NANOS issue
+    src = t(spark, SF_SMOKE, "events")
+    path = str(tmp_path_factory.mktemp("events-stream"))
+    src.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(src.schema).parquet(path)
+
+
+def test_tumbling_stream_matches_batch(spark, event_stream):
+    out = _run_stream(spark, ev.tumbling_counts(event_stream), "tumbling")
+    batch = ev.tumbling_counts(t(spark, SF_SMOKE, "events"))
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_sliding_windows_overlap(spark, event_stream):
+    out = _run_stream(spark, ev.sliding_rates(event_stream), "sliding")
+    rows = out.collect()
+    assert len(rows) > 0
+    # every event lands in width/slide = 2 overlapping windows → total
+    # sliding count is 2× the event count
+    n_events = t(spark, SF_SMOKE, "events").count()
+    assert sum(r["n"] for r in rows) == 2 * n_events
+
+
+def test_session_windows_close_on_gap(spark, event_stream):
+    out = _run_stream(spark, ev.session_windows(event_stream), "sessions")
+    rows = out.collect()
+    assert len(rows) > 0
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["session_start"], r["session_end"]))
+    # sessions of one user never overlap
+    for sess in by_user.values():
+        sess.sort()
+        for (s1, e1), (s2, _) in zip(sess, sess[1:]):
+            assert e1 <= s2
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics: with update-mode + watermark, a row arriving
+    far behind the advanced watermark is dropped from the aggregation."""
+    import pandas as pd
+
+    path = str(tmp_path / "late-events")
+    schema = "ts timestamp, event_type string, value double"
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"ts": [base + pd.Timedelta(minutes=m) for m in (0, 5, 120)],
+                      "event_type": ["a", "a", "a"], "value": [1.0, 1.0, 1.0]})
+    )
+    df1.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df1.schema).parquet(path)
+    agg = ev.tumbling_counts(stream, width="1 hour", delay="10 minutes")
+    seen: list = []
+
+    def collect_batch(batch_df, _epoch):
+        seen.extend(batch_df.collect())
+
+    def run_pass():
+        q = (
+            agg.writeStream.foreachBatch(collect_batch).outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_pass()
+    assert any(r["event_type"] == "a" for r in seen)
+    # second file: one event 2h older than the max seen (far past watermark)
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"ts": [base], "event_type": ["late"], "value": [9.0]})
+    )
+    df2.write.mode("append").parquet(path)
+    seen.clear()
+    run_pass()
+    assert [r for r in seen if r["event_type"] == "late"] == []  # dropped
+
+
+def test_worker_metrics_sink(spark, tmp_path):
+    from goose_spark.client import JobClient
+    from goose_spark.streaming.metrics import MetricsSink
+    from goose_spark.streaming.worker import Worker
+
+    root = str(tmp_path / "ledger")
+    client = JobClient(root)
+    for i in range(10):
+        client.perform_async("noop", i)
+    client.perform_async("always-fail", max_retries=0)
+    sink = MetricsSink()
+    Worker(spark, root, retry_delay_fn=lambda n: 0, metrics=sink).process_available()
+    assert sink.counters[MetricsSink.JOBS_PROCESSED] == 11
+    assert sink.counters[MetricsSink.JOBS_SUCCESS] == 10
+    assert sink.counters[MetricsSink.JOBS_FAILURE] == 1
+    assert len(sink.timings[MetricsSink.EXECUTION_TIME]) >= 1
+
+
+def test_cron_api_queries(spark, tmp_path):
+    from goose_spark.api import LedgerAPI
+    from goose_spark.client import JobClient
+
+    root = str(tmp_path / "ledger")
+    client = JobClient(root)
+    client.perform_every("a", "*/5 * * * *", "noop")
+    client.perform_every("b", "0 9 * * 1-5", "noop", tz="US/Pacific")
+    api = LedgerAPI(spark, root)
+    assert api.cron_size() == 2
+    assert api.cron_get("a")["cron_schedule"] == "*/5 * * * *"
+    assert api.cron_delete("a") and api.cron_size() == 1
+    assert api.cron_purge() and api.cron_size() == 0
