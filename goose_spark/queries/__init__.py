@@ -3,7 +3,7 @@
 Importing the submodules populates :data:`goose_spark.queries.base.REGISTRY`.
 """
 
-from goose_spark.queries import base, jobs, relational  # noqa: F401
+from goose_spark.queries import base, jobs, relational, relational_ext  # noqa: F401
 from goose_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 
 

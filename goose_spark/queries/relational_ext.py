@@ -1,0 +1,233 @@
+"""Extended relational coverage: JSON extraction, exact percentiles,
+window-function sampler, pivot-style conditional aggregation, correlated
+EXISTS with residual predicates, multi-level CTE, cross-fixture joins.
+
+These widen the §2.5 gap-table surface beyond the core q01–q22 set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.queries.base import fixture, fixture_rel, register, t
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "q23_json_extraction",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+              event_type, COUNT(*) AS n
+       FROM events
+       WHERE json_extract_string(props, '$.k') IS NOT NULL
+       GROUP BY 1, 2 ORDER BY k_mod, event_type""",
+    doc="Semi-structured JSON column extraction (events.props) — "
+        "get_json_object stays JVM-side; at scale prefer promoting hot "
+        "JSON keys to columns at ingest.",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_mod"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_mod", "event_type")
+    )
+
+
+@register(
+    "q24_exact_percentiles",
+    """SELECT l_returnflag,
+              ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p50,
+              ROUND(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p90,
+              ROUND(CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS price_p99
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="Exact interpolated percentiles (sort-based agg; the approx "
+        "variant percentile_approx is the 100 TB path, excluded from "
+        "hash-match per SURVEY §2.6 rules).",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("price_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q25_window_sampler",
+    """SELECT o_custkey, o_orderkey,
+              DENSE_RANK() OVER w AS drnk,
+              NTILE(4) OVER w AS quartile,
+              ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS biggest,
+              ROUND(o_totalprice
+                    - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           OVER (PARTITION BY o_custkey) AS DOUBLE)
+                      / COUNT(*) OVER (PARTITION BY o_custkey), 2) AS vs_avg
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_custkey, drnk, o_orderkey LIMIT 200""",
+    doc="Window-function breadth: dense_rank / ntile / first_value / "
+        "partition-avg delta in one pass over one window partitioning.",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("biggest"),
+            # exact decimal sum / count → both engines divide identical
+            # doubles (a plain double AVG diverges in summation order)
+            F.round(
+                F.col("o_totalprice")
+                - F.sum(F.col("o_totalprice").cast(_DEC)).over(wp).cast("double")
+                / F.count("*").over(wp),
+                2,
+            ).alias("vs_avg"),
+        )
+        .orderBy("o_custkey", "drnk", "o_orderkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q26_pivot_conditional",
+    """SELECT c_mktsegment,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished,
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_,
+              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+              CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2)
+                   AS DECIMAL(18,2)) AS finished_value
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    doc="Pivot via conditional aggregation (one shuffle; the explicit "
+        "form of df.groupBy().pivot()).",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderstatus", "o_totalprice")
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+
+    def cnt(status):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0)).cast("long")
+
+    val = F.sum(
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice").cast(_DEC)).otherwise(
+            F.lit(0).cast(_DEC)
+        )
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            cnt("F").alias("finished"),
+            cnt("O").alias("open_"),
+            cnt("P").alias("pending"),
+            F.round(val, 2).cast(_DEC).alias("finished_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q27_correlated_exists_residual",
+    """SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS bal
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT'
+                       AND o.o_totalprice > 100000)
+       ORDER BY c.c_custkey LIMIT 100""",
+    doc="Correlated EXISTS with residual predicates — decorrelates to a "
+        "left-semi join with the filters pushed into the subquery scan.",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = (
+        t(spark, sf, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 100000))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q28_cte_top_spender_per_nation",
+    """WITH spend AS (
+         SELECT c.c_nationkey, c.c_custkey,
+                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_nationkey, c.c_custkey)
+       SELECT n.n_name, s.c_custkey, s.total
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                          ORDER BY total DESC, c_custkey) AS rn
+             FROM spend) s
+       JOIN nation n ON n.n_nationkey = s.c_nationkey
+       WHERE s.rn = 1 ORDER BY n.n_name""",
+    doc="Multi-level CTE: aggregate → per-group argmax (row_number) → "
+        "broadcast dim join. The window runs over the aggregate (25×|C| "
+        "rows), never raw orders.",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    n = F.broadcast(t(spark, sf, "nation").select("n_nationkey", "n_name"))
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast(_DEC).alias("total"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("total").desc(), "c_custkey")
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "c_custkey", "total")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "qj9_batch_integrity_join",
+    f"""SELECT b.id AS batch_id, b.status AS declared, b.total,
+               CAST(COUNT(j.id) AS BIGINT) AS members,
+               CAST(SUM(CASE WHEN j.status = 'success' THEN 1 ELSE 0 END) AS BIGINT) AS done
+        FROM {fixture_rel('batches')} b
+        LEFT JOIN {fixture_rel('jobs')} j ON j.batch_id = b.id
+        GROUP BY b.id, b.status, b.total
+        ORDER BY batch_id""",
+    doc="Cross-fixture integrity join: batches.total must equal the "
+        "member count in the ledger (B5 shape over two tables; mirrors "
+        "the hash + 4-set assembly at src/goose/brokers/redis/batch.clj:"
+        "45-60).",
+)
+def qj9(spark: SparkSession, sf: str) -> DataFrame:
+    b = fixture(spark, "batches").select(
+        F.col("id").alias("batch_id"), F.col("status").alias("declared"), "total"
+    )
+    j = fixture(spark, "jobs").select("id", "batch_id", "status")
+    done = F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).cast("long")
+    return (
+        b.join(j, j.batch_id == b.batch_id, "left")
+        .groupBy(b.batch_id, "declared", "total")
+        .agg(F.count(j.id).cast("long").alias("members"), done.alias("done"))
+        .orderBy("batch_id")
+    )
