@@ -1,0 +1,113 @@
+"""Plan-quality regression tests (the perf-pass checks, codified) and
+source/sink round-trips."""
+
+from __future__ import annotations
+
+import pytest
+
+from goose_spark.plans.inspect import report
+from goose_spark.queries import load_all
+from goose_spark.sources import io as gio
+from tests.conftest import SF_CORRECT
+
+REGISTRY = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    r = report(REGISTRY["q02_filter_conjunctive"].builder(spark, SF_CORRECT))
+    pushed = " ".join(r.pushed_filters)
+    assert "GreaterThan(l_quantity,30.0)" in pushed
+    # Spark truncates long FileScan strings — match the stable prefix
+    assert "EqualTo(l_returnfl" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    r = report(REGISTRY["q01_scan_project_limit"].builder(spark, SF_CORRECT))
+    cols = r.scanned_columns("lineitem")
+    assert cols == ["l_orderkey", "l_linenumber", "l_quantity"]
+    assert r.has_take_ordered  # LIMIT + ORDER BY fuse into TakeOrdered
+
+
+def test_dims_broadcast_in_multiway_join(spark):
+    r = report(REGISTRY["q06_multiway_join_agg"].builder(spark, SF_CORRECT))
+    # region/nation (explicit hints) + customer-side must broadcast;
+    # only the lineitem⋈orders fact join may shuffle
+    assert r.broadcast_joins >= 3
+    assert r.sort_merge_joins <= 1
+
+
+def test_topk_per_key_uses_window_group_limit(spark):
+    r = report(REGISTRY["q10_window_row_number"].builder(spark, SF_CORRECT))
+    assert r.has_window_group_limit
+
+
+def test_semi_anti_join_no_cartesian(spark):
+    r = report(REGISTRY["q08_semi_anti_join"].builder(spark, SF_CORRECT))
+    assert "CartesianProduct" not in r.text.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_exact_dedup_single_shuffle(spark):
+    r = report(REGISTRY["dd1_exact_dedup"].builder(spark, SF_CORRECT))
+    # one hash shuffle for the groupBy; the final orderBy+limit is TakeOrdered
+    assert r.shuffles <= 1
+    assert r.has_take_ordered
+
+
+# --- sources / sinks ---------------------------------------------------------
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = REGISTRY["q20_distinct_topk"].builder(spark, SF_CORRECT)
+    path = str(tmp_path / "out")
+    gio.save(df, path, partition_by=None, mode="overwrite")
+    back = gio.load(spark, path)
+    assert sorted(r["p_type"] for r in back.collect()) == sorted(
+        r["p_type"] for r in df.collect()
+    )
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from goose_spark.queries.base import t
+
+    src = t(spark, SF_CORRECT, "nation")
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        gio.save(src, path, fmt=fmt, mode="overwrite")
+        back = gio.load(spark, path, fmt=fmt, schema=src.schema)
+        assert back.count() == src.count()
+        assert sorted(back.columns) == sorted(src.columns)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from goose_spark.queries.base import t
+
+    src = t(spark, SF_CORRECT, "customer")
+    path = str(tmp_path / "part")
+    gio.save(src, path, partition_by=["c_mktsegment"], mode="overwrite")
+    back = gio.load(spark, path).filter(F.col("c_mktsegment") == "BUILDING")
+    r = report(back)
+    # partition filter must NOT appear as a data filter — it prunes dirs
+    assert "PartitionFilters: [isnotnull(c_mktsegment" in r.text
+    assert back.count() == src.filter(F.col("c_mktsegment") == "BUILDING").count()
+
+
+def test_unsupported_format_rejected(spark):
+    with pytest.raises(ValueError):
+        gio.load(spark, "/tmp/x", fmt="avro")
+
+
+def test_stream_load_requires_schema_and_runs(spark, tmp_path):
+    from goose_spark.queries.base import t
+
+    src = t(spark, SF_CORRECT, "region")
+    path = str(tmp_path / "stream-src")
+    src.write.parquet(path)
+    stream = gio.load_stream(spark, path, src.schema)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("io_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert spark.sql("SELECT count(*) n FROM io_stream").collect()[0]["n"] == src.count()
