@@ -206,6 +206,28 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q29_approx_aggregates",
+    None,  # approx operators are excluded from hash-match (SURVEY §2.6)
+    doc="Approximate aggregates — the 100 TB substitutes for q04's "
+        "COUNT DISTINCT and q24's exact percentiles: "
+        "approx_count_distinct (HLL++, no expand) and percentile_approx "
+        "(fixed-size sketch, no sort). Rows-only checked; the exact "
+        "twins are the correctness anchors.",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_quantity", 0.5).alias("approx_p50"),
+            F.percentile_approx("l_extendedprice", 0.99).alias("approx_price_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "qj9_batch_integrity_join",
     f"""SELECT b.id AS batch_id, b.status AS declared, b.total,
                CAST(COUNT(j.id) AS BIGINT) AS members,

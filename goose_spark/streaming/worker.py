@@ -58,14 +58,31 @@ def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
-def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str):
+def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
+                   middlewares: tuple = ()):
     """Build the mapInPandas execution fn (W3/W4/W5/W6). The returned
     closure is serialized to executors; it resolves fns via the registry
     and emits full outcome rows. Column-wise output assembly (no per-row
-    .loc mutation) keeps the Python side ~10× faster per batch."""
+    .loc mutation) keeps the Python side ~10× faster per batch.
+
+    ``middlewares`` composes around the execute call exactly like
+    goose's chain (src/goose/brokers/redis/worker.clj:46-55): each is
+    ``mw(next_fn) -> fn(job_dict)``; the first listed runs outermost.
+    The retry wrapper stays outside the chain (it owns failure state),
+    matching the reference composition order.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
         from goose_spark.functions.registry import execute
+
+        def call(job: dict):
+            return execute(job["execute_fn"], job["args"])
+
+        chain = call
+        for mw in reversed(middlewares):
+            chain = mw(chain)
 
         delay_fn = retry_delay_fn or default_retry_delay_sec
         for pdf in batches:
@@ -83,9 +100,21 @@ def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str):
             args = list(pdf["args"])
             max_retries = list(pdf["max_retries"])
             retry_queue = list(pdf["retry_queue"])
+            ids = list(pdf["id"])
+            enqueued_at = list(pdf["enqueued_at"])
             for i in range(n_rows):
                 try:
-                    execute(fns[i], args[i])
+                    chain(
+                        {
+                            "id": ids[i],
+                            "execute_fn": fns[i],
+                            "args": args[i],
+                            "queue": queue[i],
+                            "retry_count": retry_count[i],
+                            "enqueued_at": enqueued_at[i],
+                            "run_at": run_at[i],
+                        }
+                    )
                     status.append(STATUS_SUCCESS)
                 except Exception as exc:  # noqa: BLE001 — job errors are data
                     n = 0 if pd.isna(retry_count[i]) else int(retry_count[i])
@@ -133,7 +162,7 @@ class Worker:
                  worker_id: str = "worker-1",
                  rand_int: Callable[[int], int] | None = None,
                  retry_delay_fn: Callable[[int], int] | None = None,
-                 metrics=None):
+                 metrics=None, middlewares: tuple = ()):
         self.spark = spark
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.worker_id = worker_id
@@ -141,6 +170,7 @@ class Worker:
             retry_delay_fn = lambda n: default_retry_delay_sec(n, rand_int)  # noqa: E731
         self.retry_delay_fn = retry_delay_fn
         self.metrics = metrics  # MetricsSink | None — the W4 metrics wrap
+        self.middlewares = tuple(middlewares)  # user middlewares (W4)
         self.executions = 0
 
     # ------------------------------------------------------------------
@@ -206,7 +236,8 @@ class Worker:
             F.col("priority").desc(), F.col("enqueued_at")
         )
         outcome = ordered.mapInPandas(
-            _make_executor(self.retry_delay_fn, self.worker_id), schema=df.schema
+            _make_executor(self.retry_delay_fn, self.worker_id, self.middlewares),
+            schema=df.schema,
         )
         out_tbl = self._to_arrow(outcome)
         self.executions += out_tbl.num_rows
