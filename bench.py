@@ -23,8 +23,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # warm the JVM + parquet footers once with a trivial action
+    # warm-up parity with the reference harness (criterium JVM warm-up,
+    # perf/goose/core.clj:39-53): touch the JVM, parquet reader, AND the
+    # Python worker pool (Arrow path) before timing anything
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    import pandas as _pd
+
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(registry):

@@ -198,6 +198,50 @@ class Worker:
             if sleep_sec:
                 _t.sleep(sleep_sec)
 
+    def start(self, trigger_sec: float = 1.0):
+        """Continuous mode: a long-running streaming query (processingTime
+        trigger) plus a driver-side timer thread for the scheduler/cron
+        sweeps — the engine's shape of goose's N-threads-plus-scheduler
+        worker process (worker.clj:81-87). Returns a handle with
+        ``stop()`` for graceful shutdown (W11: stop consuming, let the
+        open micro-batch drain, checkpoint commits the ack)."""
+        import threading
+
+        stream = self.ledger.log_stream(self.spark)
+        query = (
+            stream.writeStream.foreachBatch(self._for_each_batch)
+            .option("checkpointLocation", self.ledger.checkpoint_dir)
+            .trigger(processingTime=f"{trigger_sec} seconds")
+            .start()
+        )
+        stop_flag = threading.Event()
+
+        def ticker():
+            while not stop_flag.wait(trigger_sec):
+                try:
+                    self.tick()
+                except Exception:  # noqa: BLE001 — keep the timer alive
+                    pass
+
+        thread = threading.Thread(target=ticker, daemon=True)
+        thread.start()
+
+        worker = self
+
+        class Handle:
+            def stop(self, timeout: float = 30.0) -> None:
+                stop_flag.set()
+                query.stop()
+                query.awaitTermination(int(timeout))
+                thread.join(timeout)
+                worker.tick()  # final sweep after the stream drains
+
+            @property
+            def streaming_query(self):
+                return query
+
+        return Handle()
+
     # ------------------------------------------------------------------
     # micro-batch body
     # ------------------------------------------------------------------
