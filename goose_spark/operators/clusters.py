@@ -1,0 +1,109 @@
+"""Near-dup cluster materialization — connected components over the
+MinHash-LSH candidate graph, yielding the kept/dropped decision an LLM
+data pipeline actually applies.
+
+Algorithm: iterative min-label propagation to fixpoint — each doc's
+cluster label starts as its own id; every pass each node adopts the
+minimum label in its neighborhood. Converges in O(graph diameter)
+passes; near-dup clusters are small and dense, so 3–5 passes close
+virtually all of them and the loop exits on the first unchanged pass.
+
+This is the canonical Spark iterative-algorithm shape (Pregel-lite):
+a driver loop over DataFrame joins, each pass one shuffle keyed by
+doc_id. At 100 TB the edge list (LSH pairs) is orders of magnitude
+smaller than the corpus, so passes run over edges only; checkpointing
+every ~5 passes truncates the lineage.
+
+Oracle: the same fixpoint via DuckDB's WITH RECURSIVE (min-label
+transitive closure) — identical clusters, engine-independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.operators.dedup import _DD2_ORACLE
+from goose_spark.queries.base import register, t
+
+MAX_PASSES = 20  # safety bound; fixpoint exit is the normal path
+
+# oracle: reuse dd2's verified pair list as the edge set, then a
+# recursive min-label closure over the undirected graph
+_DD6_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({_DD2_ORACLE.replace(';', '')})
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.label
+  FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(MIN(label) AS BIGINT) AS cluster_id,
+       CAST(MIN(label) = node AS BOOLEAN) AS is_keeper
+FROM reach GROUP BY node ORDER BY doc_id"""
+
+
+@register(
+    "dd6_dedup_clusters",
+    _DD6_ORACLE,
+    doc="Connected components over the MinHash-LSH near-dup graph via "
+        "iterative min-label propagation (driver loop, one doc_id-keyed "
+        "shuffle per pass, fixpoint exit). Output: (doc_id, cluster_id, "
+        "is_keeper) — keeper = smallest doc_id in the cluster, the row a "
+        "dedup pipeline retains.",
+    tags=("llm", "dedup"),
+)
+def dd6(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.queries import load_all
+
+    pairs = load_all()["dd2_minhash_lsh"].builder(spark, sf).select("a_id", "b_id")
+    edges = pairs.unionAll(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
+    edges = edges.persist()
+
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+
+    for _ in range(MAX_PASSES):
+        # each node adopts min(own label, min neighbor label)
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_keeper"),
+    ).orderBy("doc_id")
+    edges.unpersist()
+    return out

@@ -3,12 +3,12 @@
 Importing the submodules populates :data:`goose_spark.queries.base.REGISTRY`.
 """
 
-from goose_spark.queries import base, jobs, relational, relational_ext  # noqa: F401
+from goose_spark.queries import base, jobs, relational, relational_ext, sessions  # noqa: F401
 from goose_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 
 
 def load_all() -> dict:
     """Import every query-providing module (incl. operator extensions)."""
-    from goose_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+    from goose_spark.operators import clusters, dedup, multimodal, similarity, text  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,105 @@
+"""Sessionization and as-of operators over the events table — the
+batch-form twins of the streaming session windows, plus the gap-table
+as-of join (SURVEY §2.5 row 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.queries.base import register, t
+
+GAP_MIN = 30  # session gap, minutes
+
+
+@register(
+    "q30_sessionization_batch",
+    f"""WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER w > INTERVAL '{GAP_MIN}' MINUTE
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, event_id, value,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS total
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""",
+    doc="Batch sessionization (gaps-and-islands): lag-gap flag → running "
+        "sum = session id → per-session aggregate. The batch twin of "
+        "streaming.events.session_windows; one window + one agg shuffle, "
+        "both on user_id.",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap > GAP_MIN * 60), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.select("user_id", "event_id", "ts", "value", new_session.alias("new_session"))
+        .select("user_id", "event_id", "value",
+                F.sum("new_session").over(run).cast("long").alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("decimal(18,2)").alias("total"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q31_asof_last_error",
+    """WITH prior AS (
+         SELECT user_id, event_id, ts, event_type,
+                MAX(CASE WHEN event_type = 'error' THEN ts END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
+         FROM events)
+       SELECT user_id, event_id,
+              CAST(FLOOR((FLOOR(epoch(ts)) - FLOOR(epoch(last_error_ts))) / 60) AS BIGINT)
+                AS min_since_error
+       FROM prior
+       WHERE event_type = 'purchase' AND last_error_ts IS NOT NULL
+       ORDER BY user_id, event_id LIMIT 200""",
+    doc="As-of join expressed as a running MAX over prior rows: for each "
+        "purchase, the most recent preceding error of the same user — the "
+        "single-pass window formulation of point-in-time correctness "
+        "(no range-join explosion; sorts once per user).",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_error = F.max(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    ).over(w)
+    return (
+        e.select("user_id", "event_id", "ts", "event_type", last_error.alias("last_error_ts"))
+        .filter((F.col("event_type") == "purchase") & F.col("last_error_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(
+                (F.col("ts").cast("long") - F.col("last_error_ts").cast("long")) / 60
+            ).cast("long").alias("min_since_error"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
