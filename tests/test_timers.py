@@ -1,0 +1,49 @@
+"""Stateful due-timer: a scheduled job's timer fires at ~run_at on a
+live stream (empty micro-batches evaluate timeouts), emitting the job
+exactly once; an already-executed job's timer is cancelled."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta, timezone
+
+from goose_spark.client import JobClient
+from goose_spark.streaming.ledger import Ledger
+from goose_spark.streaming.timers import due_jobs
+
+
+def utcnow():
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def test_timer_fires_at_run_at(spark, tmp_path):
+    ledger = Ledger(str(tmp_path / "ledger"))
+    client = JobClient(ledger)
+    client.perform_at(utcnow() + timedelta(seconds=4), "noop", 1)
+    done = client.perform_async("noop", 2)  # enqueued — must NOT emit
+
+    emitted = []
+
+    def collect(df, _epoch):
+        emitted.extend(df.collect())
+
+    stream = ledger.log_stream(spark)
+    q = (
+        due_jobs(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        while time.time() < deadline and not emitted:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert len(emitted) == 1, f"expected exactly one due emission, got {emitted}"
+    row = emitted[0]
+    assert row["status"] == "enqueued" and row["priority"] == 1
+    assert row["id"] != done["id"]
