@@ -97,6 +97,22 @@ def jobs_throughput(spark, n_jobs: int = 100_000, failure_rate: float = 0.01) ->
             break
         worker.tick()
     run_s = time.perf_counter() - run_start
+
+    # per-job latency distribution: success-commit time (seq is a ns
+    # clock stamped at outcome) minus enqueued_at — the engine's analog
+    # of goose's 2 ms enqueue→execute latency figure (BASELINE.md);
+    # micro-batch latency is dominated by trigger+batch overhead
+    import duckdb
+
+    lat = duckdb.connect().execute(
+        f"""SELECT ROUND(quantile_cont(l, 0.5), 3),
+                   ROUND(quantile_cont(l, 0.95), 3),
+                   ROUND(quantile_cont(l, 0.99), 3),
+                   ROUND(MAX(l), 3)
+            FROM (SELECT seq / 1e9 - epoch(enqueued_at) AS l
+                  FROM read_parquet('{worker.ledger.log_dir}/*.parquet')
+                  WHERE status = 'success')"""
+    ).fetchone()
     return {
         "jobs": n_jobs,
         "executions": worker.executions,
@@ -104,6 +120,7 @@ def jobs_throughput(spark, n_jobs: int = 100_000, failure_rate: float = 0.01) ->
         "enqueue_jobs_per_sec": round(n_jobs / enq_s, 1),
         "process_sec": round(run_s, 3),
         "jobs_per_sec": round(n_jobs / run_s, 1),
+        "latency_sec": {"p50": lat[0], "p95": lat[1], "p99": lat[2], "max": lat[3]},
         "failure_rate": failure_rate,
     }
 
