@@ -3,7 +3,14 @@
 Importing the submodules populates :data:`goose_spark.queries.base.REGISTRY`.
 """
 
-from goose_spark.queries import base, jobs, relational, relational_ext, sessions  # noqa: F401
+from goose_spark.queries import (  # noqa: F401
+    base,
+    jobs,
+    relational,
+    relational_ext,
+    relational_more,
+    sessions,
+)
 from goose_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 
 

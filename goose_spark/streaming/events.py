@@ -76,6 +76,20 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def effect_once(stream: DataFrame, keys: list[str], ts_col: str,
+                within: str = "1 hour") -> DataFrame:
+    """Effect-once guard: drop duplicate rows by key within a watermark
+    horizon (``dropDuplicatesWithinWatermark``) — the engine's answer to
+    at-least-once replays reaching a side-effecting sink (SURVEY §7.4.3:
+    goose is at-least-once too and tells users to make jobs idempotent;
+    this gives the sink-side dedup for effects that cannot be).
+
+    State is bounded by the watermark horizon — only keys seen within
+    ``within`` are retained, so it scales with throughput × horizon,
+    not history."""
+    return stream.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(keys)
+
+
 def job_queue_depth_stream(log_stream: DataFrame) -> DataFrame:
     """Queue-depth gauge stream over the job ledger — the streaming
     analog of the metrics sweep at src/goose/brokers/redis/metrics.clj:

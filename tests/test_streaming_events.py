@@ -106,6 +106,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert [r for r in seen if r["event_type"] == "late"] == []  # dropped
 
 
+def test_effect_once_drops_replayed_rows(spark, tmp_path):
+    """A replayed (duplicate-key) row within the watermark horizon is
+    delivered exactly once downstream."""
+    import pandas as pd
+
+    path = str(tmp_path / "dup-events")
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"job_id": ["a", "b", "a"],  # 'a' duplicated in-batch
+                      "ts": [base, base, base + pd.Timedelta(seconds=1)]})
+    )
+    df1.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df1.schema).parquet(path)
+    deduped = ev.effect_once(stream, ["job_id"], "ts", within="10 minutes")
+    seen = []
+
+    def collect(batch_df, _):
+        seen.extend(batch_df.collect())
+
+    def run():
+        q = (
+            deduped.writeStream.foreachBatch(collect).outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck-eo"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(r["job_id"] for r in seen) == ["a", "b"]
+    # replay 'a' again in a second file — still suppressed
+    spark.createDataFrame(
+        pd.DataFrame({"job_id": ["a"], "ts": [base + pd.Timedelta(seconds=2)]})
+    ).write.mode("append").parquet(path)
+    seen.clear()
+    run()
+    assert seen == []
+
+
 def test_worker_metrics_sink(spark, tmp_path):
     from goose_spark.client import JobClient
     from goose_spark.streaming.metrics import MetricsSink
