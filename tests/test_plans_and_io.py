@@ -53,6 +53,22 @@ def test_exact_dedup_single_shuffle(spark):
     assert r.has_take_ordered
 
 
+def test_state_view_prunes_on_partition_key(spark, tmp_path):
+    """The ledger state view's row_number window partitions by id, so an
+    id predicate must push below the window to the scan."""
+    from pyspark.sql import functions as F
+
+    from goose_spark.client import JobClient
+    from goose_spark.streaming.ledger import Ledger
+
+    root = str(tmp_path / "ledger")
+    client = JobClient(root)
+    res = client.perform_async("noop")
+    state = Ledger(root).state(spark).filter(F.col("id") == res["id"])
+    r = report(state)
+    assert any("EqualTo(id," in p for p in r.pushed_filters), r.pushed_filters
+
+
 # --- sources / sinks ---------------------------------------------------------
 
 def test_parquet_roundtrip_partitioned(spark, tmp_path):
