@@ -92,6 +92,11 @@ BITS_PER_BAND = N_PLANES // N_SIG_BANDS
 _PLANE_SEED = 7
 _DIM = 64
 
+# IVF (ss3) parameters
+IVF_K = 16          # coarse-quantizer centroids
+IVF_ITERS = 4       # fixed k-means iterations (deterministic)
+IVF_NPROBE = 3      # clusters probed per query
+
 
 def _band_signatures(df: DataFrame, id_col: str) -> DataFrame:
     """(id, band, bkey): sign-random-projection signature split into
@@ -139,6 +144,116 @@ def ss2(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     qe = q_ids.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    ne = v.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+    cos = _dot(F.col("qe"), F.col("ne")) / F.sqrt(
+        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("ne"), F.col("ne"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss3 — IVF ANN (k-means coarse quantizer; rows-only + recall test)
+# ---------------------------------------------------------------------------
+
+def _assign(df: DataFrame, centroids, id_col: str = "vec_id") -> DataFrame:
+    """(id, cluster): nearest-centroid assignment, vectorized per Arrow
+    batch (one matmul against the broadcast centroid matrix)."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            # argmin squared distance == argmax (dot - ||c||²/2)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": scores.argmax(axis=1)})
+
+    return df.mapInPandas(go, schema=f"{id_col} long, cluster int")
+
+
+def _train_ivf(v: DataFrame) -> list:
+    """Deterministic k-means: init = first IVF_K vectors by vec_id, a
+    fixed number of Lloyd iterations. Assignment is distributed
+    (mapInPandas matmul); the centroid update collects only k×dim floats
+    to the driver — the standard scalable k-means shape."""
+    import numpy as np
+
+    init = (
+        v.orderBy("vec_id").limit(IVF_K).select("emb").collect()
+    )
+    centroids = np.asarray([r["emb"] for r in init], dtype=np.float64)
+    for _ in range(IVF_ITERS):
+        assigned = _assign(v, centroids).join(v, "vec_id")
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("emb", i + 1)).alias(f"s{i}") for i in range(_DIM)],
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for r in sums:
+            if r["n"]:
+                new[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(_DIM)]
+        centroids = new
+    return centroids.tolist()
+
+
+@register(
+    "ss3_ann_ivf",
+    None,  # approximate — recall-gated in tests, rows-only for the driver
+    doc="ANN via IVF: deterministic k-means coarse quantizer "
+        f"({IVF_K} centroids, {IVF_ITERS} Lloyd iterations; assignment is a "
+        "distributed matmul, update collects only k×dim floats), then "
+        f"probe the {IVF_NPROBE} nearest clusters per query and score "
+        "exactly within them. At 100 TB the cluster id is the partition "
+        "key — a query touches nprobe/k of the corpus.",
+    tags=("llm", "similarity"),
+)
+def ss3(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    v = t(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    centroids = _train_ivf(v)
+    assigned = _assign(v, centroids)
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    q = v.filter(F.col("vec_id") < N_QUERIES)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            top = np.argsort(-scores, axis=1)[:, :IVF_NPROBE]
+            rows = [
+                (int(vid), int(c))
+                for vid, cl in zip(pdf["vec_id"], top)
+                for c in cl
+            ]
+            yield pd.DataFrame(rows, columns=["query_id", "cluster"])
+
+    q_probes = q.mapInPandas(probe, schema="query_id long, cluster int")
+    cand = (
+        F.broadcast(q_probes)
+        .join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = q.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
     ne = v.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
     cos = _dot(F.col("qe"), F.col("ne")) / F.sqrt(
         _dot(F.col("qe"), F.col("qe")) * _dot(F.col("ne"), F.col("ne"))

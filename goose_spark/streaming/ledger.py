@@ -136,6 +136,37 @@ class Ledger:
 
         return T.StructType(JOB_SCHEMA.fields + [T.StructField("seq", T.LongType(), False)])
 
+    # ---- compaction (retention / VACUUM analog) ----------------------------
+
+    def compact(self, spark: SparkSession, drop_terminal_before=None) -> dict:
+        """Rewrite the log to current-state rows only (one row per job),
+        optionally dropping terminal rows (success/dead/deleted) older
+        than ``drop_terminal_before`` — goose's key-expiry/retention
+        (EXPIRE on batch keys, ZREMRANGEBYSCORE retention) as a
+        compaction job. At 100 TB this is Delta OPTIMIZE + VACUUM per
+        date partition; here: write-new-then-swap on the log directory.
+
+        Safe to run only while no worker holds the ledger (single-writer
+        rule — same constraint goose's purge APIs have)."""
+        import glob
+
+        state = self.state(spark)
+        if drop_terminal_before is not None:
+            keep = ~(
+                F.col("status").isin("success", "dead", "deleted")
+                & (F.coalesce(F.col("died_at"), F.col("enqueued_at")) < F.lit(drop_terminal_before))
+            )
+            state = state.filter(keep)
+        pdf = state.toPandas()
+        table = pa.Table.from_pandas(pdf, schema=ARROW_LOG_SCHEMA, preserve_index=False)
+        before = len(glob.glob(os.path.join(self.log_dir, "*.parquet")))
+        tmp = os.path.join(self.root, f".compact-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        for f in glob.glob(os.path.join(self.log_dir, "*.parquet")):
+            os.remove(f)
+        os.replace(tmp, os.path.join(self.log_dir, f"{next_seq()}-compacted.parquet"))
+        return {"files_before": before, "rows_after": table.num_rows}
+
     # ---- scheduled store (sorted-set analog) ------------------------------
 
     def scheduled_files(self) -> list[str]:

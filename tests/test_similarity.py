@@ -28,6 +28,20 @@ def test_ann_recall_vs_bruteforce(spark):
     assert avg >= 0.4, f"ANN recall too low: {avg:.2f} (per-query {recalls})"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = REGISTRY["ss1_cosine_topk_bruteforce"].builder(spark, SF_CORRECT).collect()
+    approx = REGISTRY["ss3_ann_ivf"].builder(spark, SF_CORRECT).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    # IVF probes 3/16 of the corpus; random 64-dim data is the hard case
+    assert avg >= 0.6, f"IVF recall too low: {avg:.2f} (per-query {recalls})"
+
+
 def test_ann_scores_match_exact_for_shared_neighbors(spark):
     exact = {
         (r["query_id"], r["neighbor_id"]): r["score"]

@@ -228,6 +228,25 @@ def test_replay_dead_and_retention(spark, ledger):
     assert api.dashboard_counts() == {"deleted": 1}
 
 
+def test_ledger_compaction(spark, ledger):
+    client = JobClient(ledger)
+    for i in range(20):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    # 20 enqueue files + outcome file(s) → history rows = 40
+    assert ledger.log(spark).count() == 40
+    stats = ledger.compact(spark)
+    assert stats["rows_after"] == 20
+    assert ledger.log(spark).count() == 20
+    assert counts(spark, ledger) == {"success": 20}
+    # retention: drop terminal rows entirely
+    from datetime import timedelta
+
+    stats2 = ledger.compact(spark, drop_terminal_before=utcnow() + timedelta(days=1))
+    assert stats2["rows_after"] == 0
+
+
 def test_queue_validation():
     with pytest.raises(ValueError):
         JobClient.__new__(JobClient)  # bypass init for static check
