@@ -176,6 +176,29 @@ def qj7(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "qj10_queue_depths",
+    f"""SELECT queue, COUNT(*) AS depth,
+               CAST(SUM(CASE WHEN priority = 1 THEN 1 ELSE 0 END) AS BIGINT) AS front_priority
+        FROM {_JOBS} WHERE status = 'enqueued'
+        GROUP BY queue ORDER BY queue""",
+    doc="Queue-depth gauge sweep (batch form) — mirrors the LLEN-per-queue "
+        "metrics loop at src/goose/brokers/redis/metrics.clj:14-44; the "
+        "streaming twin is streaming.events.job_queue_depth_stream.",
+)
+def qj10(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        fixture(spark, "jobs")
+        .filter(F.col("status") == "enqueued")
+        .groupBy("queue")
+        .agg(
+            F.count("*").alias("depth"),
+            F.sum(F.when(F.col("priority") == 1, 1).otherwise(0)).cast("long").alias("front_priority"),
+        )
+        .orderBy("queue")
+    )
+
+
+@register(
     "qj8_latency_classes",
     f"""SELECT CASE WHEN run_at IS NOT NULL AND error IS NOT NULL THEN 'retry'
                     WHEN run_at IS NOT NULL THEN 'schedule'

@@ -228,6 +228,37 @@ def test_replay_dead_and_retention(spark, ledger):
     assert api.dashboard_counts() == {"deleted": 1}
 
 
+def test_priority_front_executes_first_within_partitions(spark, ledger):
+    """P8 bounded-staleness priority: within a micro-batch, front-priority
+    jobs sort ahead of back-priority per partition — their outcome seq
+    stamps (assigned in execution order per partition) must rank earlier
+    on average."""
+    from goose_spark.schema import PRIORITY_FRONT
+
+    client = JobClient(ledger)
+    for i in range(150):
+        client.perform_async("noop", i)
+    for i in range(50):
+        client.perform_async("noop", 1000 + i, priority=PRIORITY_FRONT)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    rows = (
+        ledger.log(spark)
+        .filter("status = 'success'")
+        .select("priority", "seq")
+        .collect()
+    )
+    front = sorted(r["seq"] for r in rows if r["priority"] == 1)
+    back = sorted(r["seq"] for r in rows if r["priority"] == 0)
+    assert len(front) == 50 and len(back) == 150
+    import statistics
+
+    # rank-normalize: front jobs should occupy the early seq ranks
+    all_seq = sorted(r["seq"] for r in rows)
+    rank = {s: i for i, s in enumerate(all_seq)}
+    assert statistics.mean(rank[s] for s in front) < statistics.mean(rank[s] for s in back)
+
+
 def test_ledger_compaction(spark, ledger):
     client = JobClient(ledger)
     for i in range(20):
