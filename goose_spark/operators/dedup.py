@@ -74,7 +74,12 @@ def _minhash_sig(df: DataFrame) -> DataFrame:
     """(doc_id, h0..h15): per-seed min of md5('<seed>|'||shingle).
     Lexicographic min over salted md5 hex == an independent permutation
     surrogate per seed — portable across engines (no murmur parity
-    issues)."""
+    issues).
+
+    With the shingle arrays materialized by ``with_shingles`` the JVM
+    explode + 16×min-agg runs whole-stage-codegen'd md5 and map-side
+    partial mins — measured equal-or-faster than a Python/hashlib
+    per-doc kernel (1.6s vs 2.2s warm at sf0.1)."""
     ex = with_shingles(df).select("doc_id", F.explode("sh").alias("sh"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")

@@ -259,6 +259,39 @@ def test_priority_front_executes_first_within_partitions(spark, ledger):
     assert statistics.mean(rank[s] for s in front) < statistics.mean(rank[s] for s in back)
 
 
+def test_crash_replay_at_least_once_state_converges(spark, ledger, tmp_path):
+    """Crash-before-commit contract (W10/orphan-recovery analog): roll
+    the checkpoint back to before a processed batch — the batch replays
+    (at-least-once, same as goose), duplicate outcome rows land in the
+    log, and the latest-seq state view still converges to one clean
+    status per job."""
+    import shutil
+
+    client = JobClient(ledger)
+    for i in range(10):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+
+    snapshot = str(tmp_path / "ck-snapshot")
+    shutil.copytree(ledger.checkpoint_dir, snapshot)
+    worker.process_available()
+    assert worker.executions == 10
+
+    # "crash": restore the pre-batch checkpoint (commit lost)
+    shutil.rmtree(ledger.checkpoint_dir)
+    shutil.copytree(snapshot, ledger.checkpoint_dir)
+    worker.process_available()
+
+    # replayed: jobs executed again (at-least-once)…
+    assert worker.executions == 20
+    # …but job state is still exactly one success per job
+    assert counts(spark, ledger) == {"success": 10}
+    state_ids = [r["id"] for r in LedgerAPI(spark, ledger).state().collect()]
+    assert len(state_ids) == len(set(state_ids)) == 10
+    # history keeps the duplicate outcome rows (the audit trail)
+    assert ledger.log(spark).filter("status = 'success'").count() == 20
+
+
 def test_ledger_compaction(spark, ledger):
     client = JobClient(ledger)
     for i in range(20):
