@@ -259,6 +259,26 @@ def test_priority_front_executes_first_within_partitions(spark, ledger):
     assert statistics.mean(rank[s] for s in front) < statistics.mean(rank[s] for s in back)
 
 
+def test_prioritise_execution_moves_scheduled_to_front(spark, ledger):
+    """Q8 prioritise: a future-scheduled job jumps to the ready queue at
+    front priority and executes on the next pass (mirrors the console's
+    LREM+RPUSH / ZREM+RPUSH, commands.clj:145-164)."""
+    client = JobClient(ledger)
+    res = client.perform_at(utcnow() + timedelta(hours=2), "noop")
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    api = LedgerAPI(spark, ledger)
+    assert api.dashboard_counts() == {"scheduled": 1}
+
+    assert api.prioritise_execution([res["id"]]) == 1
+    worker.process_available()
+    job = api.find_by_id(res["id"])
+    assert job["status"] == "success" and job["priority"] == 1
+    # the stale parked copy must not re-trigger anything
+    worker.tick()
+    assert api.dashboard_counts() == {"success": 1}
+
+
 def test_crash_replay_at_least_once_state_converges(spark, ledger, tmp_path):
     """Crash-before-commit contract (W10/orphan-recovery analog): roll
     the checkpoint back to before a processed batch — the batch replays

@@ -37,7 +37,7 @@ def test_timer_fires_at_run_at(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 40
+        deadline = time.time() + 90  # generous: suite runs under load
         while time.time() < deadline and not emitted:
             time.sleep(0.5)
     finally:

@@ -19,7 +19,7 @@ def test_continuous_worker_processes_live_enqueues(spark, tmp_path):
     worker = Worker(spark, root, retry_delay_fn=lambda n: 0)
     handle = worker.start(trigger_sec=0.5)
     try:
-        deadline = time.time() + 30
+        deadline = time.time() + 90  # generous: suite runs under load
         api = LedgerAPI(spark, root)
         # enqueue WHILE the stream is live
         for i in range(1, 5):
