@@ -46,6 +46,7 @@ from goose_spark.schema import (
     PRIORITY_FRONT,
     STATUS_DEAD,
     STATUS_ENQUEUED,
+    STATUS_IN_PROGRESS,
     STATUS_RETRYING,
     STATUS_SCHEDULED,
     STATUS_SUCCESS,
@@ -162,7 +163,8 @@ class Worker:
                  worker_id: str = "worker-1",
                  rand_int: Callable[[int], int] | None = None,
                  retry_delay_fn: Callable[[int], int] | None = None,
-                 metrics=None, middlewares: tuple = ()):
+                 metrics=None, middlewares: tuple = (),
+                 emit_in_progress: bool = False):
         self.spark = spark
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.worker_id = worker_id
@@ -171,6 +173,12 @@ class Worker:
         self.retry_delay_fn = retry_delay_fn
         self.metrics = metrics  # MetricsSink | None — the W4 metrics wrap
         self.middlewares = tuple(middlewares)  # user middlewares (W4)
+        # W1 console parity: stamp in_progress rows before executing, so a
+        # crash leaves visibly in-flight jobs in the state view until the
+        # checkpoint replay finishes them (goose's in-progress queue is
+        # observable the same way). Off by default — it costs one extra
+        # ledger append per micro-batch.
+        self.emit_in_progress = emit_in_progress
         self.executions = 0
 
     # ------------------------------------------------------------------
@@ -279,6 +287,23 @@ class Worker:
         ordered = df.repartition(32).sortWithinPartitions(
             F.col("priority").desc(), F.col("enqueued_at")
         )
+        if self.emit_in_progress:
+            marked = self._to_arrow(ordered)
+            base = next_seq()
+            marked = marked.set_column(
+                marked.schema.get_field_index("status"),
+                "status",
+                pa.array([STATUS_IN_PROGRESS] * marked.num_rows, type=pa.string()),
+            ).set_column(
+                marked.schema.get_field_index("worker_id"),
+                "worker_id",
+                pa.array([self.worker_id] * marked.num_rows, type=pa.string()),
+            ).set_column(
+                marked.schema.get_field_index("seq"),
+                "seq",
+                pa.array([base + i for i in range(marked.num_rows)], type=pa.int64()),
+            )
+            self._append_log_table(marked)
         outcome = ordered.mapInPandas(
             _make_executor(self.retry_delay_fn, self.worker_id, self.middlewares),
             schema=df.schema,

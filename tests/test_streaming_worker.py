@@ -259,6 +259,31 @@ def test_priority_front_executes_first_within_partitions(spark, ledger):
     assert statistics.mean(rank[s] for s in front) < statistics.mean(rank[s] for s in back)
 
 
+def test_in_progress_visibility_and_crash_window(spark, ledger, tmp_path):
+    """emit_in_progress=True: in-flight rows are stamped before
+    execution; after a simulated crash (checkpoint rollback) the state
+    view would show them in_progress, and replay finishes them."""
+    import shutil
+
+    client = JobClient(ledger)
+    for i in range(5):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0, emit_in_progress=True)
+    snapshot = str(tmp_path / "ck-snap")
+    shutil.copytree(ledger.checkpoint_dir, snapshot)
+    worker.process_available()
+    assert counts(spark, ledger) == {"success": 5}
+    # history contains the in_progress stamps with the worker id
+    ip = ledger.log(spark).filter("status = 'in_progress'")
+    assert ip.count() == 5
+    assert {r["worker_id"] for r in ip.collect()} == {"worker-1"}
+    # replay after "crash" re-marks and re-executes; state stays clean
+    shutil.rmtree(ledger.checkpoint_dir)
+    shutil.copytree(snapshot, ledger.checkpoint_dir)
+    worker.process_available()
+    assert counts(spark, ledger) == {"success": 5}
+
+
 def test_prioritise_execution_moves_scheduled_to_front(spark, ledger):
     """Q8 prioritise: a future-scheduled job jumps to the ready queue at
     front priority and executes on the next pass (mirrors the console's
