@@ -30,10 +30,32 @@ def job_fn(name: str):
 
 
 def resolve(name: str) -> Callable:
+    """Resolve an execute_fn name to a callable.
+
+    Two forms — mirroring goose's qualified-symbol require-resolve
+    (``src/goose/utils.clj:72-80``):
+
+    * registry key (``@job_fn``-registered) — works when the defining
+      module is imported on the executor (package code always is);
+    * module-qualified ``"pkg.mod:fn_name"`` — imported on demand, so
+      user job modules resolve on executors exactly like goose worker
+      processes ``require`` the job namespace. Cached after first use.
+    """
     try:
         return FN_REGISTRY[name]
     except KeyError:
-        raise KeyError(f"execute_fn {name!r} not registered (known: {sorted(FN_REGISTRY)})")
+        pass
+    if ":" in name:
+        mod_name, attr = name.split(":", 1)
+        import importlib
+
+        fn = getattr(importlib.import_module(mod_name), attr)
+        FN_REGISTRY[name] = fn
+        return fn
+    raise KeyError(
+        f"execute_fn {name!r} not registered and not module-qualified "
+        f"(known: {sorted(FN_REGISTRY)})"
+    )
 
 
 def execute(execute_fn: str, args_json: str | None):
