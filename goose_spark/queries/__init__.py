@@ -10,6 +10,7 @@ from goose_spark.queries import (  # noqa: F401
     relational_ext,
     relational_more,
     sessions,
+    tpch_more,
     tpch_shapes,
 )
 from goose_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401

@@ -1,0 +1,311 @@
+"""More TPC-H-shaped analytical silhouettes (Q7/Q11/Q12/Q14/Q15/Q16/Q19
+on the testdata's column subset) plus explicit GROUPING SETS and a
+corpus-wide token top-k — widening the relational inventory with the
+canonical decision-support join/agg shapes the reference's console-query
+layer never needed (SURVEY §2.5 gap table).
+
+Hash-stability rules as everywhere: money math in DECIMAL(18,2)
+pre-aggregation, ratios via exact-decimal sums cast to DOUBLE before the
+divide, total ORDER BY, identical aliases on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.queries.base import register, t
+
+_DEC = "decimal(18,2)"
+
+
+def _money(col: str) -> F.Column:
+    return F.col(col).cast(_DEC)
+
+
+def _volume() -> F.Column:
+    """Exact-decimal revenue term used by Q7/Q14/Q15/Q19 shapes."""
+    return _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+
+
+@register(
+    "q40_late_lines_by_priority",
+    """SELECT o_orderpriority,
+              SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '30' DAY
+                       THEN 1 ELSE 0 END) AS late_lines,
+              COUNT(*) AS all_lines
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    doc="TPC-H Q12 silhouette: fact-fact equi-join, conditional count of "
+        "lines shipped >30 days after order date, grouped by priority. "
+        "One shuffle join (both sides large) + map-side partial agg.",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("long")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(late).alias("late_lines"), F.count("*").alias("all_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q41_promo_revenue_share",
+    """SELECT EXTRACT(YEAR FROM l_shipdate) AS y,
+              ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                    2) AS promo_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY EXTRACT(YEAR FROM l_shipdate) ORDER BY y""",
+    doc="TPC-H Q14 silhouette: promo revenue share per ship-year. "
+        "Ratio of two exact-decimal sums (cast to double only for the "
+        "final divide). part side is broadcast-able at any sf.",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    vol = _volume()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("y"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double"), 2
+            ).alias("promo_pct")
+        )
+        .orderBy("y")
+    )
+
+
+@register(
+    "q42_supplier_relation_count",
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM part JOIN lineitem ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#3' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+       GROUP BY p_brand, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50""",
+    doc="TPC-H Q16 silhouette: distinct-suppliers per (brand, size) with "
+        "negated + IN-list dimension predicates pushed to the part scan.",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        t(spark, sf, "part")
+        .filter((F.col("p_brand") != "Brand#3") & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+        .limit(50)
+    )
+
+
+@register(
+    "q43_disjunctive_revenue",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue,
+              COUNT(*) AS n_lines
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 5 AND 25)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
+              AND l_quantity BETWEEN 10 AND 35)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
+              AND l_quantity BETWEEN 15 AND 45)""",
+    doc="TPC-H Q19 silhouette: disjunction of conjunctive brand/size/"
+        "quantity clauses across both join sides. Catalyst cannot push "
+        "the cross-table OR below the join, but per-table residuals "
+        "(brand IN, size range, quantity range) are derivable and the "
+        "part side broadcasts.",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 50) & F.col("l_quantity").between(15, 45))
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(_volume()), 2).cast(_DEC).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_Q44_REV = """SELECT l_suppkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+              FROM lineitem GROUP BY l_suppkey"""
+
+
+@register(
+    "q44_top_supplier",
+    f"""WITH rev AS ({_Q44_REV})
+       SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DECIMAL(18,2)) AS total_rev
+       FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+       ORDER BY s_suppkey""",
+    doc="TPC-H Q15 silhouette: revenue per supplier, keep the max via an "
+        "uncorrelated scalar subquery. The aggregate is computed once and "
+        "reused for both the scalar and the join side (ReuseExchange); "
+        "the 1-row max broadcasts.",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    rev = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_volume()).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).cast(_DEC).alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q45_VAL = """SELECT l_partkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS part_value
+              FROM lineitem GROUP BY l_partkey"""
+
+
+@register(
+    "q45_important_parts",
+    f"""WITH val AS ({_Q45_VAL})
+       SELECT l_partkey, CAST(ROUND(part_value, 2) AS DECIMAL(18,2)) AS part_value
+       FROM val
+       WHERE part_value > (SELECT SUM(part_value) * 0.0005 FROM val)
+       ORDER BY part_value DESC, l_partkey LIMIT 100""",
+    doc="TPC-H Q11 silhouette: per-part inventory value filtered against "
+        "a fraction of the global total (uncorrelated scalar subquery "
+        "over the same aggregate — one shuffle, reused twice).",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    val = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_money("l_extendedprice") * _money("l_quantity")).alias("part_value"))
+    )
+    thr = val.agg((F.sum("part_value") * F.lit(0.0005)).alias("thr"))
+    return (
+        val.join(F.broadcast(thr), val.part_value > thr.thr)
+        .select("l_partkey", F.round("part_value", 2).cast(_DEC).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q46_nation_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(ROUND(SUM(volume), 2) AS DECIMAL(18,2)) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                    CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+             FROM supplier s
+             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+    doc="TPC-H Q7 silhouette: bidirectional nation-pair trade volume by "
+        "ship-year. 5-way join; both nation sides broadcast, and the "
+        "nation filters prune supplier/customer before the fact joins.",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        s.join(n1, s.s_nationkey == F.col("sk"))
+        .join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, c.c_nationkey == F.col("ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_volume()), 2).cast(_DEC).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q47_grouping_sets",
+    """SELECT o_orderpriority, o_orderstatus,
+              GROUPING(o_orderpriority) AS gp, GROUPING(o_orderstatus) AS gs,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                               (o_orderpriority, o_orderstatus), ())
+       ORDER BY gp, gs, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    doc="Explicit GROUPING SETS (beyond q13 ROLLUP / q32 CUBE) with "
+        "GROUPING() flags disambiguating real NULLs from subtotal rows. "
+        "Spark expands to one pass with a grouping-id expand node.",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    t(spark, sf, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+                  GROUPING(o_orderpriority) AS gp, GROUPING(o_orderstatus) AS gs,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           FROM gs_orders
+           GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                   (o_orderpriority, o_orderstatus), ())
+           ORDER BY gp, gs, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+    )
+
+
+@register(
+    "q48_token_topk",
+    """SELECT tok, COUNT(*) AS n
+       FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+             FROM documents) toks
+       WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 25""",
+    doc="Corpus vocabulary top-25: tokenize (JVM-side split, no Python), "
+        "explode, hash-agg with map-side partial counts, top-k. The "
+        "classic word-count shuffle shape; at 100 TB the partial agg "
+        "collapses the explosion before the exchange.",
+    tags=("llm", "text"),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("text")
+    toks = d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"))
+    return (
+        toks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(25)
+    )
