@@ -28,6 +28,52 @@ from goose_spark.queries.base import register, t
 
 MAX_PASSES = 20  # safety bound; fixpoint exit is the normal path
 
+#: Below this edge count the component computation runs as ONE executor
+#: task (union-find over the whole edge list via mapInPandas) instead of
+#: the iterative join loop — the LSH candidate graph is orders of
+#: magnitude smaller than the corpus, so even at 100 TB of documents the
+#: pair list usually fits a single task; the iterative path remains the
+#: fallback when it doesn't. This is standard practice (GraphFrames'
+#: connectedComponents has the same small-graph shortcut).
+FAST_PATH_MAX_EDGES = 2_000_000
+
+
+def _union_find_components(batches):
+    """mapInPandas kernel: min-root union-find over all edge batches of
+    a single partition. Roots are always the smallest doc_id in the
+    component, so cluster_id == min(member ids) — identical semantics to
+    the min-label fixpoint and the recursive-CTE oracle."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for a, b in zip(pdf["a_id"].to_numpy(), pdf["b_id"].to_numpy()):
+            a, b = int(a), int(b)
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    nodes = sorted(parent)
+    yield pd.DataFrame(
+        {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]},
+        dtype="int64",
+    )
+
 # oracle: reuse dd2's verified pair list as the edge set, then a
 # recursive min-label closure over the undirected graph
 _DD6_ORACLE = f"""
@@ -64,6 +110,17 @@ def dd6(spark: SparkSession, sf: str) -> DataFrame:
     from goose_spark.queries import load_all
 
     pairs = load_all()["dd2_minhash_lsh"].builder(spark, sf).select("a_id", "b_id")
+    pairs = pairs.persist()
+    if pairs.count() <= FAST_PATH_MAX_EDGES:
+        labels = pairs.coalesce(1).mapInPandas(
+            _union_find_components, schema="doc_id long, cluster_id long"
+        )
+        out = labels.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
+        ).orderBy("doc_id")
+        return out
     edges = pairs.unionAll(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
