@@ -192,21 +192,37 @@ def _train_ivf(v: DataFrame) -> list:
         v.orderBy("vec_id").limit(IVF_K).select("emb").collect()
     )
     centroids = np.asarray([r["emb"] for r in init], dtype=np.float64)
+    emb_only = v.select("emb")
     for _ in range(IVF_ITERS):
-        assigned = _assign(v, centroids).join(v, "vec_id")
-        sums = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.element_at("emb", i + 1)).alias(f"s{i}") for i in range(_DIM)],
+        cmat = centroids  # captured by the kernel closure below
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # fused assign + partial-centroid-sum: one matmul per Arrow
+            # batch, NO shuffle join back to the embeddings — each task
+            # emits only k rows of (count, dim-sum) partials
+            sums = np.zeros((IVF_K, _DIM), dtype=np.float64)
+            counts = np.zeros(IVF_K, dtype=np.int64)
+            for pdf in batches:
+                mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+                scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+                cl = scores.argmax(axis=1)
+                np.add.at(sums, cl, mat)
+                counts += np.bincount(cl, minlength=IVF_K)
+            yield pd.DataFrame(
+                {"cluster": np.arange(IVF_K), "n": counts, "s": list(sums)}
             )
-            .collect()
-        )
-        new = centroids.copy()
-        for r in sums:
-            if r["n"]:
-                new[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(_DIM)]
-        centroids = new
+
+        rows = emb_only.mapInPandas(
+            partials, schema="cluster int, n long, s array<double>"
+        ).collect()  # ≤ partitions × k tiny rows — the only driver traffic
+        tot = np.zeros((IVF_K, _DIM), dtype=np.float64)
+        cnt = np.zeros(IVF_K, dtype=np.int64)
+        for r in rows:
+            tot[r["cluster"]] += np.asarray(r["s"])
+            cnt[r["cluster"]] += r["n"]
+        nz = cnt > 0
+        centroids = centroids.copy()
+        centroids[nz] = tot[nz] / cnt[nz, None]
     return centroids.tolist()
 
 
