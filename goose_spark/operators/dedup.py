@@ -70,7 +70,7 @@ def dd1(spark: SparkSession, sf: str) -> DataFrame:
 # dd2 — MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_sig(df: DataFrame) -> DataFrame:
+def _minhash_sig(df: DataFrame, shingled: DataFrame = None) -> DataFrame:
     """(doc_id, h0..h15): per-seed min of md5('<seed>|'||shingle).
     Lexicographic min over salted md5 hex == an independent permutation
     surrogate per seed — portable across engines (no murmur parity
@@ -80,7 +80,8 @@ def _minhash_sig(df: DataFrame) -> DataFrame:
     explode + 16×min-agg runs whole-stage-codegen'd md5 and map-side
     partial mins — measured equal-or-faster than a Python/hashlib
     per-doc kernel (1.6s vs 2.2s warm at sf0.1)."""
-    ex = with_shingles(df).select("doc_id", F.explode("sh").alias("sh"))
+    src = shingled if shingled is not None else with_shingles(df)
+    ex = src.select("doc_id", F.explode("sh").alias("sh"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
         for k in range(N_HASHES)
@@ -153,8 +154,17 @@ ORDER BY a_id, b_id"""
     tags=("llm", "dedup"),
 )
 def dd2(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = t(spark, sf, "documents")
-    sig = _minhash_sig(d)
+    # the shingle kernel is the pipeline's single most expensive stage
+    # and is needed twice (signature + exact-Jaccard verify) — persist
+    # it once. At 100 TB scale the same move is a parquet checkpoint of
+    # the shingle sets instead of an in-memory cache.
+    shingled = with_shingles(d).select("doc_id", "sh").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = _minhash_sig(d, shingled=shingled)
     bands = _band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -163,7 +173,7 @@ def dd2(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sh = with_shingles(d, out="s").select("doc_id", "s")
+    sh = shingled.select("doc_id", F.col("sh").alias("s"))
     x = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
     y = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
