@@ -1,0 +1,215 @@
+"""Training-data pipeline operators beyond dedup/similarity/text-stats:
+deterministic splits, stratified sampling, token-budget chunking, a
+cluster-aware keep rule, and an event funnel. All are first-class
+`queries()` entries with DuckDB oracles.
+
+Determinism across engines comes from md5-hex bucketing (the portable
+hash): `substr(md5(key), 1, 2)` is 256 uniform buckets whose lexicographic
+comparison is identical in Spark and DuckDB — no engine RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.operators.textlib import token_count_ws
+from goose_spark.queries.base import register, t
+
+#: 256-bucket md5 prefix thresholds: train < 0xcd (80.1%), val < 0xe6
+#: (~9.8%), test otherwise (~10.2%).
+_TRAIN_LT = "cd"
+_VAL_LT = "e6"
+#: ~5.1% sample: md5 prefix < 0x0d → 13/256 buckets.
+_SAMPLE_LT = "0d"
+
+_CTX_TOKENS = 2048  # sequence-packing context budget
+
+
+def _bucket2(col) -> F.Column:
+    """First two md5 hex chars of the stringified key — a deterministic,
+    engine-portable 256-way bucket."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, 2)
+
+
+@register(
+    "sp1_hash_split",
+    f"""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_LT}'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_LT}'
+                    THEN 'val' ELSE 'test' END AS split,
+              COUNT(*) AS n_docs,
+              SUM(n_chars) AS total_chars,
+              ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+       FROM documents GROUP BY 1 ORDER BY split""",
+    doc="Deterministic train/val/test split (~80/10/10) by md5-prefix "
+        "bucket of the doc id — reproducible across engines, runs, and "
+        "cluster sizes; a narrow projection + hash-agg, no shuffle of "
+        "document bodies.",
+    tags=("llm", "pipeline"),
+)
+def sp1(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    b = _bucket2(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN_LT, "train").when(b < _VAL_LT, "val").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "sp2_stratified_sample",
+    f"""SELECT lang, source, COUNT(*) AS total,
+              SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SAMPLE_LT}'
+                       THEN 1 ELSE 0 END) AS sampled,
+              ROUND(CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SAMPLE_LT}'
+                                  THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
+       FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    doc="Stratified ~5% sample audit per (lang, source): the same "
+        "md5-bucket predicate every executor applies locally — sampling "
+        "at 100 TB is a pushed-down filter, never a collect or RNG.",
+    tags=("llm", "pipeline"),
+)
+def sp2(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    keep = (_bucket2(F.col("doc_id")) < _SAMPLE_LT).cast("long")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(keep).alias("sampled"),
+            F.round(F.sum(keep).cast("double") / F.count("*"), 4).alias("rate"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "sp3_token_chunking",
+    f"""WITH toks AS (
+         SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+         FROM toks)
+       SELECT CAST(FLOOR(CAST(cum_before AS DOUBLE) / {_CTX_TOKENS}) AS BIGINT) AS chunk,
+              COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+       FROM c GROUP BY 1 ORDER BY chunk LIMIT 200""",
+    doc=f"Concat-and-chunk sequence packing: prefix-sum of token counts "
+        f"in doc_id order assigns each document to a {_CTX_TOKENS}-token "
+        f"context chunk. Single ordered window here; the 100 TB path is "
+        f"the standard two-pass variant (per-partition token subtotals "
+        f"to the driver, then per-partition offset + local prefix sum).",
+    tags=("llm", "pipeline"),
+)
+def sp3(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = toks.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    chunk = F.floor(F.col("cum_before").cast("double") / _CTX_TOKENS).cast("long")
+    return (
+        c.groupBy(chunk.alias("chunk"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("chunk_tokens"))
+        .orderBy("chunk")
+        .limit(200)
+    )
+
+
+def _dd7_oracle() -> str:
+    from goose_spark.operators.clusters import _DD6_ORACLE
+
+    return f"""
+WITH comp AS (SELECT * FROM ({_DD6_ORACLE}) x),
+j AS (SELECT comp.cluster_id, comp.doc_id, d.n_chars
+      FROM comp JOIN documents d ON d.doc_id = comp.doc_id),
+r AS (SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j)
+SELECT cluster_id, doc_id AS keep_doc_id, n_members, n_chars AS kept_chars
+FROM r WHERE rn = 1 ORDER BY cluster_id"""
+
+
+@register(
+    "dd7_cluster_keep_best",
+    _dd7_oracle(),
+    doc="Cluster-aware keep rule: within each near-dup component (dd6) "
+        "retain the longest document (ties to smallest id) — the actual "
+        "drop decision a dedup pipeline ships, vs dd6's min-id keeper. "
+        "Join is cluster-members × documents on doc_id, then one "
+        "per-cluster window.",
+    tags=("llm", "dedup"),
+)
+def dd7(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.queries import load_all
+
+    comp = load_all()["dd6_dedup_clusters"].builder(spark, sf).select("doc_id", "cluster_id")
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    j = comp.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+            F.col("n_chars").alias("kept_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "ev1_funnel",
+    """WITH u AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+         FROM events GROUP BY user_id)
+       SELECT COUNT(*) AS n_users,
+              SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+              SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       THEN 1 ELSE 0 END) AS clicked_after_view,
+              SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click
+                       THEN 1 ELSE 0 END) AS full_funnel
+       FROM u""",
+    doc="Ordered conversion funnel view→click→purchase: one hash-agg to "
+        "first-touch timestamps per user, then conditional counts. A "
+        "single shuffle on user_id at any scale.",
+)
+def ev1(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    first = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts")))  # noqa: E731
+    u = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    full = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("viewed"),
+        F.sum(clicked.cast("long")).alias("clicked_after_view"),
+        F.sum(full.cast("long")).alias("full_funnel"),
+    )

@@ -18,6 +18,13 @@ from goose_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 
 def load_all() -> dict:
     """Import every query-providing module (incl. operator extensions)."""
-    from goose_spark.operators import clusters, dedup, multimodal, similarity, text  # noqa: F401
+    from goose_spark.operators import (  # noqa: F401
+        clusters,
+        dedup,
+        multimodal,
+        pipeline,
+        similarity,
+        text,
+    )
 
     return REGISTRY
