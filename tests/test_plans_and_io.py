@@ -69,6 +69,46 @@ def test_state_view_prunes_on_partition_key(spark, tmp_path):
     assert any("EqualTo(id," in p for p in r.pushed_filters), r.pushed_filters
 
 
+def test_promo_share_broadcasts_part(spark):
+    r = report(REGISTRY["q41_promo_revenue_share"].builder(spark, SF_CORRECT))
+    assert r.broadcast_joins >= 1
+    assert r.sort_merge_joins == 0
+
+
+def test_disjunctive_revenue_single_stage(spark):
+    # broadcast join + global agg — no hash/range shuffle anywhere
+    r = report(REGISTRY["q43_disjunctive_revenue"].builder(spark, SF_CORRECT))
+    assert r.broadcast_joins >= 1
+    assert r.shuffles == 0
+
+
+def test_nation_volume_broadcasts_dims(spark):
+    # both nation sides (and at this sf every join) must broadcast
+    r = report(REGISTRY["q46_nation_volume_shipping"].builder(spark, SF_CORRECT))
+    assert r.broadcast_joins >= 2
+
+
+def test_token_topk_partial_agg_single_shuffle(spark):
+    # explode → partial count → ONE exchange → final count → TakeOrdered
+    r = report(REGISTRY["q48_token_topk"].builder(spark, SF_CORRECT))
+    assert r.shuffles <= 1
+    assert r.has_take_ordered
+
+
+def test_hash_split_never_reads_text(spark):
+    # the md5-bucket split keys on doc_id only — document bodies must be
+    # pruned at the scan or the 100 TB pass reads 100 TB for nothing
+    r = report(REGISTRY["sp1_hash_split"].builder(spark, SF_CORRECT))
+    assert r.scanned_columns("documents") == ["doc_id", "n_chars"]
+
+
+def test_token_chunking_no_shuffle(spark):
+    # single ordered window + TakeOrdered; no hash/range exchange
+    r = report(REGISTRY["sp3_token_chunking"].builder(spark, SF_CORRECT))
+    assert r.shuffles == 0
+    assert r.has_take_ordered
+
+
 # --- sources / sinks ---------------------------------------------------------
 
 def test_parquet_roundtrip_partitioned(spark, tmp_path):
