@@ -78,3 +78,108 @@ def mm1(spark: SparkSession, sf: str) -> DataFrame:
         extract, schema="doc_id long, n_bytes long, width long, height long, frames long"
     )
     return out.orderBy("doc_id").limit(200)
+
+
+_THUMB_BYTES = 4096  # resize target: byte budget of the "thumbnail"
+
+
+_MM2_ORACLE = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+       CAST(LEAST(octet_length(encode(text)), {_THUMB_BYTES}) AS BIGINT) AS thumb_bytes,
+       ROUND(CAST(LEAST(octet_length(encode(text)), {_THUMB_BYTES}) AS DOUBLE)
+             / octet_length(encode(text)), 4) AS scale
+FROM documents ORDER BY doc_id LIMIT 200"""
+
+
+@register(
+    "mm2_resize_plumbing",
+    _MM2_ORACLE,
+    doc="Resize plumbing: payload → transformed payload (here a "
+        "deterministic byte-truncation 'thumbnail'; a real resampler "
+        "slots into the same kernel). The output column is REAL binary "
+        "data — the oracle checks the measured sizes, exercising the "
+        "binary-in/binary-out Arrow round-trip a decoder pipeline needs.",
+    tags=("llm", "multimodal"),
+)
+def mm2(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(lambda b: bytes(b)[:_THUMB_BYTES])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],
+                    "thumb": thumbs,
+                }
+            )
+
+    out = d.mapInPandas(resize, schema="doc_id long, payload binary, thumb binary")
+    ob = F.length("payload").cast("long")
+    tb = F.length("thumb").cast("long")
+    return (
+        out.select(
+            "doc_id",
+            ob.alias("orig_bytes"),
+            tb.alias("thumb_bytes"),
+            F.round(tb.cast("double") / ob, 4).alias("scale"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_FRAME_STEP = 4  # sample every 4th frame
+
+
+_MM3_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         octet_length(encode(text)) % 16 + 1 AS frames
+  FROM documents),
+s AS (
+  SELECT doc_id, n_bytes, frames,
+         unnest(generate_series(0, frames - 1, {_FRAME_STEP})) AS frame_idx
+  FROM v)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * (n_bytes // frames) AS BIGINT) AS byte_offset
+FROM s ORDER BY doc_id, frame_idx LIMIT 300"""
+
+
+@register(
+    "mm3_frame_sample",
+    _MM3_ORACLE,
+    doc="Frame sampling plumbing: each payload ('video' of n_bytes%16+1 "
+        "frames) fans out to one row per every-4th frame with its byte "
+        "offset — the 1→N mapInPandas shape a video pipeline uses to "
+        "emit per-frame rows for downstream feature extraction.",
+    tags=("llm", "multimodal"),
+)
+def mm3(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(b)
+                frames = n % 16 + 1
+                fsize = n // frames
+                for i in range(0, frames, _FRAME_STEP):
+                    ids.append(did)
+                    idxs.append(i)
+                    offs.append(i * fsize)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "byte_offset": offs},
+                dtype="int64",
+            )
+
+    out = d.mapInPandas(sample, schema="doc_id long, frame_idx long, byte_offset long")
+    return out.orderBy("doc_id", "frame_idx").limit(300)
