@@ -107,10 +107,9 @@ FROM reach GROUP BY node ORDER BY doc_id"""
     tags=("llm", "dedup"),
 )
 def dd6(spark: SparkSession, sf: str) -> DataFrame:
-    from goose_spark.queries import load_all
+    from goose_spark.operators.dedup import lsh_pairs
 
-    pairs = load_all()["dd2_minhash_lsh"].builder(spark, sf).select("a_id", "b_id")
-    pairs = pairs.persist()
+    pairs = lsh_pairs(spark, sf).select("a_id", "b_id")
     if pairs.count() <= FAST_PATH_MAX_EDGES:
         labels = pairs.coalesce(1).mapInPandas(
             _union_find_components, schema="doc_id long, cluster_id long"
