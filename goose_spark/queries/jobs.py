@@ -224,3 +224,83 @@ def qj8(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("latency_class")
     )
+
+
+_JOB_EVENTS = fixture_rel("job_events")
+
+
+@register(
+    "qj11_recovery_audit",
+    f"""SELECT SUM(CASE WHEN fails > 0 AND completes > 0 THEN 1 ELSE 0 END) AS recovered,
+               SUM(CASE WHEN fails > 0 AND completes = 0 THEN 1 ELSE 0 END) AS still_failed,
+               SUM(CASE WHEN fails = 0 AND completes > 0 THEN 1 ELSE 0 END) AS clean,
+               CAST(MAX(completes) AS BIGINT) AS max_executions
+        FROM (SELECT job_id,
+                     SUM(CASE WHEN kind = 'fail' THEN 1 ELSE 0 END) AS fails,
+                     SUM(CASE WHEN kind = 'complete' THEN 1 ELSE 0 END) AS completes
+              FROM {_JOB_EVENTS} GROUP BY job_id) t""",
+    doc="At-least-once recovery audit over the event log — the batch "
+        "twin of goose's jobs.recovered metric (orphan replay at "
+        "src/goose/brokers/redis/orphan_checker.clj:9-40 and RMQ "
+        "redelivery? at src/goose/brokers/rmq/consumer.clj:11-20): jobs "
+        "that failed then completed vs failed-for-good vs clean.",
+)
+def qj11(spark: SparkSession, sf: str) -> DataFrame:
+    ev = fixture(spark, "job_events")
+    per_job = ev.groupBy("job_id").agg(
+        F.sum((F.col("kind") == "fail").cast("int")).alias("fails"),
+        F.sum((F.col("kind") == "complete").cast("int")).alias("completes"),
+    )
+    return per_job.agg(
+        F.sum(((F.col("fails") > 0) & (F.col("completes") > 0)).cast("long")).alias("recovered"),
+        F.sum(((F.col("fails") > 0) & (F.col("completes") == 0)).cast("long")).alias("still_failed"),
+        F.sum(((F.col("fails") == 0) & (F.col("completes") > 0)).cast("long")).alias("clean"),
+        F.max("completes").cast("long").alias("max_executions"),
+    )
+
+
+@register(
+    "qj12_enqueue_complete_latency",
+    f"""WITH e AS (SELECT job_id, queue, MIN(event_time) AS t_enq
+                   FROM {_JOB_EVENTS} WHERE kind = 'enqueue' GROUP BY job_id, queue),
+         c AS (SELECT job_id, MIN(event_time) AS t_done
+               FROM {_JOB_EVENTS} WHERE kind = 'complete' GROUP BY job_id)
+       SELECT e.queue, COUNT(*) AS n_done,
+              ROUND(CAST(SUM(epoch_ms(c.t_done) - epoch_ms(e.t_enq)) AS DOUBLE)
+                    / COUNT(*), 2) AS avg_ms,
+              CAST(MAX(epoch_ms(c.t_done) - epoch_ms(e.t_enq)) AS BIGINT) AS max_ms
+       FROM e JOIN c ON e.job_id = c.job_id
+       GROUP BY e.queue ORDER BY e.queue""",
+    doc="Enqueue→complete latency per queue from the event log — the "
+        "batch analog of goose's 2 ms enqueue→execute latency figure "
+        "(perf/README.md:21) and the latency middleware at "
+        "src/goose/job.clj:45-61. Exact integer millisecond math on "
+        "both engines.",
+)
+def qj12(spark: SparkSession, sf: str) -> DataFrame:
+    ev = fixture(spark, "job_events")
+    e = (
+        ev.filter(F.col("kind") == "enqueue")
+        .groupBy("job_id", "queue")
+        .agg(F.min("event_time").alias("t_enq"))
+    )
+    c = (
+        ev.filter(F.col("kind") == "complete")
+        .groupBy("job_id")
+        .agg(F.min("event_time").alias("t_done"))
+    )
+    # fixture timestamps surface as TIMESTAMP_NTZ; cast for unix_millis —
+    # the subtraction cancels the session-tz interpretation
+    ms = F.unix_millis(F.col("t_done").cast("timestamp")) - F.unix_millis(
+        F.col("t_enq").cast("timestamp")
+    )
+    return (
+        e.join(c, "job_id")
+        .groupBy("queue")
+        .agg(
+            F.count("*").alias("n_done"),
+            F.round(F.sum(ms).cast("double") / F.count("*"), 2).alias("avg_ms"),
+            F.max(ms).cast("long").alias("max_ms"),
+        )
+        .orderBy("queue")
+    )
