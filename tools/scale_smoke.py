@@ -1,0 +1,92 @@
+"""Scale smoke: run representative operators at sf0.1 and at Nx that
+corpus (text perturbed per copy so near-dup structure doesn't explode
+quadratically), and report the wall-clock ratio. Linear-ish ratios —
+well under Nx at this size, since fixed overhead dominates the 1x run —
+are the evidence that the pipeline stages are data-parallel, not
+driver-bound.
+
+Usage: python3 tools/scale_smoke.py [N_COPIES]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.1"
+OPS = [
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh",
+    "dd6_dedup_clusters",
+    "sp1_hash_split",
+    "sp3_token_chunking",
+    "q48_token_topk",
+    "tx1_token_counts",
+    "ss3_ann_ivf",
+]
+
+
+def build_scaled(spark, n_copies: int) -> str:
+    """N copies of documents/embeddings with distinct ids; text gets a
+    per-copy suffix token so shingle sets differ slightly per copy."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="goose-scale-")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    copies = [
+        docs.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copytoken{i}")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + len(f" copytoken{i}")).alias("n_chars"),
+        )
+        for i in range(n_copies)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionAll(c)
+    big.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ecopies = [
+        emb.select((F.col("vec_id") + i * 10_000_000).alias("vec_id"), "embedding", "label")
+        for i in range(n_copies)
+    ]
+    ebig = ecopies[0]
+    for c in ecopies[1:]:
+        ebig = ebig.unionAll(c)
+    ebig.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    from goose_spark.queries import load_all
+    from goose_spark.session import get_spark
+
+    spark = get_spark("gosling-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    scaled = build_scaled(spark, n_copies)
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
+
+    print(f"| operator | 1x sec | {n_copies}x sec | ratio |")
+    print("|---|---|---|---|")
+    for name in OPS:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        spec.builder(spark, SF).count()
+        base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        spec.builder(spark, scaled).count()
+        big = time.perf_counter() - t0
+        print(f"| {name} | {base:.2f} | {big:.2f} | {big / base:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
