@@ -309,3 +309,93 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "tok")
         .limit(25)
     )
+
+
+@register(
+    "q49_ntile_percent_rank",
+    """SELECT c_custkey, ROUND(c_acctbal, 2) AS bal,
+              NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+              ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
+       FROM customer ORDER BY c_custkey LIMIT 200""",
+    doc="Distribution windows: NTILE quartiles + PERCENT_RANK over a "
+        "total order (tiebreak on key for determinism). One range "
+        "exchange; rank math is identical integer/double arithmetic on "
+        "both engines.",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q50_moment_stats",
+    """WITH m AS (
+         SELECT l_returnflag,
+                COUNT(*) AS n,
+                SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                    6) AS corr_qty_price,
+              ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))),
+                    6) AS stddev_qty
+       FROM m ORDER BY l_returnflag""",
+    doc="Pearson correlation + sample stddev from exact-decimal moment "
+        "sums (n, Σx, Σy, Σx², Σy², Σxy) — native corr()/stddev() "
+        "aggregate floats in engine-dependent order and diverge in the "
+        "last ulps across engines, while decimal moments are exact and "
+        "the final double math is identical. One map-side-combinable "
+        "shuffle at any scale.",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast(_DEC)
+    y = F.col("l_extendedprice").cast(_DEC)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    stddev = F.sqrt((nd * sxx - sx * sx) / (nd * (nd - 1)))
+    return m.select(
+        "l_returnflag",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(stddev, 6).alias("stddev_qty"),
+    ).orderBy("l_returnflag")
