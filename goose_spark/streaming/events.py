@@ -99,3 +99,44 @@ def job_queue_depth_stream(log_stream: DataFrame) -> DataFrame:
         .groupBy("queue")
         .agg(F.count("*").alias("enqueued_total"))
     )
+
+
+def enqueue_complete_latency_stream(
+    events: DataFrame,
+    delay: str = "1 hour",
+    horizon_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream join: enqueue events ⋈ complete events per job_id
+    within a bounded horizon, emitting per-job latency_ms — the
+    streaming twin of qj12 (goose's enqueue→execute latency metric,
+    src/goose/job.clj:45-61).
+
+    Both sides carry a watermark and the join condition bounds the
+    match window (t_enq ≤ t_done ≤ t_enq + horizon), so Spark can
+    discard state for jobs older than watermark + horizon — state is
+    O(in-flight jobs in the horizon), not history. This is the canonical
+    watermarked interval-join shape for request/response correlation.
+    """
+    # watermarks require TIMESTAMP (not NTZ) event-time columns
+    enq = (
+        events.filter(F.col("kind") == "enqueue")
+        .select("job_id", "queue", F.col("event_time").cast("timestamp").alias("t_enq"))
+        .withWatermark("t_enq", delay)
+    )
+    done = (
+        events.filter(F.col("kind") == "complete")
+        .select(
+            F.col("job_id").alias("done_job_id"),
+            F.col("event_time").cast("timestamp").alias("t_done"),
+        )
+        .withWatermark("t_done", delay)
+    )
+    cond = (
+        (F.col("job_id") == F.col("done_job_id"))
+        & (F.col("t_done") >= F.col("t_enq"))
+        & (F.col("t_done") <= F.col("t_enq") + F.expr(f"INTERVAL {horizon_sec} SECOND"))
+    )
+    ms = F.unix_millis(F.col("t_done").cast("timestamp")) - F.unix_millis(
+        F.col("t_enq").cast("timestamp")
+    )
+    return enq.join(done, cond).select("queue", "job_id", ms.alias("latency_ms"))
