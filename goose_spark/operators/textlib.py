@@ -65,8 +65,10 @@ def with_shingles(df, text_col: str = "text", out: str = "sh", barrier: bool = T
     that references the column. The Python batch builds the same arrays
     in ~0.3s and gives downstream operators a materialized column.
 
-    ``barrier=True`` round-robins batches first so shingling and the
-    downstream pairwise/explode work are load-balanced.
+    ``barrier=True`` round-robins batches to one partition per core so
+    shingling and the downstream pairwise/explode work are
+    load-balanced; measured at sf0.1, over-splitting (e.g. 2× cores)
+    costs ~2× in task scheduling + Python worker round-trips.
     """
     from pyspark.sql import types as T
 
@@ -88,7 +90,10 @@ def with_shingles(df, text_col: str = "text", out: str = "sh", barrier: bool = T
             pdf[out] = pdf[text_col].map(sh)
             yield pdf
 
-    base = df.repartition(64) if barrier else df
+    if barrier:
+        base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else:
+        base = df
     return base.mapInPandas(gen, schema)
 
 
