@@ -136,6 +136,21 @@ class Ledger:
 
         return T.StructType(JOB_SCHEMA.fields + [T.StructField("seq", T.LongType(), False)])
 
+    def snapshot(self, spark: SparkSession, dest: str) -> DataFrame:
+        """Materialize the current state view to ``dest``, partitioned by
+        status — the console/API read path at scale. Status is the most
+        selective console predicate (dead-jobs page, enqueued-per-queue
+        page, scheduler due-scan), so partitioning by it turns those
+        queries into partition-pruned scans that never touch the
+        success-row bulk. Returns a reader over the snapshot; assert
+        pruning via plans.inspect (PartitionFilters on status).
+
+        At 100 TB this is the nightly materialization of the Delta MERGE
+        target; `status` stays low-cardinality (6 values) so the
+        partition count is bounded regardless of job volume."""
+        self.state(spark).write.mode("overwrite").partitionBy("status").parquet(dest)
+        return spark.read.parquet(dest)
+
     # ---- compaction (retention / VACUUM analog) ----------------------------
 
     def compact(self, spark: SparkSession, drop_terminal_before=None) -> dict:
