@@ -76,3 +76,19 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     s = sorted(tuple(r) for r in salted.select("k", "v", "w").collect())
     p = sorted(tuple(r) for r in plain.select("k", "v", "w").collect())
     assert s == p
+
+
+def test_dd6_iterative_path_matches_fast_path(spark, monkeypatch):
+    """The at-scale min-label propagation loop must produce exactly the
+    clusters the single-task union-find fast path does (sf0.01 corpus);
+    the fast path is what tests normally exercise, so force the loop."""
+    import goose_spark.operators.clusters as clusters
+    from goose_spark.queries import load_all
+
+    from tests.conftest import SF_CORRECT
+
+    fast = load_all()["dd6_dedup_clusters"].builder(spark, SF_CORRECT).collect()
+    monkeypatch.setattr(clusters, "FAST_PATH_MAX_EDGES", -1)
+    slow = load_all()["dd6_dedup_clusters"].builder(spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) > 0
