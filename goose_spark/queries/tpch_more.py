@@ -399,3 +399,26 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
         F.round(corr, 6).alias("corr_qty_price"),
         F.round(stddev, 6).alias("stddev_qty"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q51_string_agg",
+    """SELECT n_regionkey AS region_key,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations,
+              COUNT(*) AS n
+       FROM nation GROUP BY n_regionkey ORDER BY region_key""",
+    doc="Ordered string aggregation per group — Spark expresses it as "
+        "array_sort(collect_list(..)) + array_join (deterministic "
+        "regardless of row arrival order), DuckDB as string_agg with "
+        "ORDER BY. Same bytes either way.",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    n = t(spark, sf, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("region_key"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("region_key")
+    )
