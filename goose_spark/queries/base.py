@@ -66,7 +66,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Exact integer floor-division: int64 nanosecond epochs exceed a
+        # double's 53-bit mantissa, so `/ 1000` would round onto a 256 ns
+        # grid and floor ~1-2% of µs-aligned rows 1 µs early.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -165,9 +165,18 @@ class Worker:
                  retry_delay_fn: Callable[[int], int] | None = None,
                  metrics=None, middlewares: tuple = (),
                  emit_in_progress: bool = False):
+        import threading
+
         self.spark = spark
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.worker_id = worker_id
+        # Serializes the micro-batch body with the continuous-mode timer
+        # thread: batch terminal transitions and due-sweeps must not
+        # interleave, or both threads can derive + append the same batch
+        # terminal row and double-fire the callback (goose gets this from
+        # its single MULTI txn, batch.clj). RLock: _execute_and_log runs
+        # under it from both the stream path and the sweep path.
+        self._lock = threading.RLock()
         if retry_delay_fn is None and rand_int is not None:
             retry_delay_fn = lambda n: default_retry_delay_sec(n, rand_int)  # noqa: E731
         self.retry_delay_fn = retry_delay_fn
@@ -257,20 +266,23 @@ class Worker:
     def _for_each_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         rows = batch_df.persist()
         try:
-            runnable = rows.filter(F.col("status") == STATUS_ENQUEUED)
-            to_park = rows.filter(F.col("status").isin(STATUS_SCHEDULED, STATUS_RETRYING))
-            park_tbl = self._to_arrow(to_park)
-            self.ledger.park(park_tbl)
-            self._execute_and_log(runnable)
+            with self._lock:
+                runnable = rows.filter(F.col("status") == STATUS_ENQUEUED)
+                to_park = rows.filter(F.col("status").isin(STATUS_SCHEDULED, STATUS_RETRYING))
+                park_tbl = self._to_arrow(to_park)
+                self.ledger.park(park_tbl)
+                self._execute_and_log(runnable)
         finally:
             rows.unpersist()
 
     def tick(self) -> None:
         """Timer sweep: due scheduled/retrying jobs + due cron entries.
         Mirrors the scheduler poll (scheduler.clj:22-48) and cron tick
-        (cron.clj:57-103); runs between micro-batches."""
-        self._sweep_due()
-        self._cron_tick()
+        (cron.clj:57-103); runs between micro-batches (serialized with
+        the stream's foreachBatch via the worker lock)."""
+        with self._lock:
+            self._sweep_due()
+            self._cron_tick()
 
     # ------------------------------------------------------------------
 
