@@ -40,7 +40,7 @@ def _bucket2(col) -> F.Column:
                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_LT}'
                     THEN 'val' ELSE 'test' END AS split,
               COUNT(*) AS n_docs,
-              SUM(n_chars) AS total_chars,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
        FROM documents GROUP BY 1 ORDER BY split""",
     doc="Deterministic train/val/test split (~80/10/10) by md5-prefix "
@@ -69,8 +69,8 @@ def sp1(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "sp2_stratified_sample",
     f"""SELECT lang, source, COUNT(*) AS total,
-              SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SAMPLE_LT}'
-                       THEN 1 ELSE 0 END) AS sampled,
+              CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SAMPLE_LT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
               ROUND(CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SAMPLE_LT}'
                                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
        FROM documents GROUP BY lang, source ORDER BY lang, source""",
@@ -105,7 +105,7 @@ def sp2(spark: SparkSession, sf: str) -> DataFrame:
                   AS cum_before
          FROM toks)
        SELECT CAST(FLOOR(CAST(cum_before AS DOUBLE) / {_CTX_TOKENS}) AS BIGINT) AS chunk,
-              COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+              COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
        FROM c GROUP BY 1 ORDER BY chunk LIMIT 200""",
     doc=f"Concat-and-chunk sequence packing: prefix-sum of token counts "
         f"in doc_id order assigns each document to a {_CTX_TOKENS}-token "
@@ -185,12 +185,12 @@ def dd7(spark: SparkSession, sf: str) -> DataFrame:
                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
          FROM events GROUP BY user_id)
        SELECT COUNT(*) AS n_users,
-              SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
-              SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                       THEN 1 ELSE 0 END) AS clicked_after_view,
-              SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+              CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+              CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+              CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                             AND t_purchase > t_click
-                       THEN 1 ELSE 0 END) AS full_funnel
+                       THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
        FROM u""",
     doc="Ordered conversion funnel view→click→purchase: one hash-agg to "
         "first-touch timestamps per user, then conditional counts. A "

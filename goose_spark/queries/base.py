@@ -57,19 +57,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (parquet scan; Catalyst
     pushes predicates/pruning into it).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read nanos as long and convert to the engine's
-    microsecond TimestampType (the testdata is µs-aligned, so lossless).
+    ``events.parquet`` historically stored TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; newer testdata generations store plain
+    TIMESTAMP(MICROS). We read with nanosAsLong enabled and convert only
+    when the column actually materializes as a long (nanos epoch) — a
+    microsecond/NTZ timestamp passes through untouched.
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # Exact integer floor-division: int64 nanosecond epochs exceed a
-        # double's 53-bit mantissa, so `/ 1000` would round onto a 256 ns
-        # grid and floor ~1-2% of µs-aligned rows 1 µs early.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Exact integer floor-division: int64 nanosecond epochs exceed a
+            # double's 53-bit mantissa, so `/ 1000` would round onto a 256 ns
+            # grid and floor ~1-2% of µs-aligned rows 1 µs early.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Watermarks/windows need TIMESTAMP (LTZ); the session runs in
+            # UTC so the cast is value-identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -231,9 +231,9 @@ _JOB_EVENTS = fixture_rel("job_events")
 
 @register(
     "qj11_recovery_audit",
-    f"""SELECT SUM(CASE WHEN fails > 0 AND completes > 0 THEN 1 ELSE 0 END) AS recovered,
-               SUM(CASE WHEN fails > 0 AND completes = 0 THEN 1 ELSE 0 END) AS still_failed,
-               SUM(CASE WHEN fails = 0 AND completes > 0 THEN 1 ELSE 0 END) AS clean,
+    f"""SELECT CAST(SUM(CASE WHEN fails > 0 AND completes > 0 THEN 1 ELSE 0 END) AS BIGINT) AS recovered,
+               CAST(SUM(CASE WHEN fails > 0 AND completes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS still_failed,
+               CAST(SUM(CASE WHEN fails = 0 AND completes > 0 THEN 1 ELSE 0 END) AS BIGINT) AS clean,
                CAST(MAX(completes) AS BIGINT) AS max_executions
         FROM (SELECT job_id,
                      SUM(CASE WHEN kind = 'fail' THEN 1 ELSE 0 END) AS fails,

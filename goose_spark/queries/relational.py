@@ -65,8 +65,8 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q03_hash_agg_tpch_q1",
     """SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
               COUNT(*) AS cnt
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -82,8 +82,10 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(_DEC)).cast(_DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(_DEC)).cast(_DEC).alias("sum_price"),
+            # exact decimal sum internally; final cast to double so both
+            # engines render identically under pandas canonicalization
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_price"),
             F.count("*").alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -135,7 +137,7 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT n.n_name,
               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
-                   AS DECIMAL(18,2)) AS revenue
+                   AS DOUBLE) AS revenue
        FROM lineitem l
        JOIN orders o ON l.l_orderkey = o.o_orderkey
        JOIN customer c ON o.o_custkey = c.c_custkey
@@ -160,7 +162,7 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cust, o.o_custkey == cust.c_custkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).cast(_DEC).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .orderBy("n_name")
     )
 
@@ -476,7 +478,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
               CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS d,
               CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h,
               event_type, COUNT(*) AS n,
-              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS total
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
        FROM events GROUP BY 1,2,3,4,5 ORDER BY y, m, d, h, event_type""",
     doc="Batch-form tumbling window (hour buckets) over the events stream "
         "table; streaming form lives in goose_spark.streaming.",
@@ -493,7 +495,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast(_DEC)), 2).cast(_DEC).alias("total"),
+            F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("double").alias("total"),
         )
         .orderBy("y", "m", "d", "h", "event_type")
     )

@@ -111,7 +111,7 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending,
               CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
                              THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2)
-                   AS DECIMAL(18,2)) AS finished_value
+                   AS DOUBLE) AS finished_value
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     doc="Pivot via conditional aggregation (one shuffle; the explicit "
@@ -136,7 +136,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
             cnt("F").alias("finished"),
             cnt("O").alias("open_"),
             cnt("P").alias("pending"),
-            F.round(val, 2).cast(_DEC).alias("finished_value"),
+            F.round(val, 2).cast("double").alias("finished_value"),
         )
         .orderBy("c_mktsegment")
     )
@@ -173,7 +173,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     "q28_cte_top_spender_per_nation",
     """WITH spend AS (
          SELECT c.c_nationkey, c.c_custkey,
-                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
          GROUP BY c.c_nationkey, c.c_custkey)
        SELECT n.n_name, s.c_custkey, s.total
@@ -193,7 +193,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     spend = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast(_DEC).alias("total"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"))
     )
     w = Window.partitionBy("c_nationkey").orderBy(F.col("total").desc(), "c_custkey")
     return (

@@ -78,9 +78,9 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q35_date_trunc_week",
-    """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+    """SELECT strftime(CAST(date_trunc('week', o_orderdate) AS DATE), '%Y-%m-%d') AS wk,
               COUNT(*) AS n,
-              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS total
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
        FROM orders GROUP BY 1 ORDER BY wk LIMIT 100""",
     doc="Calendar-week truncation (ISO Monday start on both engines) + "
         "weekly revenue — the reporting-rollup primitive.",
@@ -88,11 +88,16 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
 def q35(spark: SparkSession, sf: str) -> DataFrame:
     o = t(spark, sf, "orders")
     return (
-        o.groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("wk"))
+        # wk as a formatted string: DuckDB DATE round-trips through pandas
+        # as datetime64 ('... 00:00:00') while Spark DateType stays date —
+        # string on both sides removes the rendering asymmetry.
+        o.groupBy(
+            F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("wk")
+        )
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
         .orderBy("wk")

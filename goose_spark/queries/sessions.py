@@ -29,7 +29,7 @@ GAP_MIN = 30  # session gap, minutes
           FROM flagged)
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                COUNT(*) AS n_events,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS total
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_id""",
     doc="Batch sessionization (gaps-and-islands): lag-gap flag → running "
@@ -55,7 +55,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("decimal(18,2)").alias("total"),
+            .cast("double").alias("total"),
         )
         .orderBy("user_id", "session_id")
     )

@@ -31,8 +31,8 @@ def _volume() -> F.Column:
 @register(
     "q40_late_lines_by_priority",
     """SELECT o_orderpriority,
-              SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '30' DAY
-                       THEN 1 ELSE 0 END) AS late_lines,
+              CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '30' DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
               COUNT(*) AS all_lines
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -114,7 +114,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q43_disjunctive_revenue",
     """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue,
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
               COUNT(*) AS n_lines
        FROM lineitem JOIN part ON p_partkey = l_partkey
        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -139,7 +139,7 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 50) & F.col("l_quantity").between(15, 45))
     )
     return j.filter(clause).agg(
-        F.round(F.sum(_volume()), 2).cast(_DEC).alias("revenue"),
+        F.round(F.sum(_volume()), 2).cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 
@@ -153,7 +153,7 @@ _Q44_REV = """SELECT l_suppkey,
 @register(
     "q44_top_supplier",
     f"""WITH rev AS ({_Q44_REV})
-       SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DECIMAL(18,2)) AS total_rev
+       SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_rev
        FROM supplier JOIN rev ON s_suppkey = l_suppkey
        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
        ORDER BY s_suppkey""",
@@ -173,7 +173,7 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
         .join(s, rev.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_rev", 2).cast(_DEC).alias("total_rev"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_rev"))
         .orderBy("s_suppkey")
     )
 
@@ -187,7 +187,7 @@ _Q45_VAL = """SELECT l_partkey,
 @register(
     "q45_important_parts",
     f"""WITH val AS ({_Q45_VAL})
-       SELECT l_partkey, CAST(ROUND(part_value, 2) AS DECIMAL(18,2)) AS part_value
+       SELECT l_partkey, CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
        FROM val
        WHERE part_value > (SELECT SUM(part_value) * 0.0005 FROM val)
        ORDER BY part_value DESC, l_partkey LIMIT 100""",
@@ -204,7 +204,7 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
     thr = val.agg((F.sum("part_value") * F.lit(0.0005)).alias("thr"))
     return (
         val.join(F.broadcast(thr), val.part_value > thr.thr)
-        .select("l_partkey", F.round("part_value", 2).cast(_DEC).alias("part_value"))
+        .select("l_partkey", F.round("part_value", 2).cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
         .limit(100)
     )
@@ -213,7 +213,7 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q46_nation_volume_shipping",
     """SELECT supp_nation, cust_nation, l_year,
-              CAST(ROUND(SUM(volume), 2) AS DECIMAL(18,2)) AS revenue
+              CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                     EXTRACT(YEAR FROM l_shipdate) AS l_year,
                     CAST(l_extendedprice AS DECIMAL(18,2))
@@ -254,7 +254,7 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         .join(n2, c.c_nationkey == F.col("ck"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_volume()), 2).cast(_DEC).alias("revenue"))
+        .agg(F.round(F.sum(_volume()), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -264,7 +264,7 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT o_orderpriority, o_orderstatus,
               GROUPING(o_orderpriority) AS gp, GROUPING(o_orderstatus) AS gs,
               COUNT(*) AS n,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
        FROM orders
        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
                                (o_orderpriority, o_orderstatus), ())
@@ -279,7 +279,7 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         """SELECT o_orderpriority, o_orderstatus,
                   GROUPING(o_orderpriority) AS gp, GROUPING(o_orderstatus) AS gs,
                   COUNT(*) AS n,
-                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            FROM gs_orders
            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
                                    (o_orderpriority, o_orderstatus), ())

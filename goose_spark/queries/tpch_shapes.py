@@ -18,7 +18,7 @@ _DEC = "decimal(18,2)"
     """SELECT l.l_orderkey,
               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
-                   AS DECIMAL(18,2)) AS revenue,
+                   AS DOUBLE) AS revenue,
               o.o_orderdate
        FROM customer c
        JOIN orders o ON c.c_custkey = o.o_custkey
@@ -49,7 +49,9 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(revenue), 2).cast(_DEC).alias("revenue"))
+        # exact decimal sum internally; final money column to double so both
+        # engines render identically on the driver's pandas canonicalization
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -61,7 +63,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT c.c_custkey, c.c_name, n.n_name,
               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
-                   AS DECIMAL(18,2)) AS revenue
+                   AS DOUBLE) AS revenue
        FROM customer c
        JOIN orders o ON c.c_custkey = o.o_custkey
        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -87,7 +89,7 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(n, F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(revenue), 2).cast(_DEC).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -96,8 +98,8 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q39_large_quantity_orders",
     """SELECT o.o_orderkey, o.o_orderdate,
-              CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2)) AS total,
-              CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+              CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS total,
+              CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
        WHERE o.o_orderkey IN (
          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
@@ -121,11 +123,11 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast(_DEC).alias("qty"))
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("qty"))
         .select(
             "o_orderkey",
             "o_orderdate",
-            F.round("o_totalprice", 2).cast(_DEC).alias("total"),
+            F.round("o_totalprice", 2).cast("double").alias("total"),
             "qty",
         )
         .orderBy(F.col("qty").desc(), "o_orderkey")

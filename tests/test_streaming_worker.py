@@ -318,6 +318,29 @@ def test_prioritise_execution_moves_scheduled_to_front(spark, ledger):
     assert api.dashboard_counts() == {"success": 1}
 
 
+def test_prioritise_execution_skips_missing_and_ineligible(spark, ledger):
+    """Q8 skip path (commands.clj:145-164): the reference verifies each id
+    exists in the sorted set before moving it — non-existent ids and jobs
+    in a non-movable state are skipped, and the returned count reflects
+    only the jobs actually moved."""
+    client = JobClient(ledger)
+    sched = client.perform_at(utcnow() + timedelta(hours=2), "noop")
+    done = client.perform_async("noop")
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()  # `done` executes; `sched` parks
+
+    api = LedgerAPI(spark, ledger)
+    moved = api.prioritise_execution(
+        [sched["id"], done["id"], "no-such-job-id"]
+    )
+    assert moved == 1  # only the scheduled job is movable
+    worker.process_available()
+    assert api.find_by_id(sched["id"])["status"] == "success"
+    # the completed job was not re-enqueued by the prioritise call
+    worker.tick()
+    assert api.dashboard_counts() == {"success": 2}
+
+
 def test_crash_replay_at_least_once_state_converges(spark, ledger, tmp_path):
     """Crash-before-commit contract (W10/orphan-recovery analog): roll
     the checkpoint back to before a processed batch — the batch replays
