@@ -164,7 +164,8 @@ class Worker:
                  rand_int: Callable[[int], int] | None = None,
                  retry_delay_fn: Callable[[int], int] | None = None,
                  metrics=None, middlewares: tuple = (),
-                 emit_in_progress: bool = False):
+                 emit_in_progress: bool = False,
+                 distributed_commit: bool = True):
         import threading
 
         self.spark = spark
@@ -188,6 +189,12 @@ class Worker:
         # observable the same way). Off by default — it costs one extra
         # ledger append per micro-batch.
         self.emit_in_progress = emit_in_progress
+        # Executor-side outcome commit (default): each task writes its own
+        # parquet part into a staging dir and the driver promotes the parts
+        # into log/ with metadata-only renames — the Delta-commit shape.
+        # False falls back to the single-file driver-side append (the
+        # local-mode shortcut SCALE.md documents).
+        self.distributed_commit = distributed_commit
         self.executions = 0
 
     # ------------------------------------------------------------------
@@ -320,6 +327,9 @@ class Worker:
             _make_executor(self.retry_delay_fn, self.worker_id, self.middlewares),
             schema=df.schema,
         )
+        if self.distributed_commit:
+            self._commit_distributed(outcome, _exec_start)
+            return
         out_tbl = self._to_arrow(outcome)
         self.executions += out_tbl.num_rows
         # one parquet file per micro-batch == the ack/commit txn
@@ -337,6 +347,74 @@ class Worker:
                 (_time.perf_counter() - _exec_start) * 1000,
             )
         self._batch_callbacks(out_tbl)
+
+    def _commit_distributed(self, outcome: DataFrame, exec_start: float) -> None:
+        """Executor-side ack/commit: tasks write outcome parts in parallel,
+        the driver promotes them into log/ with metadata-only renames (the
+        shape of a Delta transaction commit — data moves executor→disk,
+        never executor→driver). Post-commit bookkeeping (counters, retry
+        parking, batch callbacks) re-reads the committed files distributed
+        and collects only bounded summaries."""
+        import time as _time
+
+        moved = self._append_log_distributed(outcome)
+        if not moved:
+            return
+        out = self.spark.read.schema(self.ledger._spark_log_schema()).parquet(*moved)
+        # one summary scan: (status × batch_id) counts — cardinality is
+        # bounded by 4 statuses × touched batches, never by job volume
+        summary = (
+            out.groupBy("status", "batch_id").agg(F.count("*").alias("n")).collect()
+        )
+        status_counts: dict[str, int] = {}
+        touched_set = set()
+        for r in summary:
+            status_counts[r["status"]] = status_counts.get(r["status"], 0) + int(r["n"])
+            if r["batch_id"] is not None:
+                touched_set.add(r["batch_id"])
+        n_rows = int(sum(status_counts.values()))
+        if n_rows == 0:
+            return
+        self.executions += n_rows
+        # park retry outcomes immediately so the next tick can sweep them
+        # (the stream will also redeliver them; the sweep dedupes by seq)
+        if status_counts.get(STATUS_RETRYING):
+            self.ledger.park(
+                self._to_arrow(out.filter(F.col("status") == STATUS_RETRYING))
+            )
+        if self.metrics is not None:
+            statuses = [s for s, c in status_counts.items() for _ in range(int(c))]
+            self.metrics.record_outcomes(
+                statuses, (_time.perf_counter() - exec_start) * 1000
+            )
+        self._run_batch_callbacks(sorted(touched_set))
+
+    def _append_log_distributed(self, outcome: DataFrame) -> list[str]:
+        """Write outcome rows executor-side, then publish atomically: each
+        part file is renamed into log/ under the `{seq}-{uuid}` naming the
+        file-source expects. Renames are O(#files) metadata ops on the
+        driver; row data never funnels through it."""
+        import shutil
+        import uuid as _uuid
+
+        staging = os.path.join(self.ledger.root, f".staging-{_uuid.uuid4().hex}")
+        outcome.write.mode("overwrite").parquet(staging)
+        moved: list[str] = []
+        try:
+            base = next_seq()
+            i = 0
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                dst = os.path.join(
+                    self.ledger.log_dir, f"{base + i}-{_uuid.uuid4().hex}.parquet"
+                )
+                os.replace(os.path.join(staging, f), dst)
+                moved.append(dst)
+                i += 1
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return moved
 
     def _append_log_table(self, table: pa.Table) -> None:
         if table.num_rows == 0:
@@ -452,7 +530,9 @@ class Worker:
         if outcomes.num_rows == 0:
             return
         pdf = outcomes.to_pandas()
-        touched = sorted(set(pdf["batch_id"].dropna()))
+        self._run_batch_callbacks(sorted(set(pdf["batch_id"].dropna())))
+
+    def _run_batch_callbacks(self, touched: list[str]) -> None:
         if not touched:
             return
         state = self.ledger.state(self.spark)
