@@ -220,6 +220,20 @@ class LedgerAPI:
         rows = self.state().groupBy("status").agg(F.count("*").alias("n")).collect()
         return {r["status"]: r["n"] for r in rows}
 
+    # ---- W9: worker process registry (heartbeat.clj:10-20) -----------------
+
+    def workers(self) -> list[dict]:
+        """Registered worker processes with an alive flag (beat within
+        the heartbeat expiry) — the console's process-set view."""
+        from goose_spark.streaming.heartbeat import ProcessRegistry
+
+        return ProcessRegistry(self.ledger.root).workers()
+
+    def workers_count(self) -> int:
+        from goose_spark.streaming.heartbeat import ProcessRegistry
+
+        return ProcessRegistry(self.ledger.root).workers_count()
+
     # ---- Q14: latency ------------------------------------------------------------
 
     def latency_report(self) -> DataFrame:

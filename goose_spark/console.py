@@ -52,6 +52,9 @@ class Console:
             "scheduled": counts.get("scheduled", 0) + counts.get("retrying", 0),
             "dead": counts.get("dead", 0),
             "cron": self.api.cron_size(),
+            # W9 process-set view (heartbeat.clj:16-20; the reference's
+            # home header shows the live worker fleet)
+            "workers": self.api.workers_count(),
             "by_status": counts,
         }
 

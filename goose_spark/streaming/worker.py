@@ -196,6 +196,13 @@ class Worker:
         # local-mode shortcut SCALE.md documents).
         self.distributed_commit = distributed_commit
         self.executions = 0
+        # W9: process registry + heartbeat (heartbeat.clj:22-33) — the
+        # console's workers view. Registered on construction; re-beaten
+        # by every timer tick; deregistered by Handle.stop.
+        from goose_spark.streaming.heartbeat import ProcessRegistry
+
+        self.registry = ProcessRegistry(self.ledger.root)
+        self.registry.register(self.worker_id)
 
     # ------------------------------------------------------------------
     # streaming entry points
@@ -259,6 +266,7 @@ class Worker:
                 query.awaitTermination(int(timeout))
                 thread.join(timeout)
                 worker.tick()  # final sweep after the stream drains
+                worker.registry.deregister(worker.worker_id)
 
             @property
             def streaming_query(self):
@@ -288,6 +296,7 @@ class Worker:
         (cron.clj:57-103); runs between micro-batches (serialized with
         the stream's foreachBatch via the worker lock)."""
         with self._lock:
+            self.registry.beat(self.worker_id)
             self._sweep_due()
             self._cron_tick()
 
