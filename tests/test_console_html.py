@@ -1,0 +1,87 @@
+"""Console HTML layer: hiccup renderer, page views, route dispatch, and
+an end-to-end http.server round-trip — the view-side twin of
+tests/test_console.py (reference: page_test.clj renders each route and
+asserts on the markup)."""
+
+from __future__ import annotations
+
+import pytest
+
+from goose_spark.api import LedgerAPI
+from goose_spark.client import JobClient
+from goose_spark.console import Console
+from goose_spark.console_html import ConsoleHtml, h, serve
+from goose_spark.streaming.worker import Worker
+
+
+@pytest.fixture(scope="module")
+def site(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ledger"))
+    client = JobClient(root)
+    for i in range(3):
+        client.perform_async("noop", i)
+    client.perform_async("always-fail", max_retries=0)
+    client.perform_in_sec(3600, "noop")
+    client.perform_every("nightly", "30 2 * * *", "noop")
+    worker = Worker(spark, root, worker_id="html-worker", rand_int=lambda n: 0)
+    worker.process_available()  # fail-job dies; noops succeed
+    return ConsoleHtml(Console(LedgerAPI(spark, root)))
+
+
+def test_hiccup_renderer_escapes_and_nests():
+    out = h(["div.card#main", {"data-x": "1"}, ["span", "<b>&"], None, "tail"])
+    assert out == '<div data-x="1" id="main" class="card"><span>&lt;b&gt;&amp;</span>tail</div>'
+
+
+def test_home_stats_bar(site):
+    html = site.home()
+    assert "<!DOCTYPE html>" in html
+    # stat tiles link to their pages (pages/home.clj:7-25 shape)
+    for route in ("/enqueued", "/scheduled", "/cron", "/dead", "/workers"):
+        assert f'href="{route}"' in html
+    assert '<div id="workers" class="stat"><span class="number">1</span>' in html
+
+
+def test_enqueued_queue_listing_and_table(site):
+    idx = site.enqueued()
+    assert 'href="/enqueued/queue/' not in idx or "queues" in idx  # index renders
+    # the scheduled job is parked, successes are terminal → no enqueued rows left
+    page = site.dead()
+    assert "always-fail" in page and "jobs-table" in page
+
+
+def test_job_drilldown_and_404(site):
+    dead = site.console.api.peek_dead(1)[0]
+    status, ctype, body = site.app_handler(f"/job/{dead['id']}")
+    assert status == 200 and dead["id"] in body and "job-detail" in body
+    status, _, _ = site.app_handler("/no/such/route")
+    assert status == 404
+    status, _, body = site.app_handler(f"/job/not-a-real-id")
+    assert status == 200 and "No job" in body
+
+
+def test_cron_and_workers_pages(site):
+    cron = site.cron()
+    assert "nightly" in cron and "30 2 * * *" in cron
+    workers = site.workers()
+    assert "html-worker" in workers and "True" in workers
+
+
+def test_http_server_roundtrip(site):
+    import threading
+    import urllib.request
+
+    srv = serve(site.console, port=0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as resp:
+            assert resp.status == 200
+            body = resp.read().decode()
+            assert "goose-spark" in body and 'href="/dead"' in body
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/dead") as resp:
+            assert "always-fail" in resp.read().decode()
+    finally:
+        srv.shutdown()
+        t.join(5)
