@@ -153,3 +153,58 @@ def tx4(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@register(
+    "tx5_tfidf_top_terms",
+    f"""WITH toks AS (
+          SELECT doc_id, lang, unnest({_WORDS}) AS tok FROM documents),
+        tf AS (
+          SELECT lang, tok, COUNT(*) AS n_tok,
+                 COUNT(DISTINCT doc_id) AS df_docs
+          FROM toks WHERE tok <> '' GROUP BY lang, tok),
+        nl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        scored AS (
+          SELECT tf.lang, tok, CAST(n_tok AS BIGINT) AS n_tok,
+                 ROUND(n_tok * ln(CAST(n_docs AS DOUBLE) / df_docs), 6) AS tfidf,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tf.lang
+                   ORDER BY n_tok * ln(CAST(n_docs AS DOUBLE) / df_docs) DESC, tok
+                 ) AS rnk
+          FROM tf JOIN nl ON nl.lang = tf.lang)
+        SELECT lang, tok, n_tok, tfidf, rnk
+        FROM scored WHERE rnk <= 10 ORDER BY lang, rnk""",
+    doc="Per-language TF-IDF top-10 terms: corpus-frequency weighting "
+        "(ln(N/df)) over the word-count shuffle tx1 already pays — the "
+        "vocabulary-selection pass of a training-data pipeline. Two "
+        "shuffles total ((lang,tok) agg + per-lang top-k window); at "
+        "100 TB the (lang,tok) partial agg collapses the token "
+        "explosion map-side, and the window runs over O(vocab) rows, "
+        "never O(tokens).",
+    tags=("llm", "text"),
+)
+def tx5(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf, "documents")
+    toks = (
+        d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("lang", "tok").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    nl = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    score = F.col("n_tok") * F.log(F.col("n_docs").cast("double") / F.col("df_docs"))
+    w = Window.partitionBy("lang").orderBy(score.desc(), "tok")
+    return (
+        tf.join(F.broadcast(nl), "lang")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "lang", "tok", F.col("n_tok").cast("long").alias("n_tok"),
+            F.round(score, 6).alias("tfidf"), "rnk",
+        )
+        .orderBy("lang", "rnk")
+    )

@@ -103,3 +103,55 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .limit(200)
     )
+
+
+@register(
+    "q52_retention_cohorts",
+    """WITH f AS (
+         SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort
+         FROM events GROUP BY user_id),
+       a AS (
+         SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+         FROM events),
+       sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY cohort)
+       SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_wk,
+              CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+              COUNT(DISTINCT a.user_id) AS n_users,
+              ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / ANY_VALUE(sz.cohort_size), 4)
+                AS retention
+       FROM f JOIN a ON a.user_id = f.user_id
+       JOIN sz ON sz.cohort = f.cohort
+       GROUP BY f.cohort, week_offset
+       ORDER BY cohort_wk, week_offset""",
+    doc="Weekly retention cohorts over the events stream: cohort = first "
+        "active ISO week per user, retention = distinct users active at "
+        "each week offset over cohort size — the engagement matrix every "
+        "product pipeline ships. Two shuffles on user_id (first-touch agg "
+        "+ distinct active weeks) and one tiny (cohort × offset) agg; "
+        "week alignment makes the day-diff an exact multiple of 7 on "
+        "both engines.",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).cast("date").alias("cohort")
+    )
+    a = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    sz = f.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return (
+        f.join(a, "user_id")
+        .join(F.broadcast(sz), "cohort")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_wk"),
+            F.expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)").alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.countDistinct("user_id").cast("double") / F.first("cohort_size"), 4
+            ).alias("retention"),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
