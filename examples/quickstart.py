@@ -58,7 +58,15 @@ def main() -> None:
     print("dashboard:", json.dumps(api.dashboard_counts(), sort_keys=True))
     print("home page:", json.dumps(console.page_home(), sort_keys=True, default=str))
     print("batch page:", json.dumps(console.page_batch(batch["id"]), sort_keys=True))
+    print("workers:", [w["worker_id"] for w in api.workers()])
     print("metrics:", json.dumps(sink.counters, sort_keys=True))
+
+    # 4b. HTML console — same pages rendered for a browser; mount with
+    #     console_html.serve(console, port=8080).serve_forever()
+    from goose_spark.console_html import ConsoleHtml
+
+    html = ConsoleHtml(console)
+    print("html home bytes:", len(html.home()))
 
     # 5. manage — replay the (eventually) dead job, retention, compaction
     now = datetime.now(timezone.utc).replace(tzinfo=None)
