@@ -162,8 +162,14 @@ class Ledger:
         date partition; here: write-new-then-swap on the log directory.
 
         Safe to run only while no worker holds the ledger (single-writer
-        rule — same constraint goose's purge APIs have)."""
+        rule — same constraint goose's purge APIs have).
+
+        Executor-side rewrite: the state view is written distributed to a
+        staging dir, then published with metadata-only renames (the
+        OPTIMIZE-commit shape) — row data never funnels through the
+        driver; ``rows_after`` comes from parquet footers."""
         import glob
+        import shutil
 
         state = self.state(spark)
         if drop_terminal_before is not None:
@@ -172,15 +178,26 @@ class Ledger:
                 & (F.coalesce(F.col("died_at"), F.col("enqueued_at")) < F.lit(drop_terminal_before))
             )
             state = state.filter(keep)
-        pdf = state.toPandas()
-        table = pa.Table.from_pandas(pdf, schema=ARROW_LOG_SCHEMA, preserve_index=False)
+        staging = os.path.join(self.root, f".compact-{uuid.uuid4().hex}")
+        state.write.mode("overwrite").parquet(staging)
         before = len(glob.glob(os.path.join(self.log_dir, "*.parquet")))
-        tmp = os.path.join(self.root, f".compact-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, tmp)
-        for f in glob.glob(os.path.join(self.log_dir, "*.parquet")):
-            os.remove(f)
-        os.replace(tmp, os.path.join(self.log_dir, f"{next_seq()}-compacted.parquet"))
-        return {"files_before": before, "rows_after": table.num_rows}
+        rows_after = 0
+        try:
+            parts = [
+                f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+            ]
+            for f in glob.glob(os.path.join(self.log_dir, "*.parquet")):
+                os.remove(f)
+            base = next_seq()
+            for i, f in enumerate(parts):
+                src = os.path.join(staging, f)
+                rows_after += pq.ParquetFile(src).metadata.num_rows
+                os.replace(
+                    src, os.path.join(self.log_dir, f"{base + i}-compacted.parquet")
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return {"files_before": before, "rows_after": rows_after}
 
     # ---- scheduled store (sorted-set analog) ------------------------------
 
