@@ -132,20 +132,26 @@ class LedgerAPI:
 
     def delete_dead_older_than(self, cutoff: datetime) -> int:
         """ZREMRANGEBYSCORE analog (api/dead_jobs.clj:52-54) — tombstone
-        rows; physical removal is compaction/VACUUM."""
-        rows = (
+        rows; physical removal is compaction/VACUUM.
+
+        Tombstones are built and appended executor-side (a retention
+        sweep can touch an unbounded dead set — never collect it). The
+        per-row seq only needs to exceed the job's previous seq, so a
+        fresh time base + per-id hash offset keeps it monotonic without
+        a global ordering pass."""
+        from goose_spark.streaming.ledger import next_seq
+
+        doomed = (
             self.state()
             .filter((F.col("status") == STATUS_DEAD) & (F.col("died_at") < F.lit(cutoff)))
-            .collect()
+            .withColumn("status", F.lit("deleted"))
+            .withColumn(
+                "seq",
+                F.lit(next_seq()) + F.pmod(F.xxhash64("id"), F.lit(1_000_000)),
+            )
         )
-        updates = []
-        for r in rows:
-            d = r.asDict()
-            d.pop("seq", None)
-            d.update(status="deleted")
-            updates.append(d)
-        self.ledger.append_rows(updates)
-        return len(updates)
+        _, n = self.ledger.append_df(doomed)
+        return n
 
     # ---- Q11: cron registry queries ---------------------------------------------
     # (src/goose/brokers/redis/cron.clj:23-27,105-119: size / get / get-all /

@@ -107,6 +107,36 @@ class Ledger:
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(self.log_dir, f"{base_seq}-{uuid.uuid4().hex}.parquet"))
 
+    # ---- Spark-side distributed append ------------------------------------
+
+    def append_df(self, df: DataFrame) -> tuple[list[str], int]:
+        """Executor-side append: tasks write parquet parts to a staging
+        dir; the driver publishes them into ``log/`` with O(#files)
+        metadata renames (the Delta-commit shape — row data never
+        funnels through the driver). Returns (published files, row count
+        from parquet footers)."""
+        import shutil
+
+        staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        moved: list[str] = []
+        rows = 0
+        try:
+            base = next_seq()
+            i = 0
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, f)
+                rows += pq.ParquetFile(src).metadata.num_rows
+                dst = os.path.join(self.log_dir, f"{base + i}-{uuid.uuid4().hex}.parquet")
+                os.replace(src, dst)
+                moved.append(dst)
+                i += 1
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return moved, rows
+
     # ---- Spark-side reads -------------------------------------------------
 
     def log(self, spark: SparkSession) -> DataFrame:

@@ -399,30 +399,8 @@ class Worker:
         self._run_batch_callbacks(sorted(touched_set))
 
     def _append_log_distributed(self, outcome: DataFrame) -> list[str]:
-        """Write outcome rows executor-side, then publish atomically: each
-        part file is renamed into log/ under the `{seq}-{uuid}` naming the
-        file-source expects. Renames are O(#files) metadata ops on the
-        driver; row data never funnels through it."""
-        import shutil
-        import uuid as _uuid
-
-        staging = os.path.join(self.ledger.root, f".staging-{_uuid.uuid4().hex}")
-        outcome.write.mode("overwrite").parquet(staging)
-        moved: list[str] = []
-        try:
-            base = next_seq()
-            i = 0
-            for f in sorted(os.listdir(staging)):
-                if not f.endswith(".parquet"):
-                    continue
-                dst = os.path.join(
-                    self.ledger.log_dir, f"{base + i}-{_uuid.uuid4().hex}.parquet"
-                )
-                os.replace(os.path.join(staging, f), dst)
-                moved.append(dst)
-                i += 1
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        """Executor-side outcome publish — see Ledger.append_df."""
+        moved, _ = self.ledger.append_df(outcome)
         return moved
 
     def _append_log_table(self, table: pa.Table) -> None:
