@@ -231,22 +231,48 @@ class Ledger:
 
     # ---- scheduled store (sorted-set analog) ------------------------------
 
-    def scheduled_files(self) -> list[str]:
-        return [
-            os.path.join(self.scheduled_dir, f)
-            for f in os.listdir(self.scheduled_dir)
-            if f.endswith(".parquet")
-        ]
+    def scheduled_files(self, due_before=None) -> list[str]:
+        """Parked-store files, optionally pruned to run_at-hour buckets
+        that can contain rows due before ``due_before`` (the sorted-set
+        ZRANGEBYSCORE prune): a file named ``h<YYYYMMDDHH>-…`` holds only
+        rows whose run_at falls in that hour, so buckets beyond the due
+        horizon are skipped without being opened. Legacy un-bucketed
+        names are always read."""
+        out = []
+        horizon = due_before.strftime("%Y%m%d%H") if due_before is not None else None
+        for f in os.listdir(self.scheduled_dir):
+            if not f.endswith(".parquet"):
+                continue
+            if horizon is not None and f.startswith("h"):
+                bucket = f[1:11]
+                if bucket.isdigit() and bucket > horizon:
+                    continue
+            out.append(os.path.join(self.scheduled_dir, f))
+        return out
 
     def park(self, table: pa.Table) -> None:
+        """Park rows bucketed by run_at hour — one file per (batch,
+        bucket). The due-sweep then reads only due buckets; at 100 TB
+        this is the partition layout, not an optimization flag."""
+        import pyarrow.compute as pc
+
         if table.num_rows == 0:
             return
-        tmp = os.path.join(self.scheduled_dir, f".tmp-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(self.scheduled_dir, f"{next_seq()}.parquet"))
+        hours = pc.strftime(table["run_at"], format="%Y%m%d%H")
+        # rows with no run_at (shouldn't happen for parked states) land in
+        # an always-read legacy-named file
+        keys = [h if h is not None else "" for h in hours.to_pylist()]
+        for bucket in sorted(set(keys)):
+            idx = [i for i, k in enumerate(keys) if k == bucket]
+            sub = table.take(idx)
+            name = (f"h{bucket}-" if bucket else "") + f"{next_seq()}.parquet"
+            tmp = os.path.join(self.scheduled_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+            pq.write_table(sub, tmp)
+            os.replace(tmp, os.path.join(self.scheduled_dir, name))
 
-    def read_scheduled(self) -> pa.Table | None:
-        files = self.scheduled_files()
+    def read_scheduled(self, files: list[str] | None = None) -> pa.Table | None:
+        if files is None:
+            files = self.scheduled_files()
         if not files:
             return None
         return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")

@@ -423,8 +423,13 @@ class Worker:
     # ------------------------------------------------------------------
 
     def _sweep_due(self) -> None:
-        files = self.ledger.scheduled_files()
-        tbl = self.ledger.read_scheduled()
+        # run_at-hour bucket prune: only files whose bucket can hold rows
+        # due by now are opened (future buckets are skipped unread). A
+        # stale parked row whose job was since re-parked into a later
+        # bucket fails the latest-seq guard below, so per-bucket sweeping
+        # stays exactly-once.
+        files = self.ledger.scheduled_files(due_before=_now())
+        tbl = self.ledger.read_scheduled(files)
         if tbl is None or tbl.num_rows == 0:
             return
         # latest parked row per id (a retry may re-park the same id)

@@ -399,3 +399,26 @@ def test_queue_validation():
         from goose_spark.client import _validate_queue
 
         _validate_queue("scheduled-jobs")
+
+
+def test_scheduled_store_hour_bucket_prune(spark, ledger):
+    """Parked rows land in run_at-hour bucket files and the due-sweep
+    opens only buckets inside the due horizon — the ZRANGEBYSCORE prune
+    (SCALE.md scheduled-store layout)."""
+    import os
+
+    client = JobClient(ledger)
+    client.perform_at(utcnow() + timedelta(hours=3), "noop")
+    client.perform_async("noop")
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()  # parks the scheduled row, runs the async one
+
+    names = [os.path.basename(f) for f in ledger.scheduled_files()]
+    assert names and all(n.startswith("h20") for n in names)
+    # the +3h bucket is beyond the due horizon → pruned without being read
+    assert ledger.scheduled_files(due_before=utcnow()) == []
+    # and a horizon past the bucket includes it
+    assert len(ledger.scheduled_files(due_before=utcnow() + timedelta(hours=4))) == len(names)
+    # sweep with nothing due leaves the future bucket untouched on disk
+    worker.tick()
+    assert [os.path.basename(f) for f in ledger.scheduled_files()] == names
