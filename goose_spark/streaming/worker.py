@@ -312,10 +312,28 @@ class Worker:
         # sortWithinPartitions (not a global orderBy): priority is already
         # an approximation per SURVEY §7.4.1, and a global sort would add
         # a range-sampling pass + full shuffle per micro-batch.
-        ordered = df.repartition(32).sortWithinPartitions(
+        # width follows the cluster (defaultParallelism), not a constant —
+        # on local[32] this is 32; on a 1000-executor cluster it is the
+        # fleet's task slots.
+        width = self.spark.sparkContext.defaultParallelism
+        ordered = df.repartition(width).sortWithinPartitions(
             F.col("priority").desc(), F.col("enqueued_at")
         )
-        if self.emit_in_progress:
+        if self.emit_in_progress and self.distributed_commit:
+            # executor-side in-progress stamp: same staged-append as the
+            # outcome commit; the seq (fresh time base + per-id hash
+            # offset) stays below the outcome row's later time base, so
+            # the outcome remains the job's latest row
+            marked_df = (
+                ordered.withColumn("status", F.lit(STATUS_IN_PROGRESS))
+                .withColumn("worker_id", F.lit(self.worker_id))
+                .withColumn(
+                    "seq",
+                    F.lit(next_seq()) + F.pmod(F.xxhash64("id"), F.lit(1_000_000)),
+                )
+            )
+            self.ledger.append_df(marked_df)
+        elif self.emit_in_progress:
             marked = self._to_arrow(ordered)
             base = next_seq()
             marked = marked.set_column(
