@@ -84,6 +84,24 @@ class Ledger:
         for d in (self.log_dir, self.scheduled_dir, self.batches_dir,
                   os.path.join(root, "cron"), self.checkpoint_dir):
             os.makedirs(d, exist_ok=True)
+        self._sweep_stale_staging()
+
+    def _sweep_stale_staging(self, max_age_sec: int = 3600) -> None:
+        """Remove orphaned `.staging-*` / `.compact-*` dirs left by a
+        crash mid-publish (the un-renamed parts were never part of the
+        log, so removal is safe — checkpoint replay re-creates the
+        batch). Age-gated so a concurrently-publishing writer on a
+        shared filesystem is never raced."""
+        now = time.time()
+        for f in os.listdir(self.root):
+            if not (f.startswith(".staging-") or f.startswith(".compact-")):
+                continue
+            p = os.path.join(self.root, f)
+            try:
+                if os.path.isdir(p) and now - os.path.getmtime(p) > max_age_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
 
     # ---- producer-side append (Spark-free, like the goose client) -------
 

@@ -192,3 +192,18 @@ def test_snapshot_partition_prunes_on_status(spark, tmp_path):
     # dead partition (no status data-filter remains)
     assert dead_page.count() == 0
     assert snap.filter(snap.status == "success").count() == 20
+
+
+def test_tfidf_topk_plan(spark):
+    """tx5: per-lang top-k runs as WindowGroupLimit over the vocabulary
+    aggregate, and the per-lang doc counts broadcast."""
+    r = report(REGISTRY["tx5_tfidf_top_terms"].builder(spark, SF_CORRECT))
+    assert r.has_window_group_limit
+    assert r.broadcast_joins >= 1
+
+
+def test_retention_cohorts_plan(spark):
+    """q52: cohort sizes broadcast; the only large shuffles are the two
+    user_id aggregations + the final (cohort × offset) agg."""
+    r = report(REGISTRY["q52_retention_cohorts"].builder(spark, SF_CORRECT))
+    assert r.broadcast_joins >= 1
