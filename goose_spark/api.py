@@ -128,6 +128,58 @@ class LedgerAPI:
         self.ledger.append_rows(updates)
         return len(updates)
 
+    # ---- delete / purge / pop (api/{enqueued,scheduled,dead}_jobs.clj) -----
+
+    def delete_jobs(self, job_ids: list[str]) -> int:
+        """Delete specific jobs in any state (enqueued_jobs.clj:42-48,
+        scheduled_jobs.clj:36-37, dead_jobs.clj:49-50): tombstone the
+        state view AND record the ids in the deletion index so an
+        undelivered enqueue row never executes. Returns jobs found."""
+        rows = (
+            self.state()
+            .filter(F.col("id").isin(job_ids) & (F.col("status") != "deleted"))
+            .collect()  # bounded by the explicit id list
+        )
+        updates = []
+        for r in rows:
+            d = r.asDict()
+            d.pop("seq", None)
+            d.update(status="deleted")
+            updates.append(d)
+        self.ledger.append_rows(updates)
+        self.ledger.add_tombstones([d["id"] for d in updates])
+        return len(updates)
+
+    def purge(self, queue: str, status: str = STATUS_ENQUEUED) -> int:
+        """Purge every job of a queue+state (enqueued_jobs.clj:50-54 DEL
+        of the whole list; dead_jobs.clj:56-57 / scheduled_jobs.clj:39-40
+        with status overrides). Tombstones are built executor-side — a
+        purge can touch an unbounded set."""
+        from goose_spark.streaming.ledger import next_seq
+
+        doomed = (
+            self.state()
+            .filter((F.col("queue") == queue) & (F.col("status") == status))
+            .withColumn("status", F.lit("deleted"))
+            .withColumn(
+                "seq",
+                F.lit(next_seq()) + F.pmod(F.xxhash64("id"), F.lit(1_000_000)),
+            )
+        ).persist()
+        try:
+            _, n = self.ledger.append_df(doomed)
+            self.ledger.add_tombstones_df(doomed)
+        finally:
+            doomed.unpersist()
+        return n
+
+    def pop_dead(self, n: int = 1) -> list[dict]:
+        """ZPOPMIN analog (dead_jobs.clj:11-14): return + delete the n
+        oldest dead jobs."""
+        jobs = self.peek_dead(n)
+        self.delete_jobs([j["id"] for j in jobs])
+        return jobs
+
     # ---- Q10: purge / retention -------------------------------------------------
 
     def delete_dead_older_than(self, cutoff: datetime) -> int:

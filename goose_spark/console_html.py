@@ -200,6 +200,36 @@ class ConsoleHtml:
             return 400, "text/plain", str(exc)
         return 404, "text/plain", f"no route: {path}"
 
+    def action_handler(self, path: str, params: dict | None = None):
+        """POST actions — the console's form buttons (pages/enqueued.clj
+        jobs-table form + components.clj prioritise/delete/replay btns).
+        ``ids`` is a comma-separated job-id list. Returns
+        ``(status, content_type, body)`` with a plain-text result."""
+        params = params or {}
+        ids = [i for i in params.get("ids", "").split(",") if i]
+        parts = [p for p in path.split("/") if p]
+        api = self.console.api
+        try:
+            if parts[:1] == ["enqueued"] and parts[-1:] == ["jobs"]:
+                action = params.get("action", "")
+                if action == "prioritise":
+                    return 200, "text/plain", f"prioritised {api.prioritise_execution(ids)}"
+                if action == "delete":
+                    return 200, "text/plain", f"deleted {api.delete_jobs(ids)}"
+                return 400, "text/plain", f"unknown action: {action}"
+            if parts[:1] == ["enqueued"] and parts[-1:] == ["purge"] and len(parts) == 4:
+                return 200, "text/plain", f"purged {api.purge(parts[2])}"
+            if parts == ["dead", "jobs"]:
+                action = params.get("action", "")
+                if action == "replay":
+                    return 200, "text/plain", f"replayed {api.replay_dead(int(params.get('n', 1)))}"
+                if action == "delete":
+                    return 200, "text/plain", f"deleted {api.delete_jobs(ids)}"
+                return 400, "text/plain", f"unknown action: {action}"
+        except ValueError as exc:
+            return 400, "text/plain", str(exc)
+        return 404, "text/plain", f"no action route: {path}"
+
 
 def serve(console: Console, port: int = 8080):
     """Mount the console on stdlib http.server (the Ring-adapter analog).
@@ -211,16 +241,25 @@ def serve(console: Console, port: int = 8080):
     html = ConsoleHtml(console)
 
     class Handler(http.server.BaseHTTPRequestHandler):
-        def do_GET(self):  # noqa: N802 (stdlib casing)
-            url = urllib.parse.urlparse(self.path)
-            params = {k: v[0] for k, v in urllib.parse.parse_qs(url.query).items()}
-            status, ctype, body = html.app_handler(url.path, params)
+        def _respond(self, status, ctype, body):
             data = body.encode()
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802 (stdlib casing)
+            url = urllib.parse.urlparse(self.path)
+            params = {k: v[0] for k, v in urllib.parse.parse_qs(url.query).items()}
+            self._respond(*html.app_handler(url.path, params))
+
+        def do_POST(self):  # noqa: N802
+            url = urllib.parse.urlparse(self.path)
+            length = int(self.headers.get("Content-Length", 0))
+            form = urllib.parse.parse_qs(self.rfile.read(length).decode())
+            params = {k: v[0] for k, v in form.items()}
+            self._respond(*html.action_handler(url.path, params))
 
         def log_message(self, *a):  # quiet test runs
             pass

@@ -79,10 +79,12 @@ class Ledger:
         self.log_dir = os.path.join(root, "log")
         self.scheduled_dir = os.path.join(root, "scheduled")
         self.batches_dir = os.path.join(root, "batches")
+        self.tombstones_dir = os.path.join(root, "tombstones")
         self.cron_path = os.path.join(root, "cron", "registry.parquet")
         self.checkpoint_dir = os.path.join(root, "checkpoint")
         for d in (self.log_dir, self.scheduled_dir, self.batches_dir,
-                  os.path.join(root, "cron"), self.checkpoint_dir):
+                  self.tombstones_dir, os.path.join(root, "cron"),
+                  self.checkpoint_dir):
             os.makedirs(d, exist_ok=True)
         self._sweep_stale_staging()
 
@@ -246,6 +248,56 @@ class Ledger:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return {"files_before": before, "rows_after": rows_after}
+
+    # ---- deletion tombstone index -----------------------------------------
+    #
+    # Deleting an undelivered job (console delete / purge,
+    # api/enqueued_jobs.clj:42-55) must also prevent its execution: the
+    # reference removes the element from the Redis list; a log source
+    # cannot un-append, so deletions are recorded in a side index the
+    # worker anti-joins per micro-batch. The index is O(deletions) tiny
+    # parquet files — never a log scan; compaction may clear entries whose
+    # log rows were physically dropped.
+
+    def add_tombstones(self, job_ids: list[str]) -> None:
+        if not job_ids:
+            return
+        table = pa.Table.from_pydict({"id": pa.array(job_ids, type=pa.string())})
+        tmp = os.path.join(self.tombstones_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.tombstones_dir, f"{next_seq()}.parquet"))
+
+    def add_tombstones_df(self, ids_df: DataFrame) -> int:
+        """Distributed variant for unbounded deletions (purge): id rows
+        are written executor-side then published into the index."""
+        import shutil as _shutil
+
+        staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
+        ids_df.select("id").write.mode("overwrite").parquet(staging)
+        rows = 0
+        try:
+            base = next_seq()
+            i = 0
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, f)
+                n = pq.ParquetFile(src).metadata.num_rows
+                if n == 0:
+                    continue
+                rows += n
+                os.replace(src, os.path.join(self.tombstones_dir, f"{base + i}.parquet"))
+                i += 1
+        finally:
+            _shutil.rmtree(staging, ignore_errors=True)
+        return rows
+
+    def tombstoned_ids(self, spark: SparkSession) -> DataFrame | None:
+        import glob
+
+        if not glob.glob(os.path.join(self.tombstones_dir, "*.parquet")):
+            return None
+        return spark.read.parquet(self.tombstones_dir).select("id").distinct()
 
     # ---- scheduled store (sorted-set analog) ------------------------------
 

@@ -282,8 +282,17 @@ class Worker:
         rows = batch_df.persist()
         try:
             with self._lock:
-                runnable = rows.filter(F.col("status") == STATUS_ENQUEUED)
-                to_park = rows.filter(F.col("status").isin(STATUS_SCHEDULED, STATUS_RETRYING))
+                # deletion guard (api/enqueued_jobs.clj:42-55): jobs
+                # tombstoned after enqueue must not execute — anti-join the
+                # O(deletions) side index, broadcast (it is tiny by
+                # construction, never the log)
+                dead_ids = self.ledger.tombstoned_ids(self.spark)
+                if dead_ids is not None:
+                    rows_live = rows.join(F.broadcast(dead_ids), "id", "left_anti")
+                else:
+                    rows_live = rows
+                runnable = rows_live.filter(F.col("status") == STATUS_ENQUEUED)
+                to_park = rows_live.filter(F.col("status").isin(STATUS_SCHEDULED, STATUS_RETRYING))
                 park_tbl = self._to_arrow(to_park)
                 self.ledger.park(park_tbl)
                 self._execute_and_log(runnable)

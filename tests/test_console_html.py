@@ -85,3 +85,47 @@ def test_http_server_roundtrip(site):
     finally:
         srv.shutdown()
         t.join(5)
+
+
+def test_post_actions_roundtrip(spark, tmp_path):
+    """Console form actions (pages/enqueued.clj jobs-table form): delete
+    via POST removes the job from the queue and it never executes; the
+    dead-jobs replay action re-enqueues."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    root = str(tmp_path / "ledger")
+    client = JobClient(root)
+    doomed = client.perform_async("noop", "x")
+    client.perform_async("always-fail", max_retries=0)
+    api = LedgerAPI(spark, root)
+    srv = serve(Console(api), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, **form):
+            data = urllib.parse.urlencode(form).encode()
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", data=data) as r:
+                return r.status, r.read().decode()
+
+        status, body = post("/enqueued/queue/default/jobs",
+                            action="delete", ids=doomed["id"])
+        assert status == 200 and body == "deleted 1"
+
+        worker = Worker(spark, root, rand_int=lambda n: 0)
+        worker.process_available()
+        assert worker.executions == 1  # the fail job; deleted one skipped
+
+        status, body = post("/dead/jobs", action="replay", n="1")
+        assert status == 200 and body == "replayed 1"
+
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/no/such", action="x")
+        assert exc.value.code == 404
+    finally:
+        srv.shutdown()
+        t.join(5)

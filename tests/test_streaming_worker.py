@@ -422,3 +422,50 @@ def test_scheduled_store_hour_bucket_prune(spark, ledger):
     # sweep with nothing due leaves the future bucket untouched on disk
     worker.tick()
     assert [os.path.basename(f) for f in ledger.scheduled_files()] == names
+
+
+# --- delete / purge / pop (api/{enqueued,scheduled,dead}_jobs.clj) ----------
+
+def test_delete_jobs_prevents_execution(spark, ledger):
+    """Deleting an undelivered job removes it from the queue semantics
+    (enqueued_jobs.clj:42-48): it must never execute, and the state view
+    reads deleted."""
+    client = JobClient(ledger)
+    doomed = client.perform_async("noop", "doomed")
+    kept = client.perform_async("noop", "kept")
+    api = LedgerAPI(spark, ledger)
+    assert api.delete_jobs([doomed["id"], "missing-id"]) == 1
+
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    assert worker.executions == 1  # only the kept job ran
+    assert api.find_by_id(doomed["id"])["status"] == "deleted"
+    assert api.find_by_id(kept["id"])["status"] == "success"
+
+
+def test_purge_queue(spark, ledger):
+    """Queue purge (enqueued_jobs.clj:50-54): every enqueued job of the
+    queue is deleted and never executes; other queues are untouched."""
+    client = JobClient(ledger)
+    for i in range(5):
+        client.perform_async("noop", i, queue="purge-me")
+    survivor = client.perform_async("noop", "other", queue="default")
+    api = LedgerAPI(spark, ledger)
+    assert api.purge("purge-me") == 5
+
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    assert worker.executions == 1
+    assert api.find_by_id(survivor["id"])["status"] == "success"
+    assert api.size(queue="purge-me") == 0
+
+
+def test_pop_dead_returns_and_deletes(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("always-fail", max_retries=0)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    api = LedgerAPI(spark, ledger)
+    popped = api.pop_dead(1)
+    assert len(popped) == 1 and popped[0]["execute_fn"] == "always-fail"
+    assert api.peek_dead(1) == []  # gone (ZPOPMIN semantics)
