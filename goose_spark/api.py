@@ -150,16 +150,21 @@ class LedgerAPI:
         self.ledger.add_tombstones([d["id"] for d in updates])
         return len(updates)
 
-    def purge(self, queue: str, status: str = STATUS_ENQUEUED) -> int:
+    def purge(self, queue: str | None, status=STATUS_ENQUEUED) -> int:
         """Purge every job of a queue+state (enqueued_jobs.clj:50-54 DEL
         of the whole list; dead_jobs.clj:56-57 / scheduled_jobs.clj:39-40
-        with status overrides). Tombstones are built executor-side — a
-        purge can touch an unbounded set."""
+        with status overrides; ``queue=None`` spans all queues, the shape
+        of the dead/scheduled zset purges). Tombstones are built
+        executor-side — a purge can touch an unbounded set."""
         from goose_spark.streaming.ledger import next_seq
 
+        statuses = [status] if isinstance(status, str) else list(status)
+        cond = F.col("status").isin(statuses)
+        if queue is not None:
+            cond &= F.col("queue") == queue
         doomed = (
             self.state()
-            .filter((F.col("queue") == queue) & (F.col("status") == status))
+            .filter(cond)
             .withColumn("status", F.lit("deleted"))
             .withColumn(
                 "seq",
@@ -179,6 +184,28 @@ class LedgerAPI:
         jobs = self.peek_dead(n)
         self.delete_jobs([j["id"] for j in jobs])
         return jobs
+
+    def purge_dead(self) -> int:
+        """dead_jobs.clj:56-57 — delete the whole dead set."""
+        return self.purge(None, STATUS_DEAD)
+
+    def purge_scheduled(self) -> int:
+        """scheduled_jobs.clj:39-40 — the scheduled zset holds both
+        scheduled and retrying members."""
+        return self.purge(None, (STATUS_SCHEDULED, STATUS_RETRYING))
+
+    def get_by_range(self, queue: str, start: int, stop: int,
+                     status: str = STATUS_ENQUEUED) -> list[dict]:
+        """LRANGE/ZRANGE start..stop inclusive (enqueued_jobs.clj:56-60,
+        dead_jobs.clj:59-61)."""
+        df = (
+            self.state()
+            .filter((F.col("status") == status) & (F.col("queue") == queue))
+            .orderBy("priority", F.col("enqueued_at"), "id")
+            .limit(stop + 1)
+            .offset(start)
+        )
+        return [r.asDict() for r in df.collect()]
 
     # ---- Q10: purge / retention -------------------------------------------------
 

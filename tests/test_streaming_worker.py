@@ -469,3 +469,25 @@ def test_pop_dead_returns_and_deletes(spark, ledger):
     popped = api.pop_dead(1)
     assert len(popped) == 1 and popped[0]["execute_fn"] == "always-fail"
     assert api.peek_dead(1) == []  # gone (ZPOPMIN semantics)
+
+
+def test_purge_all_and_get_by_range(spark, ledger):
+    client = JobClient(ledger)
+    for i in range(8):
+        client.perform_async("noop", i)
+    client.perform_at(utcnow() + timedelta(hours=1), "noop")
+    api = LedgerAPI(spark, ledger)
+
+    # LRANGE start..stop inclusive (enqueued_jobs.clj:56-60)
+    window = api.get_by_range("default", 2, 4)
+    assert len(window) == 3
+    all_ids = [j["id"] for j in api.get_by_range("default", 0, 99)]
+    assert [j["id"] for j in window] == all_ids[2:5]
+
+    # scheduled purge spans scheduled+retrying across queues
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    assert api.purge_scheduled() == 1
+    worker.tick()
+    st = api.dashboard_counts()
+    assert st.get("scheduled", 0) == 0 and st["success"] == 8
