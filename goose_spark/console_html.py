@@ -225,7 +225,23 @@ class ConsoleHtml:
                     return 200, "text/plain", f"replayed {api.replay_dead(int(params.get('n', 1)))}"
                 if action == "delete":
                     return 200, "text/plain", f"deleted {api.delete_jobs(ids)}"
+                if action == "purge":
+                    return 200, "text/plain", f"purged {api.purge_dead()}"
                 return 400, "text/plain", f"unknown action: {action}"
+            if parts == ["scheduled", "jobs"]:
+                action = params.get("action", "")
+                if action == "prioritise":
+                    return 200, "text/plain", f"prioritised {api.prioritise_execution(ids)}"
+                if action == "delete":
+                    return 200, "text/plain", f"deleted {api.delete_jobs(ids)}"
+                if action == "purge":
+                    return 200, "text/plain", f"purged {api.purge_scheduled()}"
+                return 400, "text/plain", f"unknown action: {action}"
+            if parts == ["cron", "delete"]:
+                name = params.get("name", "")
+                if api.cron_delete(name):
+                    return 200, "text/plain", f"cron deleted: {name}"
+                return 404, "text/plain", f"no cron: {name}"
         except ValueError as exc:
             return 400, "text/plain", str(exc)
         return 404, "text/plain", f"no action route: {path}"

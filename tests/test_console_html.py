@@ -121,7 +121,14 @@ def test_post_actions_roundtrip(spark, tmp_path):
         status, body = post("/dead/jobs", action="replay", n="1")
         assert status == 200 and body == "replayed 1"
 
+        status, body = post("/scheduled/jobs", action="purge")
+        assert status == 200 and body.startswith("purged")
+
         import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/cron/delete", name="not-a-cron")
+        assert exc.value.code == 404
 
         with pytest.raises(urllib.error.HTTPError) as exc:
             post("/no/such", action="x")
