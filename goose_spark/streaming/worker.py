@@ -165,12 +165,26 @@ class Worker:
                  retry_delay_fn: Callable[[int], int] | None = None,
                  metrics=None, middlewares: tuple = (),
                  emit_in_progress: bool = False,
-                 distributed_commit: bool = True):
+                 distributed_commit: bool = True,
+                 queues: list[str] | None = None):
         import threading
 
         self.spark = spark
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.worker_id = worker_id
+        # Queue binding (worker.clj:27,43 `:queue` opt): a scoped worker
+        # consumes/sweeps ONLY its queues, with its own checkpoint under
+        # checkpoint/<queue-group> so multiple scoped workers can share a
+        # ledger — the per-queue worker-fleet topology of the reference.
+        # None = consume everything (single-fleet default).
+        self.queues = sorted(queues) if queues else None
+        if self.queues:
+            self.checkpoint_dir = os.path.join(
+                self.ledger.root, "checkpoint-q-" + "-".join(self.queues)
+            )
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+        else:
+            self.checkpoint_dir = self.ledger.checkpoint_dir
         # Serializes the micro-batch body with the continuous-mode timer
         # thread: batch terminal transitions and due-sweeps must not
         # interleave, or both threads can derive + append the same batch
@@ -214,7 +228,7 @@ class Worker:
         stream = self.ledger.log_stream(self.spark)
         query = (
             stream.writeStream.foreachBatch(self._for_each_batch)
-            .option("checkpointLocation", self.ledger.checkpoint_dir)
+            .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
@@ -241,7 +255,7 @@ class Worker:
         stream = self.ledger.log_stream(self.spark)
         query = (
             stream.writeStream.foreachBatch(self._for_each_batch)
-            .option("checkpointLocation", self.ledger.checkpoint_dir)
+            .option("checkpointLocation", self.checkpoint_dir)
             .trigger(processingTime=f"{trigger_sec} seconds")
             .start()
         )
@@ -286,11 +300,15 @@ class Worker:
                 # tombstoned after enqueue must not execute — anti-join the
                 # O(deletions) side index, broadcast (it is tiny by
                 # construction, never the log)
+                rows_live = rows
+                if self.queues:
+                    # queue binding (worker.clj:27): scoped workers only
+                    # touch their queues; others' rows pass by unconsumed
+                    # semantically (their own checkpoint group owns them)
+                    rows_live = rows_live.filter(F.col("queue").isin(self.queues))
                 dead_ids = self.ledger.tombstoned_ids(self.spark)
                 if dead_ids is not None:
-                    rows_live = rows.join(F.broadcast(dead_ids), "id", "left_anti")
-                else:
-                    rows_live = rows
+                    rows_live = rows_live.join(F.broadcast(dead_ids), "id", "left_anti")
                 runnable = rows_live.filter(F.col("status") == STATUS_ENQUEUED)
                 to_park = rows_live.filter(F.col("status").isin(STATUS_SCHEDULED, STATUS_RETRYING))
                 park_tbl = self._to_arrow(to_park)
@@ -461,6 +479,15 @@ class Worker:
             return
         # latest parked row per id (a retry may re-park the same id)
         pdf = tbl.to_pandas().sort_values("seq").drop_duplicates("id", keep="last")
+        if self.queues:
+            # queue-scoped sweep: leave other queues' parked rows for
+            # their own worker; re-park them untouched below
+            others = pdf[~pdf["queue"].isin(self.queues)]
+            pdf = pdf[pdf["queue"].isin(self.queues)]
+            if len(others):
+                self.ledger.park(
+                    pa.Table.from_pandas(others, schema=ARROW_LOG_SCHEMA, preserve_index=False)
+                )
         # stale-guard: a parked row is live only if it is STILL the job's
         # latest ledger row (redelivered history must never re-execute)
         latest = {

@@ -491,3 +491,32 @@ def test_purge_all_and_get_by_range(spark, ledger):
     worker.tick()
     st = api.dashboard_counts()
     assert st.get("scheduled", 0) == 0 and st["success"] == 8
+
+
+def test_queue_scoped_workers(spark, ledger):
+    """Queue binding (worker.clj:27 `:queue` opt): two scoped workers
+    share one ledger, each with its own checkpoint group; each executes
+    only its queue, and a scheduled job parked in the other queue is
+    left for that queue's worker to sweep."""
+    client = JobClient(ledger)
+    for i in range(3):
+        client.perform_async("noop", i, queue="alpha")
+    for i in range(2):
+        client.perform_async("noop", i, queue="beta")
+    # past-due → immediate front-priority enqueue (S2), still beta-only
+    client.perform_at(utcnow() - timedelta(seconds=5), "noop", queue="beta")
+
+    wa = Worker(spark, ledger, worker_id="w-alpha", rand_int=lambda n: 0,
+                queues=["alpha"])
+    wa.process_available()
+    assert wa.executions == 3  # only alpha jobs; beta untouched
+    api = LedgerAPI(spark, ledger)
+    st = api.dashboard_counts()
+    assert st["success"] == 3 and st["enqueued"] == 3
+
+    wb = Worker(spark, ledger, worker_id="w-beta", rand_int=lambda n: 0,
+                queues=["beta"])
+    wb.process_available()  # consumes the whole log on ITS checkpoint
+    assert wb.executions == 3  # 2 async + 1 past-due scheduled
+    st = api.dashboard_counts()
+    assert st == {"success": 6}
