@@ -166,7 +166,8 @@ class Worker:
                  metrics=None, middlewares: tuple = (),
                  emit_in_progress: bool = False,
                  distributed_commit: bool = True,
-                 queues: list[str] | None = None):
+                 queues: list[str] | None = None,
+                 scheduler_role: bool | None = None):
         import threading
 
         self.spark = spark
@@ -185,6 +186,14 @@ class Worker:
             os.makedirs(self.checkpoint_dir, exist_ok=True)
         else:
             self.checkpoint_dir = self.ledger.checkpoint_dir
+        # Scheduler role: the scheduled store and cron registry are
+        # single-writer (the reference serializes them through Redis
+        # WATCH/MULTI); in a multi-fleet topology exactly one instance
+        # must own the due-sweep + cron tick. Default: the unscoped
+        # worker owns it, queue-scoped workers don't (their scheduled
+        # jobs come back as front-priority enqueued rows via the owner's
+        # sweep, same as goose's broker-side scheduler).
+        self.scheduler_role = (queues is None) if scheduler_role is None else scheduler_role
         # Serializes the micro-batch body with the continuous-mode timer
         # thread: batch terminal transitions and due-sweeps must not
         # interleave, or both threads can derive + append the same batch
@@ -324,8 +333,9 @@ class Worker:
         the stream's foreachBatch via the worker lock)."""
         with self._lock:
             self.registry.beat(self.worker_id)
-            self._sweep_due()
-            self._cron_tick()
+            if self.scheduler_role:
+                self._sweep_due()
+                self._cron_tick()
 
     # ------------------------------------------------------------------
 

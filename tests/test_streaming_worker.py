@@ -520,3 +520,35 @@ def test_queue_scoped_workers(spark, ledger):
     assert wb.executions == 3  # 2 async + 1 past-due scheduled
     st = api.dashboard_counts()
     assert st == {"success": 6}
+
+
+def test_scheduler_role_single_owner(spark, ledger):
+    """Scheduled store + cron registry are single-writer: scoped workers
+    don't sweep (their due jobs come back through the owner's sweep as
+    front-priority enqueued rows, which the scoped worker then consumes)."""
+    client = JobClient(ledger)
+    client.perform_at(utcnow() + timedelta(hours=1), "noop", queue="alpha")
+    owner = Worker(spark, ledger, worker_id="owner", rand_int=lambda n: 0)
+    scoped = Worker(spark, ledger, worker_id="w-a", rand_int=lambda n: 0,
+                    queues=["alpha"])
+    assert owner.scheduler_role and not scoped.scheduler_role
+
+    owner.process_available()  # parks the scheduled alpha job
+    scoped.process_available()  # scoped tick is a no-op on the store
+    files_before = sorted(ledger.scheduled_files())
+    scoped.tick()
+    assert sorted(ledger.scheduled_files()) == files_before
+
+    # make it due; only the owner's sweep re-enqueues it
+    import pyarrow as pa
+    from goose_spark.streaming.ledger import ARROW_LOG_SCHEMA
+
+    files = ledger.scheduled_files()
+    pdf = ledger.read_scheduled().to_pandas()
+    pdf["run_at"] = utcnow() - timedelta(seconds=1)
+    ledger.replace_scheduled(
+        pa.Table.from_pandas(pdf, schema=ARROW_LOG_SCHEMA, preserve_index=False), files
+    )
+    owner.tick()
+    # the owner executed it directly (due jobs jump the queue)
+    assert LedgerAPI(spark, ledger).dashboard_counts() == {"success": 1}
