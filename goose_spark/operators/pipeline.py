@@ -213,3 +213,54 @@ def ev1(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(clicked.cast("long")).alias("clicked_after_view"),
         F.sum(full.cast("long")).alias("full_funnel"),
     )
+
+
+@register(
+    "sp4_packed_shards",
+    f"""WITH toks AS (
+         SELECT doc_id, text,
+                len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, text, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+         FROM toks)
+       SELECT CAST(FLOOR(CAST(cum_before AS DOUBLE) / {_CTX_TOKENS}) AS BIGINT) AS chunk,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+              md5(string_agg(text, chr(30) ORDER BY doc_id)) AS shard_digest
+       FROM c GROUP BY 1 ORDER BY chunk LIMIT 50""",
+    doc=f"Packed training shards — the artifact sp3 only summarizes: "
+        f"documents concatenated (RS-separated) into {_CTX_TOKENS}-token "
+        f"context chunks in doc_id order; emitted as a digest so the "
+        f"oracle hash checks the exact packed bytes without shipping "
+        f"them. Same two-shuffle shape as sp3; at 100 TB the shard body "
+        f"writes straight to parquet from the executors and only the "
+        f"digest flows to any audit table.",
+    tags=("llm", "pipeline"),
+)
+def sp4(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", "text", token_count_ws(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = toks.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    chunk = F.floor(F.col("cum_before").cast("double") / _CTX_TOKENS).cast("long")
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "\x1e",
+    )
+    return (
+        c.groupBy(chunk.alias("chunk"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+            F.md5(packed).alias("shard_digest"),
+        )
+        .orderBy("chunk")
+        .limit(50)
+    )
