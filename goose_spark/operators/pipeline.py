@@ -109,9 +109,9 @@ def sp2(spark: SparkSession, sf: str) -> DataFrame:
        FROM c GROUP BY 1 ORDER BY chunk LIMIT 200""",
     doc=f"Concat-and-chunk sequence packing: prefix-sum of token counts "
         f"in doc_id order assigns each document to a {_CTX_TOKENS}-token "
-        f"context chunk. Single ordered window here; the 100 TB path is "
-        f"the standard two-pass variant (per-partition token subtotals "
-        f"to the driver, then per-partition offset + local prefix sum).",
+        f"context chunk. Single ordered window here (oracle-comparable "
+        f"form); the 100 TB path is token_chunks_two_pass below — the "
+        f"distributed two-pass prefix sum, tested output-identical.",
     tags=("llm", "pipeline"),
 )
 def sp3(spark: SparkSession, sf: str) -> DataFrame:
@@ -264,3 +264,71 @@ def sp4(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("chunk")
         .limit(50)
     )
+
+
+def token_chunks_two_pass(spark: SparkSession, sf: str,
+                          num_partitions: int = 32) -> DataFrame:
+    """Distributed sequence packing — the 100 TB form of sp3's prefix sum.
+
+    sp3's single ``Window.orderBy(doc_id)`` funnels the whole corpus
+    through one task; this is the standard two-pass replacement:
+
+    1. range-partition by doc_id + sort within partitions (global order
+       across partitions, parallel within);
+    2. pass 1: per-partition token subtotals → driver (O(partitions)
+       longs — the only driver traffic);
+    3. pass 2: each partition computes its local running sum plus its
+       partitions' offset (Arrow kernel, no shuffle).
+
+    The partitioned input is persisted between the passes so both see
+    the SAME range boundaries (repartitionByRange samples boundaries per
+    action otherwise). Output: (doc_id, n_tokens, chunk) identical to
+    the window formulation — asserted by test_two_pass_matches_window.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark import StorageLevel
+
+    d = t(spark, sf, "documents")
+    toks = (
+        d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
+        .repartitionByRange(num_partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        part_sums = {
+            r["pid"]: r["s"]
+            for r in toks.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(part_sums):
+            offsets[pid] = acc
+            acc += part_sums[pid]
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            carry = None  # running sum carried across Arrow batches
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if carry is None:
+                    carry = offsets[int(pdf["pid"].iloc[0])]
+                cum = pdf["n_tokens"].cumsum() + carry - pdf["n_tokens"]
+                carry += int(pdf["n_tokens"].sum())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_tokens": pdf["n_tokens"],
+                        "chunk": (cum // _CTX_TOKENS).astype("int64"),
+                    }
+                )
+
+        return toks.mapInPandas(
+            assign, schema="doc_id long, n_tokens long, chunk long"
+        )
+    finally:
+        # unpersist lazily after the plan is built; consumers re-trigger
+        # from cache within this session
+        pass

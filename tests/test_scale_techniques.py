@@ -92,3 +92,38 @@ def test_dd6_iterative_path_matches_fast_path(spark, monkeypatch):
     slow = load_all()["dd6_dedup_clusters"].builder(spark, SF_CORRECT).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert len(fast) > 0
+
+
+def test_two_pass_packing_matches_window(spark):
+    """The distributed two-pass prefix sum (range partition → partition
+    subtotals → per-partition offset + local cumsum) assigns every doc
+    the same chunk as sp3's single-task global window."""
+    from goose_spark.operators.pipeline import token_chunks_two_pass
+    from goose_spark.queries import load_all
+
+    from tests.conftest import SF_CORRECT
+
+    two_pass = {
+        (r["doc_id"], r["chunk"])
+        for r in token_chunks_two_pass(spark, SF_CORRECT).collect()
+    }
+    # reference: recompute the window form's per-doc assignment
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from goose_spark.operators.pipeline import _CTX_TOKENS
+    from goose_spark.operators.textlib import token_count_ws
+    from goose_spark.queries.base import t
+
+    d = t(spark, SF_CORRECT, "documents")
+    toks = d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        (r["doc_id"], r["chunk"])
+        for r in toks.withColumn(
+            "cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select("doc_id", F.floor(F.col("cum") / _CTX_TOKENS).cast("long").alias("chunk"))
+        .collect()
+    }
+    assert two_pass == ref and len(two_pass) > 0
