@@ -318,9 +318,12 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
               ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
        FROM customer ORDER BY c_custkey LIMIT 200""",
     doc="Distribution windows: NTILE quartiles + PERCENT_RANK over a "
-        "total order (tiebreak on key for determinism). One range "
-        "exchange; rank math is identical integer/double arithmetic on "
-        "both engines.",
+        "total order (tiebreak on key for determinism); rank math is "
+        "identical integer/double arithmetic on both engines. An "
+        "unpartitioned window is single-task by semantics — the 100 TB "
+        "substitute is rank()-over-range-partition + global counts "
+        "(percent_rank = (rank-1)/(n-1)), or percentile_approx when "
+        "approximate quantiles suffice (q29).",
 )
 def q49(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
