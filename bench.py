@@ -13,6 +13,12 @@ import os
 import sys
 import time
 
+# isolate flaky-job counters from any concurrent pytest/bench process
+# (must precede SparkSession creation so executor workers inherit it)
+os.environ.setdefault(
+    "GOOSE_SPARK_FLAKY_DIR", f"/tmp/goose-spark-flaky-bench-{os.getpid()}"
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -77,8 +77,14 @@ import tempfile as _tempfile
 
 #: attempt counters live on the shared filesystem, NOT process memory —
 #: executions land on arbitrary Python workers, so in-process state
-#: would reset per worker and the job would never "recover"
-FLAKY_DIR = _os.path.join(_tempfile.gettempdir(), "goose-spark-flaky")
+#: would reset per worker and the job would never "recover".
+#: GOOSE_SPARK_FLAKY_DIR isolates concurrent test/bench processes (in
+#: local mode executor python workers inherit the driver's environment,
+#: so setting it before SparkSession creation reaches the kernel too).
+FLAKY_DIR = _os.environ.get(
+    "GOOSE_SPARK_FLAKY_DIR",
+    _os.path.join(_tempfile.gettempdir(), "goose-spark-flaky"),
+)
 
 
 def reset_flaky() -> None:

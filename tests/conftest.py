@@ -11,6 +11,15 @@ TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF_SMOKE = os.path.join(TESTDATA_ROOT, "sf0.001")
 SF_CORRECT = os.path.join(TESTDATA_ROOT, "sf0.01")
 
+# Isolate the flaky-job attempt counters per test run: a concurrent
+# bench/pytest process sharing /tmp would reset or pollute another run's
+# counters mid-test. Must be set before the SparkSession exists so local
+# executor workers inherit it.
+os.environ.setdefault(
+    "GOOSE_SPARK_FLAKY_DIR",
+    os.path.join("/tmp", f"goose-spark-flaky-{os.getpid()}"),
+)
+
 
 @pytest.fixture(scope="session")
 def spark():
