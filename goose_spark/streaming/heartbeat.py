@@ -33,6 +33,11 @@ _SCHEMA = pa.schema(
         ("worker_id", pa.string()),
         ("registered_at", pa.timestamp("us")),
         ("last_beat_at", pa.timestamp("us")),
+        # Queue claim (worker.clj:27 `:queue` opt): the queues a scoped
+        # worker consumes on its own checkpoint, empty for an unscoped
+        # worker. The unscoped scheduler-owner reads these to avoid
+        # double-consuming a scoped fleet's queues.
+        ("queues", pa.list_(pa.string())),
     ]
 )
 
@@ -54,13 +59,15 @@ class ProcessRegistry:
     def _path(self, worker_id: str) -> str:
         return os.path.join(self.dir, f"{worker_id}.parquet")
 
-    def _write(self, worker_id: str, registered_at: datetime) -> None:
+    def _write(self, worker_id: str, registered_at: datetime,
+               queues: list[str] | None) -> None:
         table = pa.Table.from_pylist(
             [
                 {
                     "worker_id": worker_id,
                     "registered_at": registered_at,
                     "last_beat_at": _now(),
+                    "queues": list(queues or []),
                 }
             ],
             schema=_SCHEMA,
@@ -71,17 +78,19 @@ class ProcessRegistry:
 
     # -- process-set ops (add-to-set / del-from-set) -----------------------
 
-    def register(self, worker_id: str) -> None:
-        self._write(worker_id, _now())
+    def register(self, worker_id: str, queues: list[str] | None = None) -> None:
+        self._write(worker_id, _now(), queues)
 
     def beat(self, worker_id: str) -> None:
         """set-key-val with expiry (heartbeat.clj:29-32): refresh the
-        beat, preserving the original registration time."""
-        reg = _now()
+        beat, preserving the original registration time and queue claim."""
+        reg, queues = _now(), None
         path = self._path(worker_id)
         if os.path.exists(path):
-            reg = pq.read_table(path)["registered_at"][0].as_py()
-        self._write(worker_id, reg)
+            row = pq.read_table(path).to_pylist()[0]
+            reg = row["registered_at"]
+            queues = row.get("queues")
+        self._write(worker_id, reg, queues)
 
     def deregister(self, worker_id: str) -> None:
         """Graceful-stop dereg (heartbeat.clj:35-44). The engine has no
@@ -101,9 +110,27 @@ class ProcessRegistry:
             if not f.endswith(".parquet") or f.startswith("."):
                 continue
             row = pq.read_table(os.path.join(self.dir, f)).to_pylist()[0]
+            row.setdefault("queues", [])  # pre-claim registry files
             row["alive"] = row["last_beat_at"] >= cutoff
             out.append(row)
         return out
+
+    def claimed_queues(self, exclude_worker: str | None = None) -> set[str]:
+        """Queues owned by *registered* scoped workers. Claims do NOT
+        expire with the heartbeat: a crashed scoped worker's checkpoint
+        still owns its unacked micro-batch, so another consumer taking
+        over the queue before restart would double-execute the replay.
+        The claim lives until graceful deregistration — same contract as
+        the reference, where a queue's fleet owns it until shutdown."""
+        claimed: set[str] = set()
+        for f in sorted(os.listdir(self.dir)):
+            if not f.endswith(".parquet") or f.startswith("."):
+                continue
+            row = pq.read_table(os.path.join(self.dir, f)).to_pylist()[0]
+            if exclude_worker is not None and row["worker_id"] == exclude_worker:
+                continue
+            claimed.update(row.get("queues") or [])
+        return claimed
 
     def alive(self, worker_id: str, expire_sec: int = HEARTBEAT_EXPIRE_SEC) -> bool:
         path = self._path(worker_id)

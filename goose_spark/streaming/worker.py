@@ -225,7 +225,7 @@ class Worker:
         from goose_spark.streaming.heartbeat import ProcessRegistry
 
         self.registry = ProcessRegistry(self.ledger.root)
-        self.registry.register(self.worker_id)
+        self.registry.register(self.worker_id, self.queues)
 
     # ------------------------------------------------------------------
     # streaming entry points
@@ -309,17 +309,42 @@ class Worker:
                 # tombstoned after enqueue must not execute — anti-join the
                 # O(deletions) side index, broadcast (it is tiny by
                 # construction, never the log)
-                rows_live = rows
-                if self.queues:
-                    # queue binding (worker.clj:27): scoped workers only
-                    # touch their queues; others' rows pass by unconsumed
-                    # semantically (their own checkpoint group owns them)
-                    rows_live = rows_live.filter(F.col("queue").isin(self.queues))
+                rows_all = rows
                 dead_ids = self.ledger.tombstoned_ids(self.spark)
                 if dead_ids is not None:
-                    rows_live = rows_live.join(F.broadcast(dead_ids), "id", "left_anti")
+                    # the deletion index is O(deletions) — usually tiny —
+                    # but purge() can make it unbounded, so let Spark pick
+                    # the join strategy (AQE/autoBroadcastJoinThreshold)
+                    # instead of forcing a driver-side broadcast collect
+                    rows_all = rows_all.join(dead_ids, "id", "left_anti")
+                rows_live = rows_all
+                if self.queues:
+                    # queue binding (worker.clj:27): scoped workers only
+                    # execute their queues; others' rows pass by unconsumed
+                    # semantically (their own checkpoint group owns them)
+                    rows_live = rows_live.filter(F.col("queue").isin(self.queues))
+                else:
+                    # an unscoped worker must NOT consume queues a scoped
+                    # fleet has claimed — both read the same log on
+                    # separate checkpoints, so consuming here would run
+                    # every claimed-queue job twice. O(workers) registry
+                    # read per micro-batch, never O(jobs).
+                    claimed = sorted(
+                        self.registry.claimed_queues(exclude_worker=self.worker_id)
+                    )
+                    if claimed:
+                        rows_live = rows_live.filter(
+                            ~F.col("queue").isin(claimed)
+                        )
                 runnable = rows_live.filter(F.col("status") == STATUS_ENQUEUED)
-                to_park = rows_live.filter(F.col("status").isin(STATUS_SCHEDULED, STATUS_RETRYING))
+                # the scheduler-role holder is the store's single writer:
+                # it parks every queue's scheduled/retrying rows (the
+                # sweep re-routes other fleets' due rows via the log);
+                # non-owners park only what they consume. Double-parks
+                # (owner + scoped worker seeing the same row) collapse at
+                # sweep time via the per-id latest-seq dedup.
+                park_src = rows_all if self.scheduler_role else rows_live
+                to_park = park_src.filter(F.col("status").isin(STATUS_SCHEDULED, STATUS_RETRYING))
                 park_tbl = self._to_arrow(to_park)
                 self.ledger.park(park_tbl)
                 self._execute_and_log(runnable)
@@ -489,15 +514,6 @@ class Worker:
             return
         # latest parked row per id (a retry may re-park the same id)
         pdf = tbl.to_pandas().sort_values("seq").drop_duplicates("id", keep="last")
-        if self.queues:
-            # queue-scoped sweep: leave other queues' parked rows for
-            # their own worker; re-park them untouched below
-            others = pdf[~pdf["queue"].isin(self.queues)]
-            pdf = pdf[pdf["queue"].isin(self.queues)]
-            if len(others):
-                self.ledger.park(
-                    pa.Table.from_pandas(others, schema=ARROW_LOG_SCHEMA, preserve_index=False)
-                )
         # stale-guard: a parked row is live only if it is STILL the job's
         # latest ledger row (redelivered history must never re-execute)
         latest = {
@@ -526,8 +542,32 @@ class Worker:
         due = due.copy()
         due["priority"] = PRIORITY_FRONT
         due["status"] = STATUS_ENQUEUED
+        # Consume-split: the sweeping owner executes only queues IT
+        # consumes; due rows for other fleets' queues go back into the
+        # log as fresh front-priority enqueued rows, which the owning
+        # fleet's stream picks up on its own checkpoint — "come back as
+        # enqueued rows", the broker-side scheduler shape of the
+        # reference (scheduler.clj:22-48). Executing them here would
+        # double-run them (the owning fleet also consumes the log).
+        if self.queues:
+            consume_mask = due["queue"].isin(self.queues)
+        else:
+            claimed = self.registry.claimed_queues(exclude_worker=self.worker_id)
+            consume_mask = ~due["queue"].isin(sorted(claimed))
+        mine, theirs = due[consume_mask], due[~consume_mask]
+        if len(theirs):
+            theirs = theirs.copy()
+            base = next_seq()
+            theirs["seq"] = [base + i for i in range(len(theirs))]
+            self._append_log_table(
+                pa.Table.from_pandas(
+                    theirs, schema=ARROW_LOG_SCHEMA, preserve_index=False
+                )
+            )
+        if len(mine) == 0:
+            return
         due_df = self.spark.createDataFrame(
-            due, schema=self.ledger._spark_log_schema()
+            mine, schema=self.ledger._spark_log_schema()
         )
         self._execute_and_log(due_df)
 

@@ -550,5 +550,76 @@ def test_scheduler_role_single_owner(spark, ledger):
         pa.Table.from_pandas(pdf, schema=ARROW_LOG_SCHEMA, preserve_index=False), files
     )
     owner.tick()
-    # the owner executed it directly (due jobs jump the queue)
-    assert LedgerAPI(spark, ledger).dashboard_counts() == {"success": 1}
+    # the owner does NOT execute a claimed queue's job — it re-enqueues
+    # it into the log for the owning fleet (executing here would run it
+    # twice: the scoped worker's checkpoint also consumes the log)
+    api = LedgerAPI(spark, ledger)
+    assert api.dashboard_counts() == {"enqueued": 1}
+    owner.process_available()  # owner's stream skips the claimed queue
+    assert api.dashboard_counts() == {"enqueued": 1}
+    scoped.process_available()  # the owning fleet consumes it — exactly once
+    assert api.dashboard_counts() == {"success": 1}
+    assert scoped.executions == 1 and owner.executions == 0
+
+
+def test_mixed_topology_no_double_execution(spark, ledger):
+    """The default mixed topology (unscoped scheduler-owner + scoped
+    fleets) must execute each job exactly once: the owner and the scoped
+    worker read the same log on separate checkpoints, so the owner must
+    skip claimed queues entirely."""
+    client = JobClient(ledger)
+    for i in range(3):
+        client.perform_async("noop", i, queue="alpha")
+    client.perform_async("noop", 99)  # default queue → owner's
+    owner = Worker(spark, ledger, worker_id="owner", rand_int=lambda n: 0)
+    scoped = Worker(spark, ledger, worker_id="w-a", rand_int=lambda n: 0,
+                    queues=["alpha"])
+
+    owner.process_available()
+    scoped.process_available()
+    owner.process_available()  # second pass: nothing new to consume
+
+    assert owner.executions == 1  # only the default-queue job
+    assert scoped.executions == 3  # only alpha, once each
+    api = LedgerAPI(spark, ledger)
+    assert api.dashboard_counts() == {"success": 4}
+    # success rows per job id: exactly one each (the double-run signature
+    # would be 2 success rows for alpha ids)
+    log = spark.read.parquet(ledger.log_dir)
+    from pyspark.sql import functions as F
+    dup = (log.filter(F.col("status") == "success").groupBy("id")
+           .count().filter(F.col("count") > 1).count())
+    assert dup == 0
+
+
+def test_scoped_scheduler_reenqueues_other_queues(spark, ledger):
+    """A scoped worker holding the scheduler role sweeps the shared
+    store but executes only its own queues; other queues' due rows come
+    back as enqueued log rows instead of staying parked forever."""
+    client = JobClient(ledger)
+    client.perform_async("noop", queue="alpha")
+    client.perform_at(utcnow() + timedelta(hours=1), "noop", queue="gamma")
+    scoped = Worker(spark, ledger, worker_id="w-a", rand_int=lambda n: 0,
+                    queues=["alpha"], scheduler_role=True)
+    scoped.process_available()  # executes alpha; parks the gamma schedule
+    assert scoped.executions == 1
+
+    import pyarrow as pa
+    from goose_spark.streaming.ledger import ARROW_LOG_SCHEMA
+
+    files = ledger.scheduled_files()
+    pdf = ledger.read_scheduled().to_pandas()
+    pdf["run_at"] = utcnow() - timedelta(seconds=1)
+    ledger.replace_scheduled(
+        pa.Table.from_pandas(pdf, schema=ARROW_LOG_SCHEMA, preserve_index=False), files
+    )
+    scoped.tick()  # sweeps gamma due row → re-enqueued, NOT executed
+    api = LedgerAPI(spark, ledger)
+    st = api.dashboard_counts()
+    assert st.get("scheduled", 0) == 0  # no longer parked
+    assert st.get("enqueued", 0) >= 1  # gamma came back as an enqueued row
+    gamma = Worker(spark, ledger, worker_id="w-g", rand_int=lambda n: 0,
+                   queues=["gamma"])
+    gamma.process_available()
+    assert gamma.executions == 1
+    assert api.dashboard_counts().get("scheduled", 0) == 0
