@@ -109,19 +109,15 @@ def sp2(spark: SparkSession, sf: str) -> DataFrame:
        FROM c GROUP BY 1 ORDER BY chunk LIMIT 200""",
     doc=f"Concat-and-chunk sequence packing: prefix-sum of token counts "
         f"in doc_id order assigns each document to a {_CTX_TOKENS}-token "
-        f"context chunk. Single ordered window here (oracle-comparable "
-        f"form); the 100 TB path is token_chunks_two_pass below — the "
-        f"distributed two-pass prefix sum, tested output-identical.",
+        f"context chunk. Runs on the two-pass distributed prefix sum "
+        f"(token_chunks_two_pass): per-bucket offsets + partitioned "
+        f"windows — no single-task global window at any scale.",
     tags=("llm", "pipeline"),
 )
 def sp3(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents")
-    toks = d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = toks.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    chunk = F.floor(F.col("cum_before").cast("double") / _CTX_TOKENS).cast("long")
+    c = token_chunks_two_pass(spark, sf)
     return (
-        c.groupBy(chunk.alias("chunk"))
+        c.groupBy("chunk")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("chunk_tokens"))
         .orderBy("chunk")
         .limit(200)
@@ -236,17 +232,15 @@ def ev1(spark: SparkSession, sf: str) -> DataFrame:
         f"documents concatenated (RS-separated) into {_CTX_TOKENS}-token "
         f"context chunks in doc_id order; emitted as a digest so the "
         f"oracle hash checks the exact packed bytes without shipping "
-        f"them. Same two-shuffle shape as sp3; at 100 TB the shard body "
-        f"writes straight to parquet from the executors and only the "
-        f"digest flows to any audit table.",
+        f"them. Chunk assignment rides the two-pass distributed prefix "
+        f"sum (text carried through the bucket-partitioned window, "
+        f"never a single task); at 100 TB the shard body writes straight "
+        f"to parquet from the executors and only the digest flows to any "
+        f"audit table.",
     tags=("llm", "pipeline"),
 )
 def sp4(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents")
-    toks = d.select("doc_id", "text", token_count_ws(F.col("text")).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = toks.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    chunk = F.floor(F.col("cum_before").cast("double") / _CTX_TOKENS).cast("long")
+    c = token_chunks_two_pass(spark, sf, with_text=True)
     packed = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
@@ -255,7 +249,7 @@ def sp4(spark: SparkSession, sf: str) -> DataFrame:
         "\x1e",
     )
     return (
-        c.groupBy(chunk.alias("chunk"))
+        c.groupBy("chunk")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("chunk_tokens"),
@@ -267,68 +261,62 @@ def sp4(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def token_chunks_two_pass(spark: SparkSession, sf: str,
-                          num_partitions: int = 32) -> DataFrame:
+                          num_buckets: int = 256,
+                          with_text: bool = False) -> DataFrame:
     """Distributed sequence packing — the 100 TB form of sp3's prefix sum.
 
-    sp3's single ``Window.orderBy(doc_id)`` funnels the whole corpus
-    through one task; this is the standard two-pass replacement:
+    A single ``Window.orderBy(doc_id)`` funnels the whole corpus through
+    one task; this is the standard two-pass replacement, expressed as
+    pure DataFrame algebra (no persist, no Python kernel):
 
-    1. range-partition by doc_id + sort within partitions (global order
-       across partitions, parallel within);
-    2. pass 1: per-partition token subtotals → driver (O(partitions)
-       longs — the only driver traffic);
-    3. pass 2: each partition computes its local running sum plus its
-       partitions' offset (Arrow kernel, no shuffle).
+    1. bucket each doc by an EXPLICIT order-respecting function of
+       doc_id (uniform [min,max] width buckets — monotone, so bucket i's
+       ids all precede bucket i+1's). The bucket id is a deterministic
+       value function, so both passes agree without caching anything;
+    2. pass 1: per-bucket token subtotals → driver (O(buckets) longs —
+       the only driver traffic) → running offsets, broadcast-joined back;
+    3. pass 2: ``Window.partitionBy(bucket).orderBy(doc_id)`` local
+       prefix sum + the bucket's offset — every bucket ranks in
+       parallel; no single-partition exchange anywhere.
 
-    The partitioned input is persisted between the passes so both see
-    the SAME range boundaries (repartitionByRange samples boundaries per
-    action otherwise). Output: (doc_id, n_tokens, chunk) identical to
-    the window formulation — asserted by test_two_pass_matches_window.
+    Output (doc_id, n_tokens, chunk) is identical to the global-window
+    formulation for ANY bucketing (offsets are exact sums), asserted by
+    test_two_pass_packing_matches_window. Tokenization runs once per
+    pass; a production pipeline would checkpoint the (doc_id, n_tokens)
+    projection instead of recomputing — uniform buckets assume roughly
+    uniform doc_id density; quantile boundaries handle skewed id spaces.
     """
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark import StorageLevel
-
     d = t(spark, sf, "documents")
-    toks = (
-        d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
-        .repartitionByRange(num_partitions, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    lohi = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    if lohi["lo"] is None:
+        empty = "doc_id long, n_tokens long, chunk long"
+        if with_text:
+            empty += ", text string"
+        return spark.createDataFrame([], empty)
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])
+    width = max((hi - lo + 1) / num_buckets, 1e-9)
+    pid = F.least(
+        F.lit(num_buckets - 1), F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    carried = ["doc_id", "text"] if with_text else ["doc_id"]
+    toks = d.select(
+        *carried,
+        token_count_ws(F.col("text")).alias("n_tokens"),
+        pid.alias("pid"),
     )
-    try:
-        part_sums = {
-            r["pid"]: r["s"]
-            for r in toks.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
-        }
-        offsets, acc = {}, 0
-        for pid in sorted(part_sums):
-            offsets[pid] = acc
-            acc += part_sums[pid]
-
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            carry = None  # running sum carried across Arrow batches
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                if carry is None:
-                    carry = offsets[int(pdf["pid"].iloc[0])]
-                cum = pdf["n_tokens"].cumsum() + carry - pdf["n_tokens"]
-                carry += int(pdf["n_tokens"].sum())
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"],
-                        "n_tokens": pdf["n_tokens"],
-                        "chunk": (cum // _CTX_TOKENS).astype("int64"),
-                    }
-                )
-
-        return toks.mapInPandas(
-            assign, schema="doc_id long, n_tokens long, chunk long"
-        )
-    finally:
-        # unpersist lazily after the plan is built; consumers re-trigger
-        # from cache within this session
-        pass
+    sums = toks.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    offs, acc = [], 0
+    for r in sorted(sums, key=lambda r: r["pid"]):
+        offs.append((int(r["pid"]), acc))
+        acc += int(r["s"])
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_before = F.col("off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    chunk = F.floor(cum_before.cast("double") / _CTX_TOKENS).cast("long")
+    return (
+        toks.join(F.broadcast(off_df), "pid")
+        .withColumn("chunk", chunk)
+        .select("doc_id", "n_tokens", "chunk", *(["text"] if with_text else []))
+    )

@@ -42,6 +42,15 @@ class PlanReport:
         )
 
     @property
+    def single_partition_exchanges(self) -> int:
+        """Count of plan nodes funneling ALL rows into one task — the
+        at-scale anti-pattern (global unpartitioned Window/Sort). The
+        final TakeOrderedAndProject of an orderBy+limit does not count:
+        it merges per-partition top-Ks, it never materializes the full
+        order."""
+        return self.text.count("Exchange SinglePartition")
+
+    @property
     def has_window_group_limit(self) -> bool:
         return "WindowGroupLimit" in self.text
 

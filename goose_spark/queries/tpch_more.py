@@ -318,24 +318,61 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
               ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
        FROM customer ORDER BY c_custkey LIMIT 200""",
     doc="Distribution windows: NTILE quartiles + PERCENT_RANK over a "
-        "total order (tiebreak on key for determinism); rank math is "
-        "identical integer/double arithmetic on both engines. An "
-        "unpartitioned window is single-task by semantics — the 100 TB "
-        "substitute is rank()-over-range-partition + global counts "
-        "(percent_rank = (rank-1)/(n-1)), or percentile_approx when "
-        "approximate quantiles suffice (q29).",
+        "total order (tiebreak on key for determinism), computed by a "
+        "distributed two-pass rank instead of an unpartitioned window: "
+        "value-bucket the order key (explicit uniform [min,max] buckets "
+        "— monotone, so global order is bucket-major), per-bucket counts "
+        "→ running offsets broadcast back, then row_number within each "
+        "bucket in parallel. global_rank = offset + local row_number; "
+        "percent_rank = (rank-1)/(n-1); ntile(4) is the exact piecewise "
+        "size formula on the global rank. No single-partition exchange "
+        "at any scale; quantile boundaries replace uniform buckets for "
+        "skewed keys.",
 )
 def q49(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    c = t(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    c = t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    # bucket = floor(dollars): any MONOTONE function of the order key
+    # works (offsets are exact counts, so the result is
+    # bucketing-independent); this one needs no min/max pre-pass.
+    # O(distinct dollar amounts) buckets — ~11k for TPC-H acctbal —
+    # stays tiny at any row count.
+    cb = c.withColumn("b", F.floor("c_acctbal").cast("int"))
+    # pass 1: O(buckets) counts → running offsets (tiny driver round-trip)
+    per = cb.groupBy("b").agg(F.count("*").alias("cnt")).collect()
+    n = sum(int(r["cnt"]) for r in per)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "c_custkey long, bal double, quartile int, pr double"
+        )
+    offs, acc = [], 0
+    for r in sorted(per, key=lambda r: r["b"]):
+        offs.append((int(r["b"]), acc))
+        acc += int(r["cnt"])
+    off_df = spark.createDataFrame(offs, "b int, off long")
+    # pass 2: per-bucket row_number (parallel across buckets); the
+    # (c_acctbal, c_custkey) order is unique, so row_number == rank ==
+    # the global window's percent_rank/ntile basis
+    w = Window.partitionBy("b").orderBy("c_acctbal", "c_custkey")
+    rank = (F.col("off") + F.row_number().over(w)).alias("rank")
+    ranked = cb.join(F.broadcast(off_df), "b").select("c_custkey", "c_acctbal", rank)
+    # ntile(4): first r tiles get q+1 rows, the rest q (exact SQL spec)
+    q_, r_ = divmod(n, 4)
+    big = r_ * (q_ + 1)
+    if q_ == 0:
+        quartile = F.ceil(F.col("rank") / F.lit(q_ + 1))
+    else:
+        quartile = F.when(
+            F.col("rank") <= big, F.ceil(F.col("rank") / F.lit(q_ + 1))
+        ).otherwise(F.lit(r_) + F.ceil((F.col("rank") - F.lit(big)) / F.lit(q_)))
+    pr = (F.col("rank") - F.lit(1)).cast("double") / F.lit(float(max(n - 1, 1)))
     return (
-        c.select(
+        ranked.select(
             "c_custkey",
             F.round("c_acctbal", 2).alias("bal"),
-            F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            quartile.cast("int").alias("quartile"),
+            F.round(pr, 6).alias("pr"),
         )
         .orderBy("c_custkey")
         .limit(200)

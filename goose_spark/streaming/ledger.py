@@ -148,7 +148,14 @@ class Ledger:
                 if not f.endswith(".parquet"):
                     continue
                 src = os.path.join(staging, f)
-                rows += pq.ParquetFile(src).metadata.num_rows
+                n = pq.ParquetFile(src).metadata.num_rows
+                if n == 0:
+                    # empty parts (tasks that got no rows) must not reach
+                    # log/: the streaming source's listing + checkpoint
+                    # index grows per file, and a wide repartition emits
+                    # up to `width` empties per micro-batch
+                    continue
+                rows += n
                 dst = os.path.join(self.log_dir, f"{base + i}-{uuid.uuid4().hex}.parquet")
                 os.replace(src, dst)
                 moved.append(dst)
@@ -201,15 +208,62 @@ class Ledger:
         self.state(spark).write.mode("overwrite").partitionBy("status").parquet(dest)
         return spark.read.parquet(dest)
 
+    # ---- batch entity reads ------------------------------------------------
+
+    def batches_state(self) -> dict[str, dict]:
+        """Latest event-sourced row per batch id. O(batches) driver-side
+        pyarrow — the analog of goose's per-batch hash GETs."""
+        rows: dict[str, dict] = {}
+        for f in sorted(os.listdir(self.batches_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            for r in pq.read_table(os.path.join(self.batches_dir, f)).to_pylist():
+                cur = rows.get(r["id"])
+                if cur is None or r["seq"] > cur["seq"]:
+                    rows[r["id"]] = r
+        return rows
+
+    def expired_batch_ids(self, now=None) -> list[str]:
+        """Terminal batches past their OWN linger — parity with goose's
+        per-batch EXPIRE (src/goose/brokers/redis/batch.clj:136-160: the
+        batch hash + job sets get the batch's linger-sec after each
+        terminal callback, not a global retention). The terminal row's
+        ``seq`` is the ns-clock terminal timestamp."""
+        import datetime as _dt
+
+        now_ns = (
+            time.time_ns()
+            if now is None
+            else int(now.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e9)
+        )
+        out = []
+        for bid, row in self.batches_state().items():
+            if row["status"] == "in-progress":
+                continue
+            linger = row.get("linger_sec")
+            if linger is None:
+                continue
+            if row["seq"] + int(linger) * 1_000_000_000 <= now_ns:
+                out.append(bid)
+        return sorted(out)
+
     # ---- compaction (retention / VACUUM analog) ----------------------------
 
-    def compact(self, spark: SparkSession, drop_terminal_before=None) -> dict:
+    def compact(self, spark: SparkSession, drop_terminal_before=None,
+                apply_batch_linger: bool = True, now=None) -> dict:
         """Rewrite the log to current-state rows only (one row per job),
         optionally dropping terminal rows (success/dead/deleted) older
         than ``drop_terminal_before`` — goose's key-expiry/retention
         (EXPIRE on batch keys, ZREMRANGEBYSCORE retention) as a
         compaction job. At 100 TB this is Delta OPTIMIZE + VACUUM per
         date partition; here: write-new-then-swap on the log directory.
+
+        ``apply_batch_linger`` additionally drops every job row belonging
+        to a terminal batch past that batch's OWN ``linger_sec`` (and the
+        batch's entity rows) — the per-batch EXPIRE of
+        src/goose/brokers/redis/batch.clj:136-160. A 0-linger batch
+        vanishes at the first compaction after its callback; a long-linger
+        batch in the same ledger survives.
 
         Safe to run only while no worker holds the ledger (single-writer
         rule — same constraint goose's purge APIs have).
@@ -228,6 +282,13 @@ class Ledger:
                 & (F.coalesce(F.col("died_at"), F.col("enqueued_at")) < F.lit(drop_terminal_before))
             )
             state = state.filter(keep)
+        expired = self.expired_batch_ids(now) if apply_batch_linger else []
+        if expired:
+            # anti-join, not isin(): the expired set is O(batches) and a
+            # long-lived ledger can hold many — keep it off the plan's
+            # literal list and let Spark pick the join strategy
+            exp_df = spark.createDataFrame([(b,) for b in expired], "batch_id string")
+            state = state.join(exp_df, "batch_id", "left_anti")
         staging = os.path.join(self.root, f".compact-{uuid.uuid4().hex}")
         state.write.mode("overwrite").parquet(staging)
         before = len(glob.glob(os.path.join(self.log_dir, "*.parquet")))
@@ -247,7 +308,29 @@ class Ledger:
                 )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        return {"files_before": before, "rows_after": rows_after}
+        if expired:
+            # drop the expired batches' entity rows too (the EXPIRE hits
+            # the batch hash itself in the reference)
+            gone = set(expired)
+            for f in sorted(os.listdir(self.batches_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(self.batches_dir, f)
+                tbl = pq.read_table(p)
+                keep_rows = [r for r in tbl.to_pylist() if r["id"] not in gone]
+                if len(keep_rows) == len(tbl):
+                    continue
+                if keep_rows:
+                    tmp = p + ".tmp"
+                    pq.write_table(pa.Table.from_pylist(keep_rows, schema=tbl.schema), tmp)
+                    os.replace(tmp, p)
+                else:
+                    os.remove(p)
+        return {
+            "files_before": before,
+            "rows_after": rows_after,
+            "expired_batches": len(expired),
+        }
 
     # ---- deletion tombstone index -----------------------------------------
     #

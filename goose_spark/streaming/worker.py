@@ -673,16 +673,7 @@ class Worker:
                 )
 
     def _batches_state(self) -> dict[str, dict]:
-        rows: dict[str, dict] = {}
-        d = self.ledger.batches_dir
-        for f in sorted(os.listdir(d)):
-            if not f.endswith(".parquet"):
-                continue
-            for r in pq.read_table(os.path.join(d, f)).to_pylist():
-                cur = rows.get(r["id"])
-                if cur is None or r["seq"] > cur["seq"]:
-                    rows[r["id"]] = r
-        return rows
+        return self.ledger.batches_state()
 
     def _append_batch_update(self, row: dict) -> None:
         schema = None

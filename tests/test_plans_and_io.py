@@ -102,11 +102,34 @@ def test_hash_split_never_reads_text(spark):
     assert r.scanned_columns("documents") == ["doc_id", "n_chars"]
 
 
-def test_token_chunking_no_shuffle(spark):
-    # single ordered window + TakeOrdered; no hash/range exchange
+def test_token_chunking_distributed(spark):
+    # two-pass prefix sum: bucket-partitioned window, never a global one.
+    # The single-partition exchange (one task holds the corpus) is the
+    # plan this test exists to keep dead.
     r = report(REGISTRY["sp3_token_chunking"].builder(spark, SF_CORRECT))
-    assert r.shuffles == 0
+    assert r.single_partition_exchanges == 0
+    assert r.shuffles >= 1  # hashpartitioning(pid) — parallel by design
     assert r.has_take_ordered
+
+
+def test_packed_shards_distributed(spark):
+    r = report(REGISTRY["sp4_packed_shards"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges == 0
+
+
+def test_ntile_percent_rank_distributed(spark):
+    # two-pass rank: per-bucket row_number + broadcast offsets — no
+    # unpartitioned NTILE/PERCENT_RANK window
+    r = report(REGISTRY["q49_ntile_percent_rank"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges == 0
+    assert r.broadcast_joins >= 1  # the O(buckets) offset map
+
+
+def test_moment_stats_no_window(spark):
+    # one-pass power-sum aggregation; no Window operator in the plan
+    r = report(REGISTRY["q50_moment_stats"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges == 0
+    assert "Window" not in r.text
 
 
 # --- sources / sinks ---------------------------------------------------------

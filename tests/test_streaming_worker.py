@@ -393,6 +393,33 @@ def test_ledger_compaction(spark, ledger):
     assert stats2["rows_after"] == 0
 
 
+def test_per_batch_linger_compaction(spark, ledger):
+    """Per-batch EXPIRE parity (brokers/redis/batch.clj:136-160): each
+    terminal batch's rows live for ITS OWN linger_sec after the terminal
+    transition — a 0-linger batch is compacted away while a long-linger
+    batch in the same ledger survives."""
+    client = JobClient(ledger)
+    short = client.perform_batch("noop", [(1,), (2,)], linger_sec=0)
+    longb = client.perform_batch("noop", [(3,), (4,)], linger_sec=86400)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    batches = ledger.batches_state()
+    assert batches[short["id"]]["status"] == "success"
+    assert batches[longb["id"]]["status"] == "success"
+
+    # not yet expired at terminal time − 1s; expired strictly after
+    assert ledger.expired_batch_ids(now=utcnow() - timedelta(seconds=1)) == []
+    stats = ledger.compact(spark)  # now > terminal + 0s for the short batch
+    assert stats["expired_batches"] == 1
+    remaining = {r["batch_id"] for r in ledger.log(spark).collect()}
+    assert short["id"] not in remaining and longb["id"] in remaining
+    # the expired batch's entity rows are gone; the long one's remain
+    after = ledger.batches_state()
+    assert short["id"] not in after and longb["id"] in after
+    # idempotent: a second compaction expires nothing new
+    assert ledger.compact(spark)["expired_batches"] == 0
+
+
 def test_queue_validation():
     with pytest.raises(ValueError):
         JobClient.__new__(JobClient)  # bypass init for static check

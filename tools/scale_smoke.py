@@ -24,8 +24,12 @@ OPS = [
     "dd6_dedup_clusters",
     "sp1_hash_split",
     "sp3_token_chunking",
+    "sp4_packed_shards",
     "q48_token_topk",
+    "q49_ntile_percent_rank",
+    "q50_moment_stats",
     "tx1_token_counts",
+    "ss2_ann_lsh",
     "ss3_ann_ivf",
 ]
 
@@ -61,6 +65,28 @@ def build_scaled(spark, n_copies: int) -> str:
     for c in ecopies[1:]:
         ebig = ebig.unionAll(c)
     ebig.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # relational tables for the two-pass rank / moment queries: shift the
+    # keys per copy, keep value distributions identical
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    ccopies = [
+        cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000))
+        for i in range(n_copies)
+    ]
+    cbig = ccopies[0]
+    for c in ccopies[1:]:
+        cbig = cbig.unionAll(c)
+    cbig.repartition(32).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    lcopies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
+        for i in range(n_copies)
+    ]
+    lbig = lcopies[0]
+    for c in lcopies[1:]:
+        lbig = lbig.unionAll(c)
+    lbig.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     return out
 
 
@@ -77,15 +103,27 @@ def main() -> None:
 
     print(f"| operator | 1x sec | {n_copies}x sec | ratio |")
     print("|---|---|---|---|")
-    for name in OPS:
-        spec = registry[name]
+
+    def run(name, spec):
         t0 = time.perf_counter()
         spec.builder(spark, SF).count()
         base = time.perf_counter() - t0
         t0 = time.perf_counter()
         spec.builder(spark, scaled).count()
         big = time.perf_counter() - t0
-        print(f"| {name} | {base:.2f} | {big:.2f} | {big / base:.1f}x |")
+        print(f"| {name} | {base:.2f} | {big:.2f} | {big / base:.1f}x |", flush=True)
+
+    for name in OPS:
+        run(name, registry[name])
+    # dd6's iterative min-label path (the >2M-edge plan), forced
+    from goose_spark.operators import clusters
+
+    saved = clusters.FAST_PATH_MAX_EDGES
+    clusters.FAST_PATH_MAX_EDGES = -1
+    try:
+        run("dd6_dedup_clusters (iterative path)", registry["dd6_dedup_clusters"])
+    finally:
+        clusters.FAST_PATH_MAX_EDGES = saved
 
 
 if __name__ == "__main__":
