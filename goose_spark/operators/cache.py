@@ -1,0 +1,53 @@
+"""Session-scoped persisted-DataFrame caches, with eviction.
+
+Several operators reuse an expensive intermediate (projected embeddings,
+shingled docs, LSH band tables) across queries in one session; persisting
+it makes the kernel run once per session — at 100 TB the same role is
+played by a parquet checkpoint. The naive module-dict version leaks:
+entries keyed by a stopped session's applicationId accumulate forever
+and their DataFrame handles pin storage bookkeeping. This helper evicts
+any entry whose applicationId no longer matches the active session
+(unpersisting it, best-effort — a dead JVM already freed the blocks) and
+exposes an explicit clear hook.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every cache dict registered through get_or_persist, for clear_caches()
+_ALL_CACHES: list[dict] = []
+
+
+def get_or_persist(cache: dict, spark: SparkSession, extra_key,
+                   build: Callable[[], DataFrame]) -> DataFrame:
+    from pyspark import StorageLevel
+
+    if not any(c is cache for c in _ALL_CACHES):
+        _ALL_CACHES.append(cache)
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app]:
+        df = cache.pop(k)
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — the owning session is gone
+            pass
+    key = (app, extra_key)
+    df = cache.get(key)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        cache[key] = df
+    return df
+
+
+def clear_caches() -> None:
+    """Unpersist and drop every cached intermediate (all sessions)."""
+    for cache in _ALL_CACHES:
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        cache.clear()

@@ -156,32 +156,25 @@ _PAIRS_CACHE: dict = {}
 
 
 def shingled_docs(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from goose_spark.operators.cache import get_or_persist
 
-    key = (spark.sparkContext.applicationId, sf)
-    df = _SHINGLE_CACHE.get(key)
-    if df is None:
-        df = (
-            with_shingles(t(spark, sf, "documents"))
-            .select("doc_id", "sh")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        _SHINGLE_CACHE[key] = df
-    return df
+    return get_or_persist(
+        _SHINGLE_CACHE,
+        spark,
+        sf,
+        lambda: with_shingles(t(spark, sf, "documents")).select("doc_id", "sh"),
+    )
 
 
 def lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Verified near-dup pairs (a_id, b_id, jac) — the shared output of
     the MinHash→LSH→exact-Jaccard pipeline, materialized once per
     session."""
-    from pyspark import StorageLevel
+    from goose_spark.operators.cache import get_or_persist
 
-    key = (spark.sparkContext.applicationId, sf)
-    df = _PAIRS_CACHE.get(key)
-    if df is None:
-        df = _build_pairs(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
-        _PAIRS_CACHE[key] = df
-    return df
+    return get_or_persist(
+        _PAIRS_CACHE, spark, sf, lambda: _build_pairs(spark, sf)
+    )
 
 
 def _build_pairs(spark: SparkSession, sf: str) -> DataFrame:

@@ -49,29 +49,103 @@ MIN_CHARS = 100
 JACCARD_T = 0.5
 
 
-def _publish(df: DataFrame, root: str, dest: str) -> int:
-    """Staged executor-side append into ``<root>/<dest>/`` (the same
-    Delta-commit shape as Ledger.append_df). Returns rows appended."""
-    import pyarrow.parquet as pq
+class _AtomicPublisher:
+    """Multi-directory staged publish under ONE commit manifest — the
+    corpus row append and both index appends land together or not at
+    all (the ADVICE desync: a crash between three separate publishes
+    left the dedup indexes out of step with the corpus forever). Same
+    manifest/roll-forward protocol as Ledger._write_manifest: manifest
+    write is the commit point; any later open finishes the renames."""
 
-    out_dir = os.path.join(root, dest)
-    os.makedirs(out_dir, exist_ok=True)
-    staging = os.path.join(root, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    rows = 0
-    try:
-        for i, f in enumerate(sorted(os.listdir(staging))):
-            if not f.endswith(".parquet"):
+    def __init__(self, root: str):
+        self.root = root
+        self.commits_dir = os.path.join(root, "_commits")
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    def recover(self) -> None:
+        import json as _json
+
+        for f in sorted(os.listdir(self.commits_dir)):
+            if not f.endswith(".json"):
                 continue
-            src = os.path.join(staging, f)
-            n = pq.ParquetFile(src).metadata.num_rows
-            if n == 0:
+            try:
+                with open(os.path.join(self.commits_dir, f)) as fh:
+                    manifest = _json.load(fh)
+            except (OSError, ValueError):
                 continue
-            rows += n
-            os.replace(src, os.path.join(out_dir, f"{uuid.uuid4().hex}.parquet"))
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
-    return rows
+            if any(
+                os.path.isdir(os.path.join(self.root, s))
+                for s in manifest.get("stagings", [])
+                if s.startswith(".staging-")
+            ):
+                self._apply(manifest)
+
+    def _apply(self, manifest: dict) -> int:
+        rows = 0
+        for e in manifest["entries"]:
+            src = os.path.join(self.root, e["staging"], e["src"])
+            dst_dir = os.path.join(self.root, e["dest"])
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, e["dst"])
+            if os.path.exists(dst):
+                rows += e["rows"]
+                continue
+            if os.path.exists(src):
+                os.replace(src, dst)
+                rows += e["rows"]
+        for s in manifest.get("stagings", []):
+            if s.startswith(".staging-"):
+                shutil.rmtree(os.path.join(self.root, s), ignore_errors=True)
+        return rows
+
+    def publish(self, items: list[tuple[DataFrame, str]]) -> int:
+        """Stage every (df, dest_subdir), then commit all renames under
+        one manifest. Returns total rows published."""
+        import json as _json
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        stagings: list[str] = []
+        entries: list[dict] = []
+        try:
+            for df, dest in items:
+                staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
+                df.write.mode("overwrite").parquet(staging)
+                stagings.append(staging)
+                for f in sorted(os.listdir(staging)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    n = pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+                    if n == 0:
+                        continue
+                    entries.append(
+                        {
+                            "staging": os.path.basename(staging),
+                            "src": f,
+                            "dest": dest,
+                            "dst": f"{uuid.uuid4().hex}.parquet",
+                            "rows": n,
+                        }
+                    )
+            manifest = {
+                "seq": _time.time_ns(),
+                "stagings": [os.path.basename(s) for s in stagings],
+                "entries": entries,
+            }
+            if not entries:
+                return 0
+            path = os.path.join(self.commits_dir, f"{manifest['seq']}.json")
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                _json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)  # ← the commit point
+            return self._apply(manifest)
+        finally:
+            for s in stagings:
+                shutil.rmtree(s, ignore_errors=True)
 
 
 class CorpusIngest:
@@ -86,6 +160,9 @@ class CorpusIngest:
         self.root = root
         for d in ("corpus", "fingerprints", "bands"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
+        self._publisher = _AtomicPublisher(root)
+        # roll any torn multi-dir commit forward before serving reads
+        self._publisher.recover()
 
     def _read(self, spark: SparkSession, name: str) -> DataFrame | None:
         import glob
@@ -123,12 +200,42 @@ class CorpusIngest:
             fp = fp.persist()
             exact_survivors = fp.count()
 
-            # 3. near-dup: new docs' bands vs the band index; candidates
-            #    verified by exact Jaccard against corpus text
-            near_dup_ids = None
+            # shared intermediates: bands + shingles of the batch, built
+            # ONCE and reused by the self-check, the history check, and
+            # the index publish
+            new_bands = _band_keys(_minhash_sig(fp.select("doc_id", "text"))).persist()
+            new_sh = with_shingles(fp.select("doc_id", "text")).select("doc_id", "sh")
+
+            # 3a. WITHIN-batch near-dup: band self-join over the new
+            #     docs (runs on the first batch too, when no history
+            #     exists) — a colliding pair verified by exact Jaccard
+            #     keeps its min doc_id, same keeper rule as dd2
+            self_cand = (
+                new_bands.alias("a")
+                .join(new_bands.alias("b"), ["band", "bkey"])
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("keep_id"),
+                    F.col("b.doc_id").alias("dup_id"),
+                )
+                .distinct()
+            )
+            a_sh = new_sh.select(F.col("doc_id").alias("keep_id"), F.col("sh").alias("sa"))
+            b_sh = new_sh.select(F.col("doc_id").alias("dup_id"), F.col("sh").alias("sb"))
+            inter_b = F.size(F.array_intersect("sa", "sb"))
+            union_b = F.size("sa") + F.size("sb") - inter_b
+            dup_ids = (
+                self_cand.join(a_sh, "keep_id")
+                .join(b_sh, "dup_id")
+                .filter(inter_b.cast("double") / union_b >= JACCARD_T)
+                .select(F.col("dup_id").alias("doc_id"))
+                .distinct()
+            )
+
+            # 3b. against-history near-dup: batch bands vs the band
+            #     index, Jaccard-verified against corpus text
             bands_idx = self._read(spark, "bands")
             if bands_idx is not None:
-                new_bands = _band_keys(_minhash_sig(fp.select("doc_id", "text")))
                 cand = (
                     new_bands.join(bands_idx, ["band", "bkey"])
                     .select(
@@ -142,33 +249,30 @@ class CorpusIngest:
                     .select("doc_id", "text")
                     .join(cand.select(F.col("old_id").alias("doc_id")).distinct(), "doc_id")
                 ).select(F.col("doc_id").alias("old_id"), F.col("sh").alias("so"))
-                new_sh = with_shingles(
-                    fp.select("doc_id", "text")
-                    .join(cand.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id")
-                ).select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sn"))
+                q_sh = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sn"))
                 inter = F.size(F.array_intersect("sn", "so"))
                 union = F.size("sn") + F.size("so") - inter
-                near_dup_ids = (
-                    cand.join(new_sh, "new_id")
+                hist_dups = (
+                    cand.join(q_sh, "new_id")
                     .join(corpus_sh, "old_id")
                     .filter(inter.cast("double") / union >= JACCARD_T)
                     .select(F.col("new_id").alias("doc_id"))
                     .distinct()
                 )
-            accepted = fp if near_dup_ids is None else fp.join(
-                near_dup_ids, "doc_id", "left_anti"
-            )
-            accepted = accepted.persist()
+                dup_ids = dup_ids.unionByName(hist_dups).distinct()
+            accepted = fp.join(dup_ids, "doc_id", "left_anti").persist()
             n_accepted = accepted.count()
 
-            # 4. publish: corpus rows + both indexes, executor-side
-            _publish(accepted.drop("fp"), self.root, "corpus")
-            _publish(accepted.select("fp", "doc_id"), self.root, "fingerprints")
-            _publish(
-                _band_keys(_minhash_sig(accepted.select("doc_id", "text"))),
-                self.root,
-                "bands",
+            # 4. publish corpus rows + both indexes under ONE commit
+            #    manifest — all three land or none do
+            self._publisher.publish(
+                [
+                    (accepted.drop("fp"), "corpus"),
+                    (accepted.select("fp", "doc_id"), "fingerprints"),
+                    (new_bands.join(accepted.select("doc_id"), "doc_id"), "bands"),
+                ]
             )
+            new_bands.unpersist()
             return {
                 "batch": total,
                 "quality_rejected": total - passed.count(),

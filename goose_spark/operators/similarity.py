@@ -59,31 +59,27 @@ _BANDS_CACHE: dict = {}
 
 
 def _embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from goose_spark.operators.cache import get_or_persist
 
-    key = (spark.sparkContext.applicationId, sf)
-    df = _EMB_CACHE.get(key)
-    if df is None:
-        df = (
-            t(spark, sf, "embeddings")
-            .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        _EMB_CACHE[key] = df
-    return df
+    return get_or_persist(
+        _EMB_CACHE,
+        spark,
+        sf,
+        lambda: t(spark, sf, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("emb")
+        ),
+    )
 
 
 def _bands(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from goose_spark.operators.cache import get_or_persist
 
-    key = (spark.sparkContext.applicationId, sf)
-    df = _BANDS_CACHE.get(key)
-    if df is None:
-        df = _band_signatures(_embeddings(spark, sf), "vec_id").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        _BANDS_CACHE[key] = df
-    return df
+    return get_or_persist(
+        _BANDS_CACHE,
+        spark,
+        sf,
+        lambda: _band_signatures(_embeddings(spark, sf), "vec_id"),
+    )
 
 
 @register(

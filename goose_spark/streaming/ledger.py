@@ -82,11 +82,111 @@ class Ledger:
         self.tombstones_dir = os.path.join(root, "tombstones")
         self.cron_path = os.path.join(root, "cron", "registry.parquet")
         self.checkpoint_dir = os.path.join(root, "checkpoint")
+        self.commits_dir = os.path.join(root, "_commits")
         for d in (self.log_dir, self.scheduled_dir, self.batches_dir,
                   self.tombstones_dir, os.path.join(root, "cron"),
-                  self.checkpoint_dir):
+                  self.checkpoint_dir, self.commits_dir):
             os.makedirs(d, exist_ok=True)
+        # roll torn commits forward BEFORE sweeping staging dirs: a
+        # staging dir referenced by a manifest is a commit in flight,
+        # not an orphan
+        self._recover_torn_commits()
         self._sweep_stale_staging()
+        self._prune_manifests()
+
+    # ---- commit manifests (the transaction-log shape) ----------------------
+    #
+    # A distributed append publishes N staged parts with N renames — not
+    # atomic by itself. The manifest (`_commits/<seq>.json`, written
+    # atomically BEFORE the first rename) makes it transactional the way
+    # a Delta commit file does: a crash mid-publish leaves either no
+    # manifest (staging is garbage, swept by age) or a manifest whose
+    # remaining renames any later Ledger open completes (roll-forward).
+    # Readers keep listing log/ — the invariant is that parts appear
+    # there only under a commit guaranteed to finish.
+
+    def _write_manifest(self, seq: int, staging: str, entries: list[dict],
+                        deletes: list[str] | None = None) -> str:
+        import json as _json
+
+        path = os.path.join(self.commits_dir, f"{seq}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {
+                    "seq": seq,
+                    "staging": os.path.basename(staging),
+                    "files": entries,
+                    "deletes": [os.path.basename(d) for d in (deletes or [])],
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        self._manifest_writes = getattr(self, "_manifest_writes", 0) + 1
+        if self._manifest_writes % 512 == 0:
+            self._prune_manifests()
+        return path
+
+    def _prune_manifests(self, keep: int = 1024) -> None:
+        """Drop the oldest COMMITTED manifests beyond ``keep`` (their
+        staging dirs are gone, so they are pure audit) — the checkpoint-
+        and-expire a Delta log applies to its commit files."""
+        names = sorted(
+            f for f in os.listdir(self.commits_dir) if f.endswith(".json")
+        )
+        for f in names[:-keep] if len(names) > keep else []:
+            import json as _json
+
+            path = os.path.join(self.commits_dir, f)
+            try:
+                with open(path) as fh:
+                    staging = _json.load(fh).get("staging", "")
+                if staging and not os.path.isdir(os.path.join(self.root, staging)):
+                    os.remove(path)
+            except (OSError, ValueError):
+                continue
+
+    def _apply_manifest(self, manifest: dict) -> list[str]:
+        """Execute (or re-execute after a crash) a manifest's renames +
+        deletes. Idempotent: a rename whose dst exists already happened;
+        a delete whose target is gone already happened."""
+        staging = os.path.join(self.root, manifest["staging"])
+        moved = []
+        for e in manifest["files"]:
+            src = os.path.join(staging, e["src"])
+            dst = os.path.join(self.log_dir, e["dst"])
+            if os.path.exists(dst):
+                moved.append(dst)
+                continue
+            if os.path.exists(src):
+                os.replace(src, dst)
+                moved.append(dst)
+        for d in manifest.get("deletes", []):
+            p = os.path.join(self.log_dir, d)
+            if os.path.exists(p):
+                os.remove(p)
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved
+
+    def _recover_torn_commits(self) -> None:
+        import json as _json
+
+        for f in sorted(os.listdir(self.commits_dir)):
+            if not f.endswith(".json"):
+                continue
+            path = os.path.join(self.commits_dir, f)
+            try:
+                with open(path) as fh:
+                    manifest = _json.load(fh)
+            except (OSError, ValueError):
+                continue
+            staging = manifest.get("staging", "")
+            if not (staging.startswith(".staging-") or staging.startswith(".compact-")):
+                continue
+            if os.path.isdir(os.path.join(self.root, staging)):
+                self._apply_manifest(manifest)
 
     def _sweep_stale_staging(self, max_age_sec: int = 3600) -> None:
         """Remove orphaned `.staging-*` / `.compact-*` dirs left by a
@@ -139,16 +239,14 @@ class Ledger:
 
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
-        moved: list[str] = []
-        rows = 0
         try:
             base = next_seq()
-            i = 0
+            entries: list[dict] = []
+            rows = 0
             for f in sorted(os.listdir(staging)):
                 if not f.endswith(".parquet"):
                     continue
-                src = os.path.join(staging, f)
-                n = pq.ParquetFile(src).metadata.num_rows
+                n = pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
                 if n == 0:
                     # empty parts (tasks that got no rows) must not reach
                     # log/: the streaming source's listing + checkpoint
@@ -156,10 +254,21 @@ class Ledger:
                     # up to `width` empties per micro-batch
                     continue
                 rows += n
-                dst = os.path.join(self.log_dir, f"{base + i}-{uuid.uuid4().hex}.parquet")
-                os.replace(src, dst)
-                moved.append(dst)
-                i += 1
+                entries.append(
+                    {
+                        "src": f,
+                        "dst": f"{base + len(entries)}-{uuid.uuid4().hex}.parquet",
+                        "rows": n,
+                    }
+                )
+            if not entries:
+                return [], 0
+            # the manifest write is THE commit point: before it, the
+            # append never happened; after it, any Ledger open finishes it
+            self._write_manifest(base, staging, entries)
+            moved = self._apply_manifest(
+                {"staging": os.path.basename(staging), "files": entries}
+            )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return moved, rows
@@ -291,21 +400,33 @@ class Ledger:
             state = state.join(exp_df, "batch_id", "left_anti")
         staging = os.path.join(self.root, f".compact-{uuid.uuid4().hex}")
         state.write.mode("overwrite").parquet(staging)
-        before = len(glob.glob(os.path.join(self.log_dir, "*.parquet")))
+        old_files = glob.glob(os.path.join(self.log_dir, "*.parquet"))
+        before = len(old_files)
         rows_after = 0
         try:
-            parts = [
-                f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
-            ]
-            for f in glob.glob(os.path.join(self.log_dir, "*.parquet")):
-                os.remove(f)
             base = next_seq()
-            for i, f in enumerate(parts):
-                src = os.path.join(staging, f)
-                rows_after += pq.ParquetFile(src).metadata.num_rows
-                os.replace(
-                    src, os.path.join(self.log_dir, f"{base + i}-compacted.parquet")
+            entries: list[dict] = []
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                n = pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+                if n == 0:
+                    continue
+                rows_after += n
+                entries.append(
+                    {"src": f, "dst": f"{base + len(entries)}-compacted.parquet", "rows": n}
                 )
+            # one manifest = the whole OPTIMIZE txn: publish the compacted
+            # parts FIRST, drop the superseded files after (a crash
+            # between the two shows duplicate history rows, which the
+            # max-seq state view already collapses — never missing rows)
+            manifest = {
+                "staging": os.path.basename(staging),
+                "files": entries,
+                "deletes": [os.path.basename(f) for f in old_files],
+            }
+            self._write_manifest(base, staging, entries, deletes=old_files)
+            self._apply_manifest(manifest)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         if expired:

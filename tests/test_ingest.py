@@ -55,6 +55,65 @@ def test_cross_batch_exact_and_near_dups(spark, store):
     assert ids == {1, 12}
 
 
+def test_within_batch_near_dup_first_batch(spark, store):
+    """Two near-duplicate (non-identical) docs arriving in the SAME
+    batch: the band self-join catches them even with no history index
+    (the first-batch hole), keeping the min doc_id."""
+    stats = store.ingest_batch(spark, _docs(spark, [
+        (1, GOOD),
+        (2, NEAR),     # near dup of 1, same batch
+        (3, GOOD2),    # genuinely new
+    ]))
+    assert stats["near_dups"] == 1
+    assert stats["accepted"] == 2
+    ids = {r["doc_id"] for r in store.corpus(spark).collect()}
+    assert ids == {1, 3}
+    # and the indexes agree with the corpus (no desync)
+    fps = {r["doc_id"] for r in spark.read.parquet(store.root + "/fingerprints").collect()}
+    assert fps == {1, 3}
+
+
+def test_ingest_torn_commit_rolls_forward(spark, store, tmp_path):
+    """The three publishes land under one manifest: a crash after the
+    manifest but before the renames is completed by the next open —
+    corpus and indexes can never desync."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goose_spark.operators.ingest import CorpusIngest
+
+    staging = os.path.join(store.root, ".staging-torn")
+    os.makedirs(staging)
+    pq.write_table(
+        pa.Table.from_pylist([{"fp": "abc", "doc_id": 99}]),
+        os.path.join(staging, "part-0.parquet"),
+    )
+    manifest = {
+        "seq": 1,
+        "stagings": [".staging-torn"],
+        "entries": [
+            {
+                "staging": ".staging-torn",
+                "src": "part-0.parquet",
+                "dest": "fingerprints",
+                "dst": "torn.parquet",
+                "rows": 1,
+            }
+        ],
+    }
+    with open(os.path.join(store.root, "_commits", "1.json"), "w") as fh:
+        json.dump(manifest, fh)
+
+    reopened = CorpusIngest(store.root)  # recovery runs in __init__
+    assert os.path.exists(os.path.join(store.root, "fingerprints", "torn.parquet"))
+    assert not os.path.isdir(staging)
+    fps = {r["doc_id"] for r in spark.read.parquet(reopened.root + "/fingerprints").collect()}
+    assert 99 in fps
+
+
 def test_streaming_ingest_matches_batch(spark, store, tmp_path):
     src = str(tmp_path / "in")
     batch = _docs(spark, [(1, GOOD), (2, GOOD), (3, GOOD2)])

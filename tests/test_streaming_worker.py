@@ -420,6 +420,115 @@ def test_per_batch_linger_compaction(spark, ledger):
     assert ledger.compact(spark)["expired_batches"] == 0
 
 
+def test_crash_recovery_replays_unacked_batch(spark, ledger):
+    """W10 orphan recovery, exercised not just designed (mirrors
+    test/goose/brokers/redis/integration_test.clj:67-86): a worker dies
+    mid-commit — executor parts staged, the publishing rename never
+    happens — leaving the micro-batch unacked. A restarted worker
+    replays exactly that batch; every job completes exactly once."""
+    import os
+
+    client = JobClient(ledger)
+    for i in range(5):
+        client.perform_async("noop", i)
+
+    w1 = Worker(spark, ledger, worker_id="w-crash", rand_int=lambda n: 0)
+    orig_append = ledger.append_df
+
+    def dying_append(df):
+        # stage the parts (the part of the commit that DID happen), then
+        # die before any rename publishes them into log/
+        staging = os.path.join(ledger.root, ".staging-simulated-crash")
+        df.write.mode("overwrite").parquet(staging)
+        raise RuntimeError("simulated crash before commit rename")
+
+    ledger.append_df = dying_append
+    with pytest.raises(Exception):
+        w1.process_available()
+    ledger.append_df = orig_append
+
+    # nothing was published: jobs still enqueued, zero outcome rows, and
+    # the torn staging dir is visibly orphaned
+    assert counts(spark, ledger) == {"enqueued": 5}
+    assert ledger.log(spark).filter("status = 'success'").count() == 0
+    assert any(f.startswith(".staging-") for f in os.listdir(ledger.root))
+
+    # restart (same checkpoint = the preservation queue): the unacked
+    # micro-batch replays, exactly once
+    w2 = Worker(spark, ledger, worker_id="w-recovered", rand_int=lambda n: 0)
+    w2.process_available()
+    assert w2.executions == 5
+    assert counts(spark, ledger) == {"success": 5}
+    dups = (
+        ledger.log(spark)
+        .filter("status = 'success'")
+        .groupBy("id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dups == 0
+    # a third pass consumes nothing (the ack committed)
+    w2.process_available()
+    assert w2.executions == 5
+
+
+def test_torn_commit_rolls_forward(spark, ledger):
+    """Commit manifests make the multi-rename publish transactional: a
+    crash AFTER the manifest lands but before all parts are renamed is
+    rolled forward by the next Ledger open — readers never see a torn
+    prefix as the final state."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goose_spark.streaming.ledger import ARROW_LOG_SCHEMA, Ledger, next_seq
+
+    client = JobClient(ledger)
+    client.perform_async("noop", 1)
+    # hand-build a torn commit: 2 staged outcome parts, manifest written,
+    # only the first part renamed before the "crash"
+    staging = os.path.join(ledger.root, ".staging-torn")
+    os.makedirs(staging)
+    base = next_seq()
+    rows = []
+    for i, f in enumerate(["part-0.parquet", "part-1.parquet"]):
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "id": f"torn-{i}",
+                    "queue": "default",
+                    "execute_fn": "noop",
+                    "status": "success",
+                    "priority": 0,
+                    "enqueued_at": utcnow(),
+                    "max_retries": 27,
+                    "seq": base + i,
+                }
+            ],
+            schema=ARROW_LOG_SCHEMA,
+        )
+        pq.write_table(tbl, os.path.join(staging, f))
+        rows.append({"src": f, "dst": f"{base + i}-torn.parquet", "rows": 1})
+    ledger._write_manifest(base, staging, rows)
+    os.replace(
+        os.path.join(staging, "part-0.parquet"),
+        os.path.join(ledger.log_dir, rows[0]["dst"]),
+    )  # the crash: part-1 never renamed, staging never cleaned
+
+    # a fresh Ledger open (the restarted process) completes the commit
+    recovered = Ledger(ledger.root)
+    assert os.path.exists(os.path.join(recovered.log_dir, rows[1]["dst"]))
+    assert not os.path.isdir(staging)
+    ids = {r["id"] for r in recovered.log(spark).collect()}
+    assert {"torn-0", "torn-1"} <= ids
+    # idempotent: opening again changes nothing
+    Ledger(ledger.root)
+    assert recovered.log(spark).filter("id like 'torn-%'").count() == 2
+
+
 def test_queue_validation():
     with pytest.raises(ValueError):
         JobClient.__new__(JobClient)  # bypass init for static check
