@@ -106,12 +106,20 @@ class LedgerAPI:
             .collect()
         )
         updates = []
+        superseded = []
         for r in rows:
             d = r.asDict()
-            d.pop("seq", None)
+            old_seq = d.pop("seq", None)
             d.update(status=STATUS_ENQUEUED, priority=PRIORITY_FRONT, run_at=None)
             updates.append(d)
+            if old_seq is not None:
+                superseded.append((d["id"], int(old_seq)))
         self.ledger.append_rows(updates)
+        # the LREM half of goose's LREM+RPUSH: suppress the original
+        # rows so an unconsumed enqueued copy can't also execute. New
+        # row first, supersession second — a crash between the two is
+        # at-least-once, never lost.
+        self.ledger.add_supersessions(superseded)
         return len(updates)
 
     # ---- Q9: replay dead ------------------------------------------------------

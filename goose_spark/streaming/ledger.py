@@ -463,10 +463,33 @@ class Ledger:
     # parquet files — never a log scan; compaction may clear entries whose
     # log rows were physically dropped.
 
-    def add_tombstones(self, job_ids: list[str]) -> None:
+    #: "suppress every row" sentinel for delete tombstones; supersession
+    #: tombstones carry the superseded row's seq instead
+    TOMB_ALL = 1 << 62
+
+    def add_tombstones(self, job_ids: list[str], max_seq: int | None = None) -> None:
+        """``max_seq=None`` → full delete (suppress the job entirely).
+        An explicit max_seq records a SUPERSESSION: only rows with
+        ``seq <= max_seq`` are suppressed — the re-emit analog of
+        goose's atomic LREM+RPUSH (commands.clj:145-164), where the
+        original list element vanishes the instant the front copy
+        appears. Without it, prioritising a not-yet-consumed enqueued
+        job would execute both the original and the re-emitted row."""
         if not job_ids:
             return
-        table = pa.Table.from_pydict({"id": pa.array(job_ids, type=pa.string())})
+        self.add_supersessions(
+            [(j, self.TOMB_ALL if max_seq is None else max_seq) for j in job_ids]
+        )
+
+    def add_supersessions(self, pairs: list[tuple[str, int]]) -> None:
+        if not pairs:
+            return
+        table = pa.Table.from_pydict(
+            {
+                "id": pa.array([p[0] for p in pairs], type=pa.string()),
+                "max_seq": pa.array([p[1] for p in pairs], type=pa.int64()),
+            }
+        )
         tmp = os.path.join(self.tombstones_dir, f".tmp-{uuid.uuid4().hex}.parquet")
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(self.tombstones_dir, f"{next_seq()}.parquet"))
@@ -477,7 +500,9 @@ class Ledger:
         import shutil as _shutil
 
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
-        ids_df.select("id").write.mode("overwrite").parquet(staging)
+        ids_df.select(
+            "id", F.lit(self.TOMB_ALL).alias("max_seq")
+        ).write.mode("overwrite").parquet(staging)
         rows = 0
         try:
             base = next_seq()
@@ -497,11 +522,17 @@ class Ledger:
         return rows
 
     def tombstoned_ids(self, spark: SparkSession) -> DataFrame | None:
+        """(id, tomb_max_seq) — suppress a job's rows with seq <= the
+        max recorded tombstone (a delete dominates any supersession)."""
         import glob
 
         if not glob.glob(os.path.join(self.tombstones_dir, "*.parquet")):
             return None
-        return spark.read.parquet(self.tombstones_dir).select("id").distinct()
+        return (
+            spark.read.parquet(self.tombstones_dir)
+            .groupBy("id")
+            .agg(F.max("max_seq").alias("tomb_max_seq"))
+        )
 
     # ---- scheduled store (sorted-set analog) ------------------------------
 

@@ -252,13 +252,18 @@ class Worker:
             if sleep_sec:
                 _t.sleep(sleep_sec)
 
-    def start(self, trigger_sec: float = 1.0):
+    def start(self, trigger_sec: float = 0.25):
         """Continuous mode: a long-running streaming query (processingTime
         trigger) plus a driver-side timer thread for the scheduler/cron
         sweeps — the engine's shape of goose's N-threads-plus-scheduler
         worker process (worker.clj:81-87). Returns a handle with
         ``stop()`` for graceful shutdown (W11: stop consuming, let the
-        open micro-batch drain, checkpoint commits the ack)."""
+        open micro-batch drain, checkpoint commits the ack).
+
+        Default trigger 0.25 s per the measured curve in BASELINE.md
+        § trigger-interval: per-batch fixed cost floors latency, so the
+        smallest practical trigger wins p50/p99 with no throughput
+        penalty (batch size self-adjusts under load)."""
         import threading
 
         stream = self.ledger.log_stream(self.spark)
@@ -315,8 +320,18 @@ class Worker:
                     # the deletion index is O(deletions) — usually tiny —
                     # but purge() can make it unbounded, so let Spark pick
                     # the join strategy (AQE/autoBroadcastJoinThreshold)
-                    # instead of forcing a driver-side broadcast collect
-                    rows_all = rows_all.join(dead_ids, "id", "left_anti")
+                    # instead of forcing a driver-side broadcast collect.
+                    # Seq-bounded: a supersession tombstone (prioritise's
+                    # LREM half) drops only the job's OLDER rows; a delete
+                    # tombstone (max_seq=TOMB_ALL) drops them all.
+                    rows_all = (
+                        rows_all.join(dead_ids, "id", "left")
+                        .filter(
+                            F.col("tomb_max_seq").isNull()
+                            | (F.col("seq") > F.col("tomb_max_seq"))
+                        )
+                        .drop("tomb_max_seq")
+                    )
                 rows_live = rows_all
                 if self.queues:
                     # queue binding (worker.clj:27): scoped workers only

@@ -136,3 +136,67 @@ def test_post_actions_roundtrip(spark, tmp_path):
     finally:
         srv.shutdown()
         t.join(5)
+
+
+def test_post_prioritise_purge_and_cron_delete(spark, tmp_path):
+    """The remaining console action verbs, each asserted against the
+    ledger (reference: pages/enqueued.clj:154-168 prioritise/purge
+    buttons, pages/cron.clj delete): prioritise re-emits front-priority,
+    queue purge tombstones the whole queue, dead purge empties the dead
+    set, cron delete removes the registry entry."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    root = str(tmp_path / "ledger")
+    client = JobClient(root)
+    slow = client.perform_async("noop", "first")
+    vip = client.perform_async("noop", "second")
+    for i in range(3):
+        client.perform_async("noop", i, queue="purgeme")
+    client.perform_async("always-fail", max_retries=0)
+    client.perform_every("nightly", "30 2 * * *", "noop")
+    api = LedgerAPI(spark, root)
+    srv = serve(Console(api), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, **form):
+            data = urllib.parse.urlencode(form).encode()
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", data=data) as r:
+                return r.status, r.read().decode()
+
+        # prioritise: the later job is re-emitted as a front-priority row
+        status, body = post("/enqueued/queue/default/jobs",
+                            action="prioritise", ids=vip["id"])
+        assert status == 200 and body == "prioritised 1"
+        state = {r["id"]: r.asDict() for r in api.state().collect()}
+        assert state[vip["id"]]["priority"] == 1
+        assert state[slow["id"]]["priority"] == 0
+
+        # queue purge: every enqueued row in the queue is tombstoned
+        status, body = post("/enqueued/queue/purgeme/purge")
+        assert status == 200 and body == "purged 3"
+
+        from goose_spark.streaming.worker import Worker
+
+        worker = Worker(spark, root, rand_int=lambda n: 0)
+        worker.process_available()
+        # purged jobs never executed: 2 default noops + 1 fail
+        assert worker.executions == 3
+        counts = api.dashboard_counts()
+        assert counts.get("deleted", 0) == 3 and counts["dead"] == 1
+
+        # dead purge
+        status, body = post("/dead/jobs", action="purge")
+        assert status == 200 and body == "purged 1"
+        assert api.peek_dead(5) == []
+
+        # cron delete (success path)
+        status, body = post("/cron/delete", name="nightly")
+        assert status == 200 and body == "cron deleted: nightly"
+        assert api.cron_entries() == []
+    finally:
+        srv.shutdown()
+        t.join(5)
