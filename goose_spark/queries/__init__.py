@@ -10,6 +10,7 @@ from goose_spark.queries import (  # noqa: F401
     relational_ext,
     relational_more,
     sessions,
+    tpch_extra,
     tpch_more,
     tpch_shapes,
 )

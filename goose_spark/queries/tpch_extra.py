@@ -1,0 +1,252 @@
+"""TPC-H Q8/Q17/Q21/Q22 silhouettes adapted to the testdata's column
+subset (no partsupp/commitdate/phone columns — see each doc for the
+substitution). These complete the classic decision-support shapes the
+round-5 inventory still lacked: market-share ratio-of-sums over a 6-way
+join, a correlated per-group average decorrelated into one reusable
+aggregate, the fact-table self-join with semi+anti semantics, and an
+anti-join against a scalar threshold.
+
+Hash-stability rules as everywhere (SURVEY §2.6): exact DECIMAL(18,2)
+money math pre-aggregation, doubles only for final division/rounding,
+total ORDER BY, identical aliases both engines. Correlated-average
+comparisons are cross-multiplied (qty * 5 * cnt < sum) so both engines
+compare exact decimals instead of engine-rounded divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.queries.base import register, t
+
+_DEC = "decimal(18,2)"
+
+
+def _money(col: str) -> F.Column:
+    return F.col(col).cast(_DEC)
+
+
+def _volume() -> F.Column:
+    return _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+
+
+@register(
+    "q53_market_share",
+    """SELECT o_year,
+              ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                    CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                    n2.n_name AS nation
+             FROM part
+             JOIN lineitem ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'ASIA' AND p_type = 'PROMO') all_nations
+       GROUP BY o_year ORDER BY o_year""",
+    doc="TPC-H Q8 silhouette: NATION_1's market share of PROMO-part "
+        "revenue among ASIA customers, per order year. Ratio of two "
+        "exact-decimal sums over a 6-way join; part/supplier/nation/"
+        "region broadcast, so the only shuffles are the two fact joins "
+        "(lineitem⋈orders on orderkey, then orders⋈customer on custkey). "
+        "The p_type filter prunes lineitem via the broadcast hash table "
+        "before either exchange.",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    # customer-side nation restricted to the ASIA region (broadcast chain)
+    n1 = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("cnk")
+        )
+    )
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")))
+    vol = _volume().alias("volume")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("snk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == F.col("cnk"))
+        .select(F.year("o_orderdate").alias("o_year"), vol, "nation")
+    )
+    zero = F.lit(0).cast(_DEC)
+    nat_vol = F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(zero)
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(nat_vol).cast("double") / F.sum("volume").cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q54_small_qty_revenue",
+    """WITH pq AS (SELECT l_partkey AS pk,
+                          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                          COUNT(*) AS cnt
+                   FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                   AS DOUBLE) AS avg_yearly,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN pq ON pk = l_partkey
+       WHERE p_brand = 'Brand#1'
+         AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""",
+    doc="TPC-H Q17 silhouette: revenue from small-quantity orders of "
+        "Brand#1 parts, where 'small' = below 20% of that part's average "
+        "quantity. The correlated AVG subquery is decorrelated into one "
+        "per-part aggregate joined back on partkey; the comparison is "
+        "cross-multiplied (qty*5*cnt < Σqty) so it stays in exact "
+        "decimals. The partkey aggregate and the partkey join share one "
+        "exchange; the brand filter broadcasts.",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_money("l_quantity")).alias("sq"), F.count("*").alias("cnt")
+    )
+    p = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    small = _money("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sq")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == pq.pk)
+        .filter(small)
+        .agg(
+            (F.round(F.sum(_money("l_extendedprice")) / F.lit(7.0), 2))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q55_waiting_suppliers",
+    """WITH lo AS (SELECT l_orderkey, l_suppkey,
+                          CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
+                               THEN 1 ELSE 0 END AS late
+                   FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+            os AS (SELECT l_orderkey,
+                          COUNT(DISTINCT l_suppkey) AS n_supp,
+                          COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                            AS n_late_supp
+                   FROM lo GROUP BY l_orderkey)
+       SELECT s_name, COUNT(DISTINCT lo.l_orderkey) AS numwait
+       FROM lo
+       JOIN os ON os.l_orderkey = lo.l_orderkey
+       JOIN supplier ON s_suppkey = lo.l_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+       WHERE lo.late = 1 AND os.n_supp >= 2 AND os.n_late_supp = 1
+         AND n_name = 'NATION_1'
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""",
+    doc="TPC-H Q21 silhouette (l_shipdate > o_orderdate + 60d standing in "
+        "for receipt>commit): NATION_1 suppliers who were the sole late "
+        "supplier on multi-supplier orders. The EXISTS/NOT-EXISTS pair is "
+        "decorrelated into one per-order aggregate (distinct suppliers, "
+        "distinct late suppliers) self-joined back on orderkey — the "
+        "aggregate and the join reuse the same orderkey exchange, dims "
+        "broadcast, and no correlated per-row subquery survives at scale.",
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ).cast("int")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+    )
+    os_ = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = (
+        t(spark, sf, "nation")
+        .filter(F.col("n_name") == "NATION_1")
+        .select("n_nationkey")
+    )
+    s1 = F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    return (
+        lo.filter(F.col("late") == 1)
+        .join(os_, lo.l_orderkey == os_.ok)
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(s1, lo.l_suppkey == s1.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(50)
+    )
+
+
+@register(
+    "q56_sales_opportunity",
+    """WITH thr AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+                           COUNT(*) AS cnt
+                    FROM customer WHERE c_acctbal > 0)
+       SELECT c_nationkey, COUNT(*) AS numcust,
+              CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                AS totacctbal
+       FROM customer, thr
+       WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > s
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       GROUP BY c_nationkey ORDER BY c_nationkey""",
+    doc="TPC-H Q22 silhouette (nationkey standing in for the phone "
+        "prefix, 'no orders since 2000' for 'no orders' — this testdata "
+        "gives nearly every customer at least one lifetime order): "
+        "customers with above-average positive balance and no recent "
+        "orders, counted per nation. The scalar AVG threshold is one "
+        "broadcast (Σ, n) row compared cross-multiplied in exact "
+        "decimals; the NOT EXISTS is a left-anti join shuffled on "
+        "custkey with the date filter pushed to the orders scan.",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(_money("c_acctbal")).alias("s"), F.count("*").alias("cnt"))
+    )
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(thr))
+        .filter(_money("c_acctbal") * F.col("cnt") > F.col("s"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_money("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
