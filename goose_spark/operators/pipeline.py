@@ -320,3 +320,83 @@ def token_chunks_two_pass(spark: SparkSession, sf: str,
         .withColumn("chunk", chunk)
         .select("doc_id", "n_tokens", "chunk", *(["text"] if with_text else []))
     )
+
+
+#: per-bucket md5-prefix acceptance thresholds for the quality-weighted
+#: sample: high keeps everything, medium ~50% (0x80/256), low ~10%
+#: (0x1a = 26/256).
+_QUAL_LT = {"high": None, "medium": "80", "low": "1a"}
+
+_SP5_ORACLE = f"""
+WITH q AS (SELECT doc_id, n_chars,
+                  CASE WHEN length(text) >= 200 AND
+                            CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                                 AS DOUBLE) / length(text) >= 0.7 THEN 'high'
+                       WHEN length(text) >= 100 THEN 'medium'
+                       ELSE 'low' END AS quality_bucket,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+           FROM documents),
+ s AS (SELECT quality_bucket, n_chars,
+              CASE WHEN quality_bucket = 'high' THEN 1
+                   WHEN quality_bucket = 'medium'
+                        AND b < '{_QUAL_LT["medium"]}' THEN 1
+                   WHEN quality_bucket = 'low'
+                        AND b < '{_QUAL_LT["low"]}' THEN 1
+                   ELSE 0 END AS sampled
+       FROM q)
+SELECT quality_bucket, COUNT(*) AS total,
+       CAST(SUM(sampled) AS BIGINT) AS sampled,
+       ROUND(CAST(SUM(sampled) AS DOUBLE) / COUNT(*), 4) AS rate,
+       CAST(SUM(CASE WHEN sampled = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS sampled_chars
+FROM s GROUP BY quality_bucket ORDER BY quality_bucket"""
+
+
+@register(
+    "sp5_quality_weighted_sample",
+    _SP5_ORACLE,
+    doc="Quality-weighted downsampling: tx3's heuristic quality bucket "
+        "sets the acceptance rate (high=100%, medium~50%, low~10%) and "
+        "the deterministic md5-prefix coin decides membership — the "
+        "standard 'upsample high-quality, downsample boilerplate' "
+        "curriculum step of an LLM data mix, reproducible across "
+        "engines, runs and cluster sizes. Pure codegen expressions + "
+        "one tiny (3-bucket) hash-agg; no shuffle of document bodies.",
+    tags=("llm", "pipeline"),
+)
+def sp5(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    length = F.length("text")
+    alpha = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), F.lit(0))
+    ).cast("double")
+    bucket = (
+        F.when((length >= 200) & (alpha / length >= 0.7), "high")
+        .when(length >= 100, "medium")
+        .otherwise("low")
+    )
+    b = _bucket2(F.col("doc_id"))
+    sampled = (
+        F.when(F.col("quality_bucket") == "high", 1)
+        .when(
+            (F.col("quality_bucket") == "medium") & (b < _QUAL_LT["medium"]), 1
+        )
+        .when((F.col("quality_bucket") == "low") & (b < _QUAL_LT["low"]), 1)
+        .otherwise(0)
+    )
+    return (
+        d.select("doc_id", "n_chars", bucket.alias("quality_bucket"))
+        .withColumn("sampled", sampled)
+        .groupBy("quality_bucket")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum("sampled").alias("sampled"),
+            F.round(
+                F.sum("sampled").cast("double") / F.count("*"), 4
+            ).alias("rate"),
+            F.sum(
+                F.when(F.col("sampled") == 1, F.col("n_chars")).otherwise(0)
+            ).alias("sampled_chars"),
+        )
+        .orderBy("quality_bucket")
+    )

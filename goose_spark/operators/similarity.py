@@ -311,3 +311,64 @@ def ss3(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
         .orderBy("query_id", "rank")
     )
+
+
+_SS4_ORACLE = """
+WITH e AS (SELECT label, embedding AS emb,
+                  unnest(generate_series(1, len(embedding))) AS dim
+           FROM embeddings),
+ comp AS (SELECT label, dim,
+                 SUM(CAST(CAST(emb[dim] AS DOUBLE) AS DECIMAL(28,12))) AS s,
+                 COUNT(*) AS n
+          FROM e GROUP BY label, dim)
+SELECT label, MAX(n) AS n_vecs,
+       ROUND(CAST(MAX(CASE WHEN dim = 1 THEN s END) AS DOUBLE) / MAX(n), 6) AS c1,
+       ROUND(CAST(MAX(CASE WHEN dim = 2 THEN s END) AS DOUBLE) / MAX(n), 6) AS c2,
+       ROUND(CAST(MAX(CASE WHEN dim = 3 THEN s END) AS DOUBLE) / MAX(n), 6) AS c3,
+       ROUND(CAST(MAX(CASE WHEN dim = 4 THEN s END) AS DOUBLE) / MAX(n), 6) AS c4,
+       ROUND(CAST(SUM(s) AS DOUBLE) / MAX(n), 6) AS mass
+FROM comp GROUP BY label ORDER BY label"""
+
+
+@register(
+    "ss4_label_centroids",
+    _SS4_ORACLE,
+    doc="Per-label centroid of the embedding corpus — the M-step of "
+        "IVF/k-means coarse quantization (ss3 runs the same computation "
+        "as a fused Arrow kernel; this is its pure-DataFrame-algebra "
+        "twin, exact and oracle-checked). posexplode fans each vector "
+        "into (label, dim, value) rows, but the (label × dim) hash-agg "
+        "partially aggregates map-side, so the exchange carries only "
+        "O(labels × dims) rows per task at any corpus size; driver "
+        "output is O(labels). Components sum in DECIMAL(28,12) — exact "
+        "and order-independent across engines — and divide to double "
+        "only at the end. `mass` (Σ over all dims of the centroid) "
+        "proves the full vector was computed, not just the 4 reported "
+        "components.",
+    tags=("llm", "similarity"),
+)
+def ss4(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    )
+    comp = e.groupBy("label", (F.col("dim0") + 1).alias("dim")).agg(
+        F.sum(F.col("v").cast("double").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+
+    def c(i: int):
+        return F.round(
+            F.max(F.when(F.col("dim") == i, F.col("s"))).cast("double")
+            / F.max("n"),
+            6,
+        ).alias(f"c{i}")
+
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            c(1), c(2), c(3), c(4),
+            F.round(F.sum("s").cast("double") / F.max("n"), 6).alias("mass"),
+        )
+        .orderBy("label")
+    )

@@ -208,3 +208,92 @@ def tx5(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "rnk")
     )
+
+
+_TX6_ORACLE = r"""
+WITH w AS (SELECT doc_id,
+                  string_split_regex(lower(text), '\s+') AS w
+           FROM documents),
+ s AS (SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_distinct,
+              CASE WHEN len(w) >= 2
+                   THEN list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1])
+                   ELSE [] END AS bg
+       FROM w),
+ bgc AS (SELECT doc_id, MAX(cnt) AS max_bg
+         FROM (SELECT doc_id, b, COUNT(*) AS cnt
+               FROM (SELECT doc_id, unnest(bg) AS b FROM s)
+               GROUP BY doc_id, b)
+         GROUP BY doc_id)
+SELECT s.doc_id, n_tok,
+       ROUND(1 - CAST(n_distinct AS DOUBLE) / n_tok, 4) AS dup_word_frac,
+       ROUND(CAST(COALESCE(max_bg, 0) AS DOUBLE)
+             / GREATEST(n_tok - 1, 1), 4) AS top_bigram_frac,
+       CASE WHEN 1 - CAST(n_distinct AS DOUBLE) / n_tok > 0.6
+              THEN 'drop_dup_words'
+            WHEN CAST(COALESCE(max_bg, 0) AS DOUBLE)
+                 / GREATEST(n_tok - 1, 1) > 0.05
+              THEN 'drop_repeated_bigram'
+            ELSE 'keep' END AS verdict
+FROM s LEFT JOIN bgc ON bgc.doc_id = s.doc_id
+ORDER BY s.doc_id LIMIT 200"""
+
+
+@register(
+    "tx6_repetition_filter",
+    _TX6_ORACLE,
+    doc="Gopher-style repetition quality filter (Rae et al. 2021 §A1.1 "
+        "heuristics, token-based): per-doc duplicate-word fraction "
+        "(1 - distinct/total) and most-frequent-bigram fraction, with a "
+        "keep/drop verdict. Computed in ONE Arrow mapInPandas pass — the "
+        "per-document Counter needs no token explode and no shuffle at "
+        "all, so at 100 TB this is a pure map over the corpus scan "
+        "(the DuckDB oracle does the equivalent unnest+group plan).",
+    tags=("llm", "text"),
+)
+def tx6(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = ws.split(text.lower())
+                n = len(w)
+                bgs = Counter(zip(w, w[1:]))
+                rows.append(
+                    (doc_id, n, len(set(w)), max(bgs.values()) if bgs else 0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_tok", "n_distinct", "max_bg"]
+            )
+
+    raw = d.mapInPandas(
+        stats, "doc_id long, n_tok long, n_distinct long, max_bg long"
+    )
+    dup = F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_tok")
+    bgf = F.col("max_bg").cast("double") / F.greatest(
+        F.col("n_tok") - 1, F.lit(1)
+    )
+    verdict = (
+        F.when(dup > 0.6, "drop_dup_words")
+        .when(bgf > 0.05, "drop_repeated_bigram")
+        .otherwise("keep")
+    )
+    return (
+        raw.select(
+            "doc_id",
+            "n_tok",
+            F.round(dup, 4).alias("dup_word_frac"),
+            F.round(bgf, 4).alias("top_bigram_frac"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
