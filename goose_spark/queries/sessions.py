@@ -155,3 +155,44 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+@register(
+    "q57_sliding_window",
+    """WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts,
+                                     TIMESTAMP '1970-01-01 00:00:00') AS b30,
+                         event_type, value
+                  FROM events),
+        w AS (SELECT unnest([b30, b30 - INTERVAL '30 minutes']) AS w_start,
+                     event_type, value
+              FROM b)
+       SELECT w_start, event_type, COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                AS total
+       FROM w GROUP BY w_start, event_type ORDER BY w_start, event_type""",
+    doc="Sliding (hop) windows, batch form: 1-hour windows every 30 "
+        "minutes over events — the batch twin of Structured Streaming's "
+        "F.window(ts, '1 hour', '30 minutes') hop aggregation "
+        "(streaming/events.py uses the same operator on the live path). "
+        "Spark expands each event into width/hop = 2 window rows then "
+        "hash-aggregates; the oracle derives both epoch-aligned hops "
+        "per event explicitly. One map-side-combinable shuffle on "
+        "(window, event_type) at any scale.",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "total"
+        )
+        .orderBy("w_start", "event_type")
+    )

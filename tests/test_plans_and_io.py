@@ -270,3 +270,71 @@ def test_events_loader_handles_all_ts_dtypes(spark, tmp_path):
         if expected is None:
             expected = got
         assert got == expected, name
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """q53: part/supplier/nation×2/region all broadcast; only the two
+    fact joins (orderkey, custkey) may shuffle."""
+    r = report(REGISTRY["q53_market_share"].builder(spark, SF_CORRECT))
+    assert r.broadcast_joins >= 4
+    assert r.sort_merge_joins <= 2
+    assert r.single_partition_exchanges == 0
+
+
+def test_small_qty_decorrelated_no_cartesian(spark):
+    """q54: the correlated AVG is a per-part aggregate joined back — no
+    nested-loop/cartesian anywhere, brand filter broadcasts."""
+    r = report(REGISTRY["q54_small_qty_revenue"].builder(spark, SF_CORRECT))
+    assert "CartesianProduct" not in r.text
+    assert r.broadcast_joins >= 1
+
+
+def test_waiting_suppliers_distributed(spark):
+    """q55: decorrelated semi+anti via one per-order aggregate; nation-
+    filtered supplier dim broadcasts; no single-task stage."""
+    r = report(REGISTRY["q55_waiting_suppliers"].builder(spark, SF_CORRECT))
+    assert r.broadcast_joins >= 1
+    assert r.single_partition_exchanges == 0
+    assert "CartesianProduct" not in r.text
+
+
+def test_sales_opportunity_anti_join(spark):
+    """q56: the NOT EXISTS must be a real anti join with the date filter
+    pushed to the orders scan."""
+    r = report(REGISTRY["q56_sales_opportunity"].builder(spark, SF_CORRECT))
+    assert "LeftAnti" in r.text
+    assert any("o_orderdate" in p for p in r.pushed_filters), r.pushed_filters
+
+
+def test_sliding_window_no_window_operator(spark):
+    """q57: hop windows expand+hash-agg — no sort-based Window operator,
+    no single-partition exchange."""
+    r = report(REGISTRY["q57_sliding_window"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges == 0
+    # one hash-agg exchange + the final output-order range exchange
+    assert r.shuffles <= 2
+
+
+def test_repetition_filter_shuffle_free(spark):
+    """tx6: per-doc Counter pass — zero shuffles before the final
+    TakeOrdered; the 100 TB plan is a pure map over the scan."""
+    r = report(REGISTRY["tx6_repetition_filter"].builder(spark, SF_CORRECT))
+    assert r.shuffles == 0
+    assert r.has_take_ordered
+
+
+def test_label_centroids_partial_agg(spark):
+    """ss4: posexplode fan-out collapses map-side — at most the two
+    hash-agg exchanges ((label,dim) then label), no single-task stage."""
+    r = report(REGISTRY["ss4_label_centroids"].builder(spark, SF_CORRECT))
+    # (label,dim) agg + label agg + the final output-order range exchange
+    assert r.shuffles <= 3
+    assert r.single_partition_exchanges == 0
+
+
+def test_quality_sample_single_shuffle(spark):
+    """sp5: codegen expressions + one tiny 3-bucket agg."""
+    r = report(REGISTRY["sp5_quality_weighted_sample"].builder(spark, SF_CORRECT))
+    # the 3-bucket agg exchange + the final output-order range exchange
+    assert r.shuffles <= 2
+    assert "Python" not in r.text  # no UDF — pure built-in expressions
