@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from goose_spark.queries.base import register, t
 
@@ -176,16 +177,26 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     ).cast("int")
+    # one explicit orderkey clustering right after the fact join: hash
+    # partitioning on l_orderkey satisfies the (ok,sk) grain agg, the
+    # per-order agg AND the ok equi-join below (ClusteredDistribution on
+    # a key subset), so the whole decorrelated pipeline runs on a single
+    # exchange of the joined fact rows.
     lo = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .repartition("l_orderkey")
     )
-    os_ = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
+    # reduce to (order, supplier) grain first: the per-order stats become
+    # plain count/sum (no countDistinct expand), and the final
+    # per-supplier count needs no distinct either, since (order,
+    # supplier) is now unique.
+    los = lo.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    # per-order stats as whole-partition window aggregates over the same
+    # orderkey clustering — ONE pass over the joined facts (the
+    # aggregate-then-self-join form computed the join subtree twice;
+    # measured ~2× slower at sf0.1).
+    w = Window.partitionBy("l_orderkey")
     s = t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = (
         t(spark, sf, "nation")
@@ -194,12 +205,16 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     )
     s1 = F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
     return (
-        lo.filter(F.col("late") == 1)
-        .join(os_, lo.l_orderkey == os_.ok)
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(s1, lo.l_suppkey == s1.s_suppkey)
+        los.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late_supp", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(s1, los.l_suppkey == s1.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(50)
     )

@@ -333,12 +333,14 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     c = t(spark, sf, "customer").select("c_custkey", "c_acctbal")
-    # bucket = floor(dollars): any MONOTONE function of the order key
+    # bucket = floor(dollars/100): any MONOTONE function of the order key
     # works (offsets are exact counts, so the result is
     # bucketing-independent); this one needs no min/max pre-pass.
-    # O(distinct dollar amounts) buckets — ~11k for TPC-H acctbal —
-    # stays tiny at any row count.
-    cb = c.withColumn("b", F.floor("c_acctbal").cast("int"))
+    # ~110 buckets over TPC-H's acctbal domain — O(domain/100) regardless
+    # of row count, so the offset round-trip stays ~1 KB at any scale
+    # (floor(dollars) was measured 10× slower at sf0.1: ~11k buckets paid
+    # a visible driver collect + createDataFrame + broadcast tax).
+    cb = c.withColumn("b", F.floor(F.col("c_acctbal") / 100).cast("int"))
     # pass 1: O(buckets) counts → running offsets (tiny driver round-trip)
     per = cb.groupBy("b").agg(F.count("*").alias("cnt")).collect()
     n = sum(int(r["cnt"]) for r in per)

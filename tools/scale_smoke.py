@@ -31,6 +31,11 @@ OPS = [
     "tx1_token_counts",
     "ss2_ann_lsh",
     "ss3_ann_ivf",
+    "tx6_repetition_filter",
+    "sp5_quality_weighted_sample",
+    "ss4_label_centroids",
+    "q55_waiting_suppliers",
+    "q57_sliding_window",
 ]
 
 
@@ -87,6 +92,40 @@ def build_scaled(spark, n_copies: int) -> str:
     for c in lcopies[1:]:
         lbig = lbig.unionAll(c)
     lbig.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    # orders scaled with the SAME orderkey shift as lineitem so the
+    # fact-fact join (q55) stays joinable; events scaled on shifted
+    # event/user ids (q57 windows, sessionization); supplier/nation are
+    # dims — pass through unscaled, as they would be at 100 TB.
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    ocopies = [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000))
+        for i in range(n_copies)
+    ]
+    obig = ocopies[0]
+    for c in ocopies[1:]:
+        obig = obig.unionAll(c)
+    obig.repartition(32).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    # events via the dtype-normalizing loader (the raw file may be
+    # TIMESTAMP(NANOS)); the scaled copy is written back as plain µs.
+    from goose_spark.queries.base import t as load_table
+
+    ev = load_table(spark, SF, "events")
+    evcopies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+        for i in range(n_copies)
+    ]
+    evbig = evcopies[0]
+    for c in evcopies[1:]:
+        evbig = evbig.unionAll(c)
+    evbig.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    for dim in ("supplier", "nation"):
+        spark.read.parquet(f"{SF}/{dim}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{dim}.parquet"
+        )
     return out
 
 
