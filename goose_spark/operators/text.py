@@ -297,3 +297,57 @@ def tx6(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+RARE_FREQ_LT = 5  # corpus frequency below this = "rare" token
+
+_TX7_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents),
+ toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+ vocab AS (SELECT tok, COUNT(*) AS c FROM toks2 GROUP BY tok)
+SELECT doc_id, COUNT(*) AS n_tok,
+       CAST(SUM(CASE WHEN c < {RARE_FREQ_LT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       ROUND(CAST(SUM(CASE WHEN c < {RARE_FREQ_LT} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS rare_ratio,
+       CAST(MIN(c) AS BIGINT) AS min_freq
+FROM toks2 JOIN vocab USING (tok)
+GROUP BY doc_id ORDER BY doc_id LIMIT 200"""
+
+
+@register(
+    "tx7_rare_token_ratio",
+    _TX7_ORACLE,
+    doc="Rare-token (OOV-rate) quality score: per-doc count/ratio of "
+        "tokens whose corpus frequency is below a threshold, plus the "
+        "rarest frequency seen — the integer-exact stand-in for an LM "
+        "perplexity filter (CCNet-style), trained on the corpus itself. "
+        "Token explode → corpus-vocabulary join on tok → per-doc agg: "
+        "the vocabulary aggregate partially combines map-side, the "
+        "tok-keyed join and the doc_id agg are ordinary hash shuffles, "
+        "and every output is an integer or an exact int ratio — no "
+        "float summation order anywhere, so it hash-matches at any "
+        "parallelism.",
+    tags=("llm", "text"),
+)
+def tx7(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    rare = (F.col("c") < RARE_FREQ_LT).cast("long")
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(rare).alias("n_rare"),
+            F.round(F.sum(rare).cast("double") / F.count("*"), 4).alias("rare_ratio"),
+            F.min("c").alias("min_freq"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -32,6 +32,7 @@ OPS = [
     "ss2_ann_lsh",
     "ss3_ann_ivf",
     "tx6_repetition_filter",
+    "tx7_rare_token_ratio",
     "sp5_quality_weighted_sample",
     "ss4_label_centroids",
     "q55_waiting_suppliers",
