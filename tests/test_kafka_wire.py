@@ -110,3 +110,71 @@ def test_kafka_stream_gate_raises_without_connector(spark):
 
     with pytest.raises(NotImplementedError):
         kafka_stream(spark, "localhost:9092", "goose.jobs.default")
+
+
+# --- property-based roundtrip -------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ident = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-_", min_size=1, max_size=20
+)
+_text = st.text(min_size=0, max_size=40).filter(
+    lambda s: "\x00" not in s and not any("\ud800" <= c <= "\udfff" for c in s)
+)
+_ts = st.datetimes(
+    min_value=dt.datetime(2020, 1, 1), max_value=dt.datetime(2030, 12, 31)
+).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+
+_job = st.fixed_dictionaries(
+    {
+        "id": _ident,
+        "queue": _ident,
+        "execute_fn": _ident,
+        "args": st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.integers(-10**6, 10**6), _text), max_size=4).map(
+                json.dumps
+            ),
+        ),
+        "status": st.sampled_from(["enqueued", "scheduled", "retrying", "dead"]),
+        "priority": st.integers(0, 1),
+        "enqueued_at": _ts,
+        "run_at": st.one_of(st.none(), _ts),
+        "cron_name": st.one_of(st.none(), _ident),
+        "batch_id": st.one_of(st.none(), _ident),
+        "retry_count": st.integers(0, 27),
+        "max_retries": st.integers(0, 27),
+        "retry_queue": st.one_of(st.none(), _ident),
+        "error": st.one_of(st.none(), _text.filter(lambda s: s != "")),
+        "first_failed_at": st.one_of(st.none(), _ts),
+        "last_retried_at": st.one_of(st.none(), _ts),
+        "died_at": st.one_of(st.none(), _ts),
+        "worker_id": st.one_of(st.none(), _ident),
+    }
+)
+
+
+@given(st.lists(_job, min_size=1, max_size=6, unique_by=lambda j: j["id"]))
+@settings(max_examples=10, deadline=None)
+def test_wire_roundtrip_property(spark_prop, jobs_data):
+    """produce→consume is the identity on arbitrary well-formed job rows
+    (the nippy freeze/thaw roundtrip contract, utils.clj:13-28)."""
+    from pyspark.sql import functions as F
+
+    spark = spark_prop
+    rows = [tuple(j[f.name] for f in JOB_SCHEMA.fields) for j in jobs_data]
+    jobs = spark.createDataFrame(rows, JOB_SCHEMA)
+    back = kafka_records_to_jobs(
+        jobs_to_kafka_records(jobs)
+        .withColumn("partition", F.lit(0))
+        .withColumn("offset", F.lit(0).cast("long"))
+        .withColumn("timestamp", F.lit(TS).cast("timestamp"))
+        .withColumn("timestampType", F.lit(0))
+    )
+    got = {r["id"]: r.asDict() for r in back.collect()}
+    assert set(got) == {j["id"] for j in jobs_data}
+    for j in jobs_data:
+        for f in JOB_SCHEMA.fields:
+            assert got[j["id"]][f.name] == j[f.name], (j["id"], f.name)
