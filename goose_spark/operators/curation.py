@@ -1,0 +1,261 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between dedup and packing: benchmark decontamination (n-gram overlap),
+temperature-weighted mixture resampling, and PII scrubbing.
+
+These extend the engine beyond the reference's job-queue surface (SURVEY
+§2.7 LLM-pipeline addenda); like the sp*/tx* family they are DataFrame
+algebra + Arrow kernels with exact DuckDB oracles, and every rate/coin is
+the portable md5-prefix device (see operators/pipeline.py docstring) so
+results reproduce across engines, runs, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.operators.textlib import with_ngrams
+from goose_spark.queries.base import register, t
+
+# ---------------------------------------------------------------------------
+# sp6 — benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: contamination shingle width. Production decontamination uses 8-13-gram
+#: exact overlap (the GPT-3/PaLM recipe); the synthetic corpus' tiny
+#: vocabulary makes 4-grams the width with comparable selectivity.
+_DECON_N = 4
+#: md5-prefix < 0x08 → ~3.1% of docs act as the held-out benchmark set.
+_BENCH_LT = "08"
+
+_SP6_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+                     string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents),
+sh AS (SELECT doc_id, lang, b,
+              UNNEST(list_distinct(list_transform(
+                  generate_series(1, len(tk) - {_DECON_N - 1}),
+                  i -> array_to_string(tk[i:i+{_DECON_N - 1}], ' ')))) AS g
+       FROM toks WHERE len(tk) >= {_DECON_N}),
+bench AS (SELECT DISTINCT g FROM sh WHERE b < '{_BENCH_LT}')
+SELECT doc_id, lang, COUNT(*) AS n_hit_grams
+FROM sh WHERE b >= '{_BENCH_LT}' AND g IN (SELECT g FROM bench)
+GROUP BY doc_id, lang ORDER BY doc_id"""
+
+
+@register(
+    "sp6_decontaminate",
+    _SP6_ORACLE,
+    doc=f"Benchmark decontamination: flag training documents sharing any "
+        f"exact {_DECON_N}-token shingle with a held-out benchmark set "
+        f"(here the ~3% md5-bucket of docs; in production, MMLU/GSM8K "
+        f"etc.). Plan: one Arrow n-gram kernel pass + explode, benchmark "
+        f"grams distinct then BROADCAST to the corpus-side semi-join — "
+        f"benchmark suites are MBs while the corpus is TBs, so the join "
+        f"ships no corpus bytes and the only shuffle is the per-doc "
+        f"hit-count agg.",
+    tags=("llm", "curation"),
+)
+def sp6(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    sh = (
+        with_ngrams(d, _DECON_N)
+        .withColumn("b", F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2))
+        .select("doc_id", "lang", "b", F.explode("grams").alias("g"))
+    )
+    bench = sh.filter(F.col("b") < _BENCH_LT).select("g").distinct()
+    return (
+        sh.filter(F.col("b") >= _BENCH_LT)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_hit_grams"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sp7 — temperature-weighted mixture resampling
+# ---------------------------------------------------------------------------
+
+_SP7_ORACLE = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS t, MIN(n_docs) AS n_min FROM counts),
+rates AS (SELECT lang, n_docs,
+                 CAST(n_docs AS DOUBLE) / t AS share,
+                 sqrt((CAST(n_min AS DOUBLE) / t) / (CAST(n_docs AS DOUBLE) / t))
+                   AS rate
+          FROM counts, tot),
+thr AS (SELECT lang, n_docs, share, rate,
+               lpad(lower(to_hex(CAST(FLOOR(rate * 256) AS INT))), 2, '0')
+                 AS rate_hex
+        FROM rates),
+s AS (SELECT d.lang,
+             CASE WHEN r.rate >= 1.0
+                       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                          < r.rate_hex
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN thr r ON d.lang = r.lang),
+agg AS (SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS sampled
+        FROM s GROUP BY lang)
+SELECT a.lang, a.n_docs, ROUND(r.share, 4) AS share,
+       ROUND(r.rate, 4) AS rate, a.sampled,
+       ROUND(CAST(a.sampled AS DOUBLE)
+             / (SELECT SUM(sampled) FROM agg), 4) AS sampled_share
+FROM agg a JOIN thr r ON a.lang = r.lang ORDER BY a.lang"""
+
+
+@register(
+    "sp7_mixture_sample",
+    _SP7_ORACLE,
+    doc="Temperature-flattened language mixture (alpha=0.5, the "
+        "multilingual-LM resampling recipe): per-language acceptance "
+        "rate sqrt(p_min/p_lang) keeps the rarest language whole and "
+        "downsamples dominant ones toward the flattened target; the "
+        "deterministic md5-prefix coin (256-level threshold, identical "
+        "hex comparison in both engines) decides membership. Plan: one "
+        "tiny per-lang count agg, the 5-row rate table broadcast back "
+        "onto the scan, one more tiny agg — document bodies never "
+        "shuffle, and the rate math runs once, not per row.",
+    tags=("llm", "curation"),
+)
+def sp7(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("t"), F.min("n_docs").alias("n_min")
+    )
+    share = F.col("n_docs").cast("double") / F.col("t")
+    rate = F.sqrt(
+        (F.col("n_min").cast("double") / F.col("t")) / share
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            share.alias("share"),
+            rate.alias("rate"),
+            F.lpad(
+                F.lower(F.hex(F.floor(rate * 256).cast("int"))), 2, "0"
+            ).alias("rate_hex"),
+        )
+    )
+    b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    keep = (
+        F.when((F.col("rate") >= 1.0) | (b < F.col("rate_hex")), 1).otherwise(0)
+    )
+    agg = (
+        d.join(F.broadcast(thr.select("lang", "rate", "rate_hex")), "lang")
+        .select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("keep").alias("sampled"))
+    )
+    total_sampled = agg.agg(F.sum("sampled").alias("ts"))
+    return (
+        agg.join(F.broadcast(thr), "lang")
+        .crossJoin(F.broadcast(total_sampled))
+        .select(
+            "lang",
+            F.col("n_docs"),
+            F.round("share", 4).alias("share"),
+            F.round("rate", 4).alias("rate"),
+            "sampled",
+            F.round(
+                F.col("sampled").cast("double") / F.col("ts"), 4
+            ).alias("sampled_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx8 — PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: RE2/Java-portable patterns: character classes + bounded reps only, no
+#: lookaround or backreferences (those diverge between engines).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+#: The synthetic corpus carries no PII, so the query derives a
+#: deterministic PII-bearing "raw" text from each row (same expression in
+#: both engines); the operator under test is the scrub kernel, and the
+#: per-group digest proves the exact scrubbed bytes match.
+_RAW_SQL = ("text || ' Contact: user' || CAST(doc_id AS VARCHAR)"
+            " || '@mail.example.com or +1-415-555-'"
+            " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'")
+
+_TX8_ORACLE = f"""
+WITH raw AS (SELECT doc_id, lang, {_RAW_SQL} AS raw FROM documents),
+s AS (SELECT doc_id, lang,
+             len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_email,
+             len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phone,
+             regexp_replace(
+                 regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+      FROM raw)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       md5(string_agg(scrubbed, chr(30) ORDER BY doc_id)) AS scrub_digest
+FROM s GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "tx8_pii_scrub",
+    _TX8_ORACLE,
+    doc="PII scrubbing: mask emails and phone numbers with typed "
+        "placeholders before training. Pure codegen regexp_replace chain "
+        "(JVM-side, no Python anywhere) over RE2/Java-portable patterns; "
+        "redaction counts come from regexp_extract_all on the same "
+        "expressions, and the per-language md5 digest pins the exact "
+        "scrubbed bytes against the oracle. At 100 TB this is a "
+        "map-only stage — the single shuffle here is the audit agg, and "
+        "a production run writes scrubbed docs straight back to parquet "
+        "from the executors.",
+    tags=("llm", "curation"),
+)
+def tx8(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "scrubbed"))),
+                lambda r: r["scrubbed"],
+            ),
+            "\x1e",
+        )
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            digest.alias("scrub_digest"),
+        )
+        .orderBy("lang")
+    )

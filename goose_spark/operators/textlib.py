@@ -97,6 +97,45 @@ def with_shingles(df, text_col: str = "text", out: str = "sh", barrier: bool = T
     return base.mapInPandas(gen, schema)
 
 
+def with_ngrams(df, n: int, text_col: str = "text", out: str = "grams",
+                barrier: bool = True):
+    """documents → + distinct word n-gram column (first-occurrence order,
+    matching DuckDB ``list_distinct(list_transform(...))`` semantics).
+
+    Same Arrow ``mapInPandas`` rationale as :func:`with_shingles` — Spark
+    HOF lambdas run interpreted (~33µs/gram), the Python batch builds the
+    arrays in bulk and gives downstream joins a materialized column.
+    Docs shorter than ``n`` tokens get an empty list (DuckDB's
+    ``generate_series(1, len-n+1)`` is empty there; Spark's ``sequence``
+    would count DOWN, so the kernel guards explicitly).
+    """
+    from pyspark.sql import types as T
+
+    import re as _re
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.ArrayType(T.StringType()))])
+
+    def gen(batches):
+        ws = _re.compile(r"\s+")
+        for pdf in batches:
+            def grams(text):
+                w = ws.split(text.lower())
+                if len(w) < n:
+                    return []
+                return list(dict.fromkeys(
+                    " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                ))
+
+            pdf[out] = pdf[text_col].map(grams)
+            yield pdf
+
+    if barrier:
+        base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else:
+        base = df
+    return base.mapInPandas(gen, schema)
+
+
 def normalized_fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of lowercased, whitespace-collapsed text.
     DuckDB: md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"""

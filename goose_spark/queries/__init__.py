@@ -21,6 +21,7 @@ def load_all() -> dict:
     """Import every query-providing module (incl. operator extensions)."""
     from goose_spark.operators import (  # noqa: F401
         clusters,
+        curation,
         dedup,
         multimodal,
         pipeline,

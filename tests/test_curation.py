@@ -1,0 +1,109 @@
+"""Semantic invariants for the curation operators (sp6/sp7/tx8) beyond
+the oracle hash-match that test_oracle_parity already enforces."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from goose_spark.operators import curation
+from goose_spark.queries import load_all
+from goose_spark.queries.base import t
+from tests.conftest import SF_CORRECT
+
+REG = load_all()
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark):
+    out = REG["sp6_decontaminate"].builder(spark, SF_CORRECT)
+    flagged = out.withColumn(
+        "b",
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+    )
+    # benchmark members are the contamination SOURCE, never flagged targets
+    assert flagged.filter(F.col("b") < curation._BENCH_LT).count() == 0
+    rows = out.collect()
+    assert rows and all(r["n_hit_grams"] >= 1 for r in rows)
+
+
+def test_decontaminate_hits_share_a_real_shingle(spark):
+    out = REG["sp6_decontaminate"].builder(spark, SF_CORRECT).limit(3).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in t(spark, SF_CORRECT, "documents").collect()
+    }
+    import hashlib
+
+    bench_grams = set()
+    n = curation._DECON_N
+    for doc_id, text in docs.items():
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < curation._BENCH_LT:
+            w = re.split(r"\s+", text.lower())
+            bench_grams |= {
+                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+            }
+    for r in out:
+        w = re.split(r"\s+", docs[r["doc_id"]].lower())
+        grams = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+        assert grams & bench_grams, f"doc {r['doc_id']} flagged without overlap"
+
+
+def test_mixture_sample_rates(spark):
+    rows = {r["lang"]: r for r in REG["sp7_mixture_sample"].builder(spark, SF_CORRECT).collect()}
+    assert set(rows) == {"en", "es", "de", "fr", "zh"}
+    rarest = min(rows.values(), key=lambda r: r["n_docs"])
+    assert rarest["rate"] == 1.0 and rarest["sampled"] == rarest["n_docs"]
+    for r in rows.values():
+        assert 0.0 < r["rate"] <= 1.0
+        assert r["sampled"] <= r["n_docs"]
+        # temperature flattening moves every lang's share toward uniform:
+        # sampled share sits between its original share and 1/n_langs
+        lo, hi = sorted((r["share"], 1.0 / len(rows)))
+        assert lo - 0.05 <= r["sampled_share"] <= hi + 0.05
+    # dominant language is downsampled hardest
+    dominant = max(rows.values(), key=lambda r: r["n_docs"])
+    assert dominant["rate"] == min(r["rate"] for r in rows.values())
+
+
+def test_pii_scrub_masks_everything(spark):
+    out = REG["tx8_pii_scrub"].builder(spark, SF_CORRECT).collect()
+    n_docs = t(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    # the derived raw text plants exactly one email + one phone per doc
+    assert sum(r["emails_redacted"] for r in out) == n_docs
+    assert sum(r["phones_redacted"] for r in out) == n_docs
+
+
+def test_pii_scrub_leaves_no_residue(spark):
+    d = t(spark, SF_CORRECT, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, curation._EMAIL_RE, "<EMAIL>"),
+        curation._PHONE_RE,
+        "<PHONE>",
+    )
+    residue = d.select(scrubbed.alias("s")).filter(
+        F.col("s").rlike(curation._EMAIL_RE) | F.col("s").rlike(curation._PHONE_RE)
+    )
+    assert residue.count() == 0
+    sample = d.select(scrubbed.alias("s")).limit(1).collect()[0]["s"]
+    assert "<EMAIL>" in sample and "<PHONE>" in sample
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    plan = (
+        REG["sp6_decontaminate"]
+        .builder(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
