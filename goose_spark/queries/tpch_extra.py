@@ -265,3 +265,137 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q58_customer_distribution",
+    """WITH c_orders AS (
+         SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey)
+       SELECT c_count, COUNT(*) AS custdist
+       FROM c_orders GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+    doc="TPC-H Q13 silhouette (the comment-pattern exclusion becomes a "
+        "priority exclusion — no o_comment column in this testdata): "
+        "order count per customer INCLUDING zero-order customers via the "
+        "filtered left outer join, then the distribution of those "
+        "counts. Two hash-aggs; the only large shuffle is "
+        "customer⋈orders on custkey, and the second agg's input is "
+        "|customers| rows of two ints. COUNT(o_orderkey) (not *) keeps "
+        "the null-row = 0 semantics identical in both engines.",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q59_product_type_profit",
+    """SELECT nation, o_year,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                   AS DOUBLE) AS sum_profit
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN nation ON s_nationkey = n_nationkey
+       CROSS JOIN LATERAL (SELECT n_name AS nation,
+                                  EXTRACT(YEAR FROM o_orderdate) AS o_year) v
+       WHERE p_name LIKE '%red%'
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""",
+    doc="TPC-H Q9 silhouette (no partsupp in this testdata, so profit is "
+        "discounted revenue without the supplycost term): revenue from "
+        "'%red%'-named parts per supplier nation and order year. "
+        "part (filtered), supplier, nation all broadcast; lineitem "
+        "shuffles once to meet orders on orderkey (supplier join left to "
+        "AQE — it scales with SF). The LIKE filter "
+        "prunes lineitem through the broadcast hash table before that "
+        "exchange.",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        t(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    profit = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return (
+        # part/nation forced broadcast (filtered dim / 25 rows); supplier
+        # left to AQE — it scales with SF, so the planner should downgrade
+        # it to a shuffle join when stats say so
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("profit"), 2).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q60_order_priority_check",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL '30' DAY)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    doc="TPC-H Q4 silhouette (commitdate/receiptdate absent, so 'late' = "
+        "shipped >30 days after order date, matching q40's convention): "
+        "orders placed in 1996Q1 with at least one late line, counted "
+        "per priority. The EXISTS is a left-semi join on orderkey with "
+        "the date predicate pushed to the orders scan — lineitem "
+        "deduplicates inside the semi join, no DISTINCT needed, and the "
+        "quarter filter shrinks the build side before the shuffle.",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    o = (
+        t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
