@@ -34,6 +34,9 @@ OPS = [
     "tx6_repetition_filter",
     "tx7_rare_token_ratio",
     "sp5_quality_weighted_sample",
+    "sp6_decontaminate",
+    "sp7_mixture_sample",
+    "tx8_pii_scrub",
     "ss4_label_centroids",
     "q55_waiting_suppliers",
     "q57_sliding_window",
