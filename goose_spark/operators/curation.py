@@ -259,3 +259,112 @@ def tx8(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# sp8 — deterministic epoch shuffle (global training order)
+# ---------------------------------------------------------------------------
+
+_EPOCH_SEED = "ep1"
+#: first hex char of the salted hash → 16 output shards.
+_N_SHARD_HEX = 1
+
+_SP8_ORACLE = f"""
+WITH h AS (SELECT doc_id,
+                  md5('{_EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS hk
+           FROM documents)
+SELECT substr(hk, 1, {_N_SHARD_HEX}) AS shard, COUNT(*) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hk)) AS order_digest
+FROM h GROUP BY 1 ORDER BY shard"""
+
+
+@register(
+    "sp8_epoch_shuffle",
+    _SP8_ORACLE,
+    doc=f"Deterministic global shuffle for one training epoch: every doc "
+        f"keyed by md5(seed|doc_id), sharded on the key's first hex char "
+        f"and ordered by the full key within each shard — a reproducible "
+        f"uniform permutation with NO global sort (change the seed, get "
+        f"a fresh epoch order). The digest pins the exact per-shard "
+        f"sequence. At 100 TB this is repartitionByRange(hash) + "
+        f"sortWithinPartitions — uniform by construction (hash keys "
+        f"cannot skew), each shard writes independently, and only "
+        f"O(shards) digest rows leave the executors.",
+    tags=("llm", "pipeline"),
+)
+def sp8(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("doc_id")
+    hk = F.md5(
+        F.concat(F.lit(f"{_EPOCH_SEED}|"), F.col("doc_id").cast("string"))
+    )
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hk", "doc_id"))),
+                lambda r: r["doc_id"].cast("string"),
+            ),
+            ",",
+        )
+    )
+    return (
+        d.select("doc_id", hk.alias("hk"))
+        .groupBy(F.substring("hk", 1, _N_SHARD_HEX).alias("shard"))
+        .agg(F.count("*").alias("n_docs"), digest.alias("order_digest"))
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx9 — unigram-LM surprisal scoring
+# ---------------------------------------------------------------------------
+
+_TX9_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents),
+ tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+ freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+ tot AS (SELECT SUM(cnt) AS n FROM freq)
+SELECT doc_id, COUNT(*) AS n_toks,
+       ROUND(AVG(ln(CAST(n AS DOUBLE) / cnt)), 6) AS surprisal
+FROM tk JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id LIMIT 500"""
+
+
+@register(
+    "tx9_lm_surprisal",
+    _TX9_ORACLE,
+    doc="Unigram language-model surprisal per document (mean -ln "
+        "p(token) under corpus unigram frequencies) — the CCNet-style "
+        "'LM quality filter' signal: word-salad and boilerplate score "
+        "away from the corpus norm. Plan: one (token) partial-agg "
+        "shuffle builds the O(vocab) frequency table, the corpus total "
+        "is a 1-row broadcast, and the score join is tokens⋈vocab — at "
+        "100 TB the vocab side is a broadcast of the top-K table with "
+        "an OOV floor, or a shuffle join if the tail must stay exact. "
+        "No Python anywhere; ln parity with DuckDB follows tx5's "
+        "round-6 convention.",
+    tags=("llm", "text"),
+)
+def tx9(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    tk = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    return (
+        tk.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(
+                F.avg(F.log(F.col("n").cast("double") / F.col("cnt"))), 6
+            ).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )

@@ -107,3 +107,39 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_epoch_shuffle_partitions_whole_corpus(spark):
+    rows = REG["sp8_epoch_shuffle"].builder(spark, SF_CORRECT).collect()
+    n_docs = t(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(r["shard"] in "0123456789abcdef" for r in rows)
+    # per-shard orders are genuinely different sequences
+    assert len({r["order_digest"] for r in rows}) == len(rows)
+
+
+def test_epoch_shuffle_order_is_hash_order(spark):
+    import hashlib
+
+    from goose_spark.operators.curation import _EPOCH_SEED
+
+    rows = REG["sp8_epoch_shuffle"].builder(spark, SF_CORRECT).collect()
+    docs = [r["doc_id"] for r in t(spark, SF_CORRECT, "documents").collect()]
+    hk = {d: hashlib.md5(f"{_EPOCH_SEED}|{d}".encode()).hexdigest() for d in docs}
+    by_shard = {}
+    for d in docs:
+        by_shard.setdefault(hk[d][0], []).append(d)
+    for r in rows:
+        ordered = sorted(by_shard[r["shard"]], key=lambda d: hk[d])
+        digest = hashlib.md5(",".join(str(d) for d in ordered).encode()).hexdigest()
+        assert digest == r["order_digest"]
+
+
+def test_lm_surprisal_flags_rare_content(spark):
+    rows = REG["tx9_lm_surprisal"].builder(spark, SF_CORRECT).collect()
+    assert rows and all(r["surprisal"] > 0 for r in rows)
+    # mean -ln p is bounded below by the entropy floor of a finite corpus:
+    # every token's p < 1, and the doc of ONLY the most common token
+    # still scores ln(total/max_cnt) > 0
+    n_docs = t(spark, SF_CORRECT, "documents").count()
+    assert len(rows) == min(n_docs, 500)
