@@ -6,7 +6,11 @@ operator primitives:
       → near-dup dedup       (MinHash+LSH pairs → connected components,
                               dd2/dd6 kernels — keep each cluster's keeper)
       → quality filter       (tx3 buckets + tx6 repetition verdict)
+      → PII scrub            (tx8 regexp_replace chain over the kept text)
+      → decontamination      (sp6 4-gram overlap vs a held-out benchmark
+                              bucket — contaminated docs dropped)
       → quality-weighted mix (sp5 md5-coin acceptance per bucket)
+      → language mixture     (sp7 temperature-flattened per-lang rates)
       → train/val/test split (sp1 md5-prefix buckets)
       → sequence packing     (sp4 two-pass token chunking, 2048-token
                               budget) over the surviving train split
@@ -93,6 +97,37 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     )
     stats["after_quality_filter"] = docs.count()
 
+    # 3b. PII scrub (tx8 kernel): mask emails/phones in the surviving
+    #     text — map-only, pure codegen, no Python
+    from goose_spark.operators.curation import _EMAIL_RE, _PHONE_RE
+
+    docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+    )
+
+    # 3c. decontamination (sp6 kernel): drop training docs sharing any
+    #     4-gram with the held-out benchmark bucket
+    from goose_spark.operators.curation import _BENCH_LT, _DECON_N
+    from goose_spark.operators.textlib import with_ngrams
+
+    grams = (
+        with_ngrams(docs.select("doc_id", "text"), _DECON_N)
+        .withColumn("b", _bucket2(F.col("doc_id")))
+        .select("doc_id", "b", F.explode("grams").alias("g"))
+    )
+    bench_grams = grams.filter(F.col("b") < _BENCH_LT).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("b") >= _BENCH_LT)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = docs.join(contaminated, "doc_id", "left_anti")
+    stats["after_decontamination"] = docs.count()
+
     # 4. quality-weighted sampling: md5 coin, acceptance rate per bucket
     b = _bucket2(F.col("doc_id"))
     accept = (
@@ -103,6 +138,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     )
     docs = docs.filter(accept)
     stats["after_sampling"] = docs.count()
+
+    # 4b. temperature-flattened language mixture (sp7 kernel): acceptance
+    #     rate sqrt(p_min/p_lang), md5-coin membership
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("t"), F.min("n_docs").alias("n_min"))
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_docs"))
+    thr = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        rate.alias("rate"),
+        F.lpad(F.lower(F.hex(F.floor(rate * 256).cast("int"))), 2, "0").alias(
+            "rate_hex"
+        ),
+    )
+    docs = (
+        docs.join(F.broadcast(thr), "lang")
+        .filter((F.col("rate") >= 1.0) | (_bucket2(F.col("doc_id")) < F.col("rate_hex")))
+        .drop("rate", "rate_hex")
+    )
+    stats["after_mixture"] = docs.count()
 
     # 5. deterministic split
     sb = _bucket2(F.col("doc_id"))

@@ -19,8 +19,10 @@ def test_pipeline_end_to_end(spark):
     # monotone shrinkage through the funnel
     assert stats["raw"] >= stats["after_exact_dedup"] >= stats["after_near_dedup"]
     assert stats["after_near_dedup"] >= stats["after_quality_filter"]
-    assert stats["after_quality_filter"] >= stats["after_sampling"] > 0
-    # all three splits materialize and cover the sampled corpus
-    assert sum(stats["splits"].values()) == stats["after_sampling"]
+    assert stats["after_quality_filter"] >= stats["after_decontamination"]
+    assert stats["after_decontamination"] >= stats["after_sampling"] > 0
+    assert stats["after_sampling"] >= stats["after_mixture"] > 0
+    # all three splits materialize and cover the mixed corpus
+    assert sum(stats["splits"].values()) == stats["after_mixture"]
     assert stats["train_chunks"] > 0
     assert stats["train_tokens"] > 0
