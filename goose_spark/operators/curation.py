@@ -83,8 +83,7 @@ WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 tot AS (SELECT SUM(n_docs) AS t, MIN(n_docs) AS n_min FROM counts),
 rates AS (SELECT lang, n_docs,
                  CAST(n_docs AS DOUBLE) / t AS share,
-                 sqrt((CAST(n_min AS DOUBLE) / t) / (CAST(n_docs AS DOUBLE) / t))
-                   AS rate
+                 sqrt(CAST(n_min AS DOUBLE) / n_docs) AS rate
           FROM counts, tot),
 thr AS (SELECT lang, n_docs, share, rate,
                lpad(lower(to_hex(CAST(FLOOR(rate * 256) AS INT))), 2, '0')
@@ -121,53 +120,60 @@ FROM agg a JOIN thr r ON a.lang = r.lang ORDER BY a.lang"""
     tags=("llm", "curation"),
 )
 def sp7(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
     d = t(spark, sf, "documents").select("doc_id", "lang")
-    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    tot = counts.agg(
-        F.sum("n_docs").alias("t"), F.min("n_docs").alias("n_min")
-    )
-    share = F.col("n_docs").cast("double") / F.col("t")
-    rate = F.sqrt(
-        (F.col("n_min").cast("double") / F.col("t")) / share
-    )
-    thr = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            "n_docs",
-            share.alias("share"),
-            rate.alias("rate"),
-            F.lpad(
-                F.lower(F.hex(F.floor(rate * 256).cast("int"))), 2, "0"
-            ).alias("rate_hex"),
+    # O(langs) driver round-trip (the q49-offsets pattern): expressing the
+    # rate table as nested DataFrame branches made Catalyst re-scan the
+    # source once per branch (8 scans, 9 shuffles measured); collecting the
+    # per-lang counts and literal-broadcasting the 5-row rate table leaves
+    # ONE scan + ONE (lang,keep) partial-agg shuffle in the plan.
+    counts = {
+        r["lang"]: int(r["n"])
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    n_min = min(counts.values())
+    rows = [
+        (
+            lang,
+            n,
+            n / total,
+            math.sqrt(n_min / n),
+            format(min(int(math.sqrt(n_min / n) * 256), 255), "02x"),
         )
+        for lang, n in counts.items()
+    ]
+    thr = spark.createDataFrame(
+        rows, "lang string, n_docs long, share double, rate double, rate_hex string"
     )
     b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
     keep = (
         F.when((F.col("rate") >= 1.0) | (b < F.col("rate_hex")), 1).otherwise(0)
     )
     agg = (
-        d.join(F.broadcast(thr.select("lang", "rate", "rate_hex")), "lang")
-        .select("lang", keep.alias("keep"))
-        .groupBy("lang")
-        .agg(F.count("*").alias("n"), F.sum("keep").alias("sampled"))
-    )
-    total_sampled = agg.agg(F.sum("sampled").alias("ts"))
-    return (
-        agg.join(F.broadcast(thr), "lang")
-        .crossJoin(F.broadcast(total_sampled))
-        .select(
-            "lang",
-            F.col("n_docs"),
-            F.round("share", 4).alias("share"),
-            F.round("rate", 4).alias("rate"),
-            "sampled",
-            F.round(
-                F.col("sampled").cast("double") / F.col("ts"), 4
-            ).alias("sampled_share"),
+        d.join(F.broadcast(thr), "lang")
+        .select("lang", "n_docs", "share", "rate", keep.alias("keep"))
+        .groupBy("lang", "n_docs", "share", "rate")
+        .agg(F.sum("keep").alias("sampled"))
+    ).collect()
+    total_sampled = sum(int(r["sampled"]) for r in agg)
+    out = [
+        (
+            r["lang"],
+            int(r["n_docs"]),
+            round(r["share"], 4),
+            round(r["rate"], 4),
+            int(r["sampled"]),
+            round(int(r["sampled"]) / total_sampled, 4),
         )
-        .orderBy("lang")
-    )
+        for r in agg
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, n_docs long, share double, rate double, "
+        "sampled long, sampled_share double",
+    ).orderBy("lang")
 
 
 # ---------------------------------------------------------------------------

@@ -338,3 +338,76 @@ def test_quality_sample_single_shuffle(spark):
     # the 3-bucket agg exchange + the final output-order range exchange
     assert r.shuffles <= 2
     assert "Python" not in r.text  # no UDF — pure built-in expressions
+
+
+def test_decontaminate_plan(spark):
+    # benchmark grams broadcast; no single-task stage anywhere
+    r = report(REGISTRY["sp6_decontaminate"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges == 0
+    assert r.broadcast_joins >= 1
+
+
+def test_mixture_sample_never_shuffles_doc_bodies(spark):
+    # the heavy work runs eagerly inside the builder as two O(langs)
+    # driver round-trips (counts, then sampled counts) whose scans read
+    # only (doc_id, lang); the returned frame is the 5-row assembly
+    from pyspark.sql import functions as F
+
+    from goose_spark.queries.base import t
+
+    r = report(REGISTRY["sp7_mixture_sample"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges == 0
+    assert "FileScan" not in r.text
+    inner = report(
+        t(spark, SF_CORRECT, "documents")
+        .select("doc_id", "lang")
+        .groupBy("lang")
+        .agg(F.count("*"))
+    )
+    # Catalyst prunes the count scan all the way down to lang alone
+    assert any("lang" in s and "text" not in s for s in inner.read_schemas)
+
+
+def test_pii_scrub_map_only_plus_audit_agg(spark):
+    r = report(REGISTRY["tx8_pii_scrub"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges == 0
+    # the per-lang audit agg + the O(langs)-row final orderBy; the scrub
+    # itself is map-only
+    assert r.shuffles <= 2
+    assert "Window" not in r.text
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    r = report(REGISTRY["sp8_epoch_shuffle"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges == 0
+    assert "Window" not in r.text
+
+
+def test_lm_surprisal_plan(spark):
+    r = report(REGISTRY["tx9_lm_surprisal"].builder(spark, SF_CORRECT))
+    # one SinglePartition is the corpus-total scalar agg — its input is
+    # O(partitions) partial sums, not data, so it is scale-safe
+    assert r.single_partition_exchanges <= 1
+    assert r.has_take_ordered
+
+
+def test_customer_distribution_filter_pushdown(spark):
+    r = report(REGISTRY["q58_customer_distribution"].builder(spark, SF_CORRECT))
+    pushed = " ".join(r.pushed_filters)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in pushed
+    assert r.single_partition_exchanges == 0
+
+
+def test_product_profit_broadcasts_filtered_dims(spark):
+    r = report(REGISTRY["q59_product_type_profit"].builder(spark, SF_CORRECT))
+    pushed = " ".join(r.pushed_filters)
+    assert "StringContains(p_name,red)" in pushed
+    assert r.broadcast_joins >= 2
+
+
+def test_order_priority_semi_join_pushdown(spark):
+    r = report(REGISTRY["q60_order_priority_check"].builder(spark, SF_CORRECT))
+    pushed = " ".join(r.pushed_filters)
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "LeftSemi" in r.text
+    assert "CartesianProduct" not in r.text
