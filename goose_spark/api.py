@@ -39,6 +39,13 @@ class LedgerAPI:
     def state(self) -> DataFrame:
         return self.ledger.state(self.spark)
 
+    def state_as_of(self, seq: int | None = None, ts=None) -> DataFrame:
+        """Time-travel read: the queue as it looked at an earlier cursor
+        (from ``Ledger.mark()``) or wall-clock instant — the audit answer
+        to "what was enqueued/dead at the time of the incident". See
+        Ledger.state_as_of for compaction-horizon semantics."""
+        return self.ledger.state_as_of(self.spark, seq=seq, ts=ts)
+
     # ---- Q1/Q2: queue listing & sizes ------------------------------------
 
     def list_queues(self) -> list[str]:

@@ -296,6 +296,56 @@ class Ledger:
             .drop("_rn")
         )
 
+    def mark(self) -> int:
+        """An as-of cursor for time travel: every row appended after this
+        call carries a larger ``seq`` (seqs are ns-epoch based)."""
+        return time.time_ns()
+
+    def compaction_floor(self) -> int:
+        """Oldest seq time travel can reach: 0 until the first
+        compaction, then the compacting commit's seq."""
+        try:
+            with open(os.path.join(self.commits_dir, "COMPACTION")) as fh:
+                return int(fh.read().strip() or 0)
+        except OSError:
+            return 0
+
+    def state_as_of(self, spark: SparkSession, seq: int | None = None,
+                    ts=None) -> DataFrame:
+        """Job state as of a log sequence or wall-clock instant — the
+        Delta ``VERSION AS OF`` / ``TIMESTAMP AS OF`` read over the
+        seq-stamped log (seq is ns-epoch, so a datetime converts
+        directly). The seq predicate reaches the parquet scan, so
+        row-group min/max stats prune files newer than the cutoff.
+
+        History travels back only to the last compaction: ``compact``
+        collapses superseded rows the way VACUUM expires Delta versions,
+        and like Delta, traveling past that horizon raises (silently
+        returning wrong history would be worse than refusing)."""
+        if (seq is None) == (ts is None):
+            raise ValueError("pass exactly one of seq= or ts=")
+        if ts is not None:
+            import datetime as _dt
+
+            if isinstance(ts, _dt.datetime):
+                seq = int(ts.timestamp() * 1_000_000_000)
+            else:
+                seq = int(ts * 1_000_000_000)
+        floor = self.compaction_floor()
+        if seq < floor:
+            raise ValueError(
+                f"as-of cursor {seq} predates the last compaction "
+                f"({floor}); that history is vacuumed"
+            )
+        w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+        return (
+            self.log(spark)
+            .filter(F.col("seq") <= F.lit(int(seq)))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     @staticmethod
     def _spark_log_schema():
         from pyspark.sql import types as T
@@ -427,6 +477,13 @@ class Ledger:
             }
             self._write_manifest(base, staging, entries, deletes=old_files)
             self._apply_manifest(manifest)
+            # advance the time-travel horizon: versions before this
+            # commit are vacuumed (state_as_of refuses older cursors)
+            marker = os.path.join(self.commits_dir, "COMPACTION")
+            tmp_m = marker + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp_m, "w") as fh:
+                fh.write(str(base))
+            os.replace(tmp_m, marker)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         if expired:

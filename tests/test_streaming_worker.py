@@ -759,3 +759,62 @@ def test_scoped_scheduler_reenqueues_other_queues(spark, ledger):
     gamma.process_available()
     assert gamma.executions == 1
     assert api.dashboard_counts().get("scheduled", 0) == 0
+
+
+# --- time travel (Delta VERSION/TIMESTAMP AS OF analog) ---------------------
+
+def test_state_as_of_cursor(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("noop", 1)
+    client.perform_async("noop", 2)
+    cursor = ledger.mark()
+    client.perform_async("noop", 3)
+    api = LedgerAPI(spark, ledger)
+    assert api.state().count() == 3
+    past = api.state_as_of(seq=cursor)
+    assert past.count() == 2
+    # the third job does not exist at the cursor
+    ids_then = {r["id"] for r in past.collect()}
+    ids_now = {r["id"] for r in api.state().collect()}
+    assert ids_then < ids_now
+
+
+def test_state_as_of_sees_pre_execution_status(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("noop", 1)
+    cursor = ledger.mark()
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    api = LedgerAPI(spark, ledger)
+    assert {r["status"] for r in api.state().collect()} == {"success"}
+    assert {r["status"] for r in api.state_as_of(seq=cursor).collect()} == {"enqueued"}
+    # wall-clock variant: an instant far in the future == current state
+    from datetime import datetime, timedelta
+
+    future = datetime.now() + timedelta(days=1)
+    assert {r["status"] for r in api.state_as_of(ts=future).collect()} == {"success"}
+
+
+def test_state_as_of_respects_compaction_horizon(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("noop", 1)
+    cursor = ledger.mark()
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    ledger.compact(spark)
+    api = LedgerAPI(spark, ledger)
+    # the pre-execution version was vacuumed: like Delta beyond its
+    # retention window, the old cursor is refused rather than answered
+    # with wrong history
+    with pytest.raises(ValueError, match="vacuumed"):
+        api.state_as_of(seq=cursor)
+    # cursors at/after the compaction floor still work
+    assert api.state_as_of(seq=ledger.mark()).count() == 1
+
+
+def test_state_as_of_requires_exactly_one_cursor(spark, ledger):
+    api = LedgerAPI(spark, ledger)
+    with pytest.raises(ValueError):
+        api.state_as_of()
+    with pytest.raises(ValueError):
+        api.state_as_of(seq=1, ts=1.0)
