@@ -399,3 +399,89 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q61_rolling_range_window",
+    """SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS spend_90d
+       FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200""",
+    doc="RANGE-frame window: per-customer rolling 90-day spend — the "
+        "frame is bounded by the ORDER-key VALUE (epoch seconds, "
+        "7776000 = 90 days), not a row count, so ties and gaps behave "
+        "correctly. Per-customer partitioning keeps every window local "
+        "to its hash partition at any scale; exact-decimal sums, cast "
+        "double at the edge. Both engines evaluate the identical "
+        "numeric-range frame over epoch seconds.",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_money("o_totalprice")).over(w).cast("double").alias("spend_90d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q62_first_nth_value",
+    """SELECT o_custkey,
+              MIN(first_ord) AS first_order,
+              MIN(second_ord) AS second_order,
+              CAST(MIN(first_price) AS DOUBLE) AS first_price
+       FROM (SELECT o_custkey,
+                    FIRST_VALUE(o_orderkey) OVER w AS first_ord,
+                    NTH_VALUE(o_orderkey, 2) OVER w AS second_ord,
+                    FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                      AS first_price
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)) x
+       GROUP BY o_custkey ORDER BY o_custkey LIMIT 200""",
+    doc="FIRST_VALUE / NTH_VALUE navigation windows: each customer's "
+        "first and second order (full-partition frame so NTH_VALUE(2) "
+        "is defined on every row, NULL for single-order customers). "
+        "The outer MIN collapses the per-row duplicates "
+        "deterministically. One custkey shuffle; window + agg share the "
+        "same partitioning so Catalyst plans a single Exchange.",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    x = o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ord"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ord"),
+        F.first(_money("o_totalprice")).over(w).alias("first_price"),
+    )
+    return (
+        x.groupBy("o_custkey")
+        .agg(
+            F.min("first_ord").alias("first_order"),
+            F.min("second_ord").alias("second_order"),
+            F.min("first_price").cast("double").alias("first_price"),
+        )
+        .orderBy("o_custkey")
+        .limit(200)
+    )
