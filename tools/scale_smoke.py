@@ -36,7 +36,9 @@ OPS = [
     "sp5_quality_weighted_sample",
     "sp6_decontaminate",
     "sp7_mixture_sample",
+    "sp8_epoch_shuffle",
     "tx8_pii_scrub",
+    "tx9_lm_surprisal",
     "ss4_label_centroids",
     "q55_waiting_suppliers",
     "q57_sliding_window",
