@@ -485,3 +485,32 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("o_custkey")
         .limit(200)
     )
+
+
+@register(
+    "q63_lateral_topk",
+    """SELECT n.n_name, c.c_custkey, c.bal
+       FROM nation n,
+       LATERAL (SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+                FROM customer WHERE c_nationkey = n.n_nationkey
+                ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+       ORDER BY n.n_name, bal DESC, c.c_custkey""",
+    doc="LATERAL correlated subquery (identical SQL text runs on both "
+        "engines): each nation's top-2 customers by balance. Catalyst "
+        "decorrelates the per-row LIMIT subquery into a partitioned "
+        "rank — the DataFrame twin of q10's WindowGroupLimit — so no "
+        "nested-loop per-nation execution survives into the physical "
+        "plan. Exercises the SQL surface end-to-end (temp views + "
+        "spark.sql), not just the DataFrame builders.",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    t(spark, sf, "nation").createOrReplaceTempView("nation")
+    t(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """SELECT n.n_name, c.c_custkey, c.bal
+           FROM nation n,
+           LATERAL (SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+                    FROM customer WHERE c_nationkey = n.n_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+           ORDER BY n.n_name, bal DESC, c.c_custkey"""
+    )
