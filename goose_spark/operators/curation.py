@@ -132,6 +132,12 @@ def sp7(spark: SparkSession, sf: str) -> DataFrame:
         r["lang"]: int(r["n"])
         for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
+    out_schema = (
+        "lang string, n_docs long, share double, rate double, "
+        "sampled long, sampled_share double"
+    )
+    if not counts:
+        return spark.createDataFrame([], out_schema)
     total = sum(counts.values())
     n_min = min(counts.values())
     rows = [
@@ -169,11 +175,7 @@ def sp7(spark: SparkSession, sf: str) -> DataFrame:
         )
         for r in agg
     ]
-    return spark.createDataFrame(
-        out,
-        "lang string, n_docs long, share double, rate double, "
-        "sampled long, sampled_share double",
-    ).orderBy("lang")
+    return spark.createDataFrame(out, out_schema).orderBy("lang")
 
 
 # ---------------------------------------------------------------------------
