@@ -62,7 +62,9 @@ def mm1(spark: SparkSession, sf: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["payload"].map(len)
+            # null payload (failed fetch/decode upstream) = 0 bytes, not
+            # a task kill
+            n = pdf["payload"].map(lambda b: 0 if b is None else len(b))
             feats = n.map(fake_features)
             yield pd.DataFrame(
                 {
@@ -109,7 +111,9 @@ def mm2(spark: SparkSession, sf: str) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = pdf["payload"].map(lambda b: bytes(b)[:_THUMB_BYTES])
+            thumbs = pdf["payload"].map(
+                lambda b: None if b is None else bytes(b)[:_THUMB_BYTES]
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -169,6 +173,8 @@ def mm3(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, offs = [], [], []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:  # no payload → no frames emitted
+                    continue
                 n = len(b)
                 frames = n % 16 + 1
                 fsize = n // frames

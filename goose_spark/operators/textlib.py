@@ -80,6 +80,8 @@ def with_shingles(df, text_col: str = "text", out: str = "sh", barrier: bool = T
         ws = _re.compile(r"\s+")
         for pdf in batches:
             def sh(text):
+                if text is None:  # null text = no shingles, not a task kill
+                    return []
                 w = ws.split(text.lower())
                 if len(w) < 3:
                     return []
@@ -119,6 +121,8 @@ def with_ngrams(df, n: int, text_col: str = "text", out: str = "grams",
         ws = _re.compile(r"\s+")
         for pdf in batches:
             def grams(text):
+                if text is None:  # null text = no grams, not a task kill
+                    return []
                 w = ws.split(text.lower())
                 if len(w) < n:
                     return []

@@ -63,3 +63,36 @@ def test_mixture_sample_empty_corpus(spark, empty_sf):
     # corpus the rate table is empty and so is the result
     df = REGISTRY["sp7_mixture_sample"].builder(spark, empty_sf)
     assert df.count() == 0
+
+
+def test_arrow_kernels_survive_null_text_and_payload(spark):
+    from pyspark.sql import functions as F
+
+    from goose_spark.operators.textlib import with_ngrams, with_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["sh"] for r in with_shingles(df).collect()}
+    assert sh[2] == [] and len(sh[1]) == 3
+    ng = {r["doc_id"]: r["grams"] for r in with_ngrams(df, 4).collect()}
+    assert ng[2] == [] and len(ng[1]) == 2
+
+    # multimodal kernels: null payload = zero-byte / skipped, not a
+    # crash — drive them through the registry on a temp corpus dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        m1 = REGISTRY["mm1_multimodal_features"].builder(spark, tmp).collect()
+        assert {r["doc_id"]: r["n_bytes"] for r in m1}[2] == 0
+        m2 = {r["doc_id"]: r for r in REGISTRY["mm2_resize_plumbing"].builder(spark, tmp).collect()}
+        assert m2[2]["orig_bytes"] is None  # null propagates, no crash
+        m3 = REGISTRY["mm3_frame_sample"].builder(spark, tmp).collect()
+        assert {r["doc_id"] for r in m3} == {1, 3}
