@@ -96,3 +96,35 @@ def test_arrow_kernels_survive_null_text_and_payload(spark):
         assert m2[2]["orig_bytes"] is None  # null propagates, no crash
         m3 = REGISTRY["mm3_frame_sample"].builder(spark, tmp).collect()
         assert {r["doc_id"] for r in m3} == {1, 3}
+
+
+def test_approx_aggregates_within_error_bounds(spark):
+    """q29 is rows-only in the driver gate; this pins its accuracy: HLL++
+    within its 5% standard-error envelope of the exact distinct count,
+    and the quantile sketch inside the exact [p45, p55] / [p98, p100]
+    value brackets."""
+    from pyspark.sql import functions as F
+
+    from goose_spark.queries.base import t
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q29_approx_aggregates"].builder(spark, SF_CORRECT).collect()
+    }
+    li = t(spark, SF_CORRECT, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_quantity, array(0.45, 0.55))").alias("q_brk"),
+            F.expr("percentile(l_extendedprice, array(0.98, 1.0))").alias("p_brk"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a["approx_orders"] - e["orders"]) <= 0.15 * e["orders"]
+        assert e["q_brk"][0] <= a["approx_p50"] <= e["q_brk"][1]
+        assert e["p_brk"][0] <= a["approx_price_p99"] <= e["p_brk"][1]
