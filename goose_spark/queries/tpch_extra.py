@@ -514,3 +514,63 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
            ORDER BY n.n_name, bal DESC, c.c_custkey"""
     )
+
+
+@register(
+    "q64_regexp_groups",
+    """SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT)
+                AS brand_num,
+              COUNT(*) AS n_parts,
+              CAST(MIN(p_size) AS INT) AS min_size,
+              CAST(MAX(p_size) AS INT) AS max_size
+       FROM part GROUP BY 1 ORDER BY brand_num""",
+    doc="Regex capture-group extraction (identical pattern semantics in "
+        "Java regex and RE2 for this class): parse the numeric brand id "
+        "out of 'Brand#NN' and aggregate per brand. Pure codegen "
+        "projection + one small hash-agg.",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part")
+    return (
+        p.groupBy(
+            F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1)
+            .cast("int")
+            .alias("brand_num")
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_size").cast("int").alias("min_size"),
+            F.max("p_size").cast("int").alias("max_size"),
+        )
+        .orderBy("brand_num")
+    )
+
+
+@register(
+    "q65_filtered_aggregates",
+    """SELECT l_linestatus,
+              COUNT(*) AS n,
+              COUNT(*) FILTER (WHERE l_discount > 0.05) AS hi_disc,
+              COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+                AS return_supps,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_qty
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    doc="ANSI FILTER-clause aggregates (the declarative form of q18's "
+        "CASE-WHEN conditional aggregation), including a filtered "
+        "COUNT(DISTINCT): identical SQL text runs on both engines via "
+        "the temp-view surface. One partial-agg shuffle plus the "
+        "distinct expand.",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT l_linestatus,
+                  COUNT(*) AS n,
+                  COUNT(*) FILTER (WHERE l_discount > 0.05) AS hi_disc,
+                  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+                    AS return_supps,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                       FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_qty
+           FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+    )
