@@ -47,3 +47,51 @@ def test_timer_fires_at_run_at(spark, tmp_path):
     row = emitted[0]
     assert row["status"] == "enqueued" and row["priority"] == 1
     assert row["id"] != done["id"]
+
+
+def test_processor_api_fires_and_cancels(spark, tmp_path):
+    """transformWithState twin (streaming/processor.py): same ledger, a
+    due-in-4s job fires exactly once; an executed job never emits.
+    Skipped where google.protobuf (the TWS runner's wire format) is not
+    installed — the gate itself is asserted below either way."""
+    import pytest
+
+    from goose_spark.streaming.processor import due_jobs_v2
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        ledger = Ledger(str(tmp_path / "ledger"))
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            due_jobs_v2(ledger.log_stream(spark))
+        pytest.skip("google.protobuf absent — TWS runner cannot start")
+
+    ledger = Ledger(str(tmp_path / "ledger"))
+    client = JobClient(ledger)
+    client.perform_at(utcnow() + timedelta(seconds=4), "noop", 1)
+    done = client.perform_async("noop", 2)
+
+    emitted = []
+
+    def collect(df, _epoch):
+        emitted.extend(df.collect())
+
+    q = (
+        due_jobs_v2(ledger.log_stream(spark))
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not emitted:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert len(emitted) == 1, f"expected exactly one due emission, got {emitted}"
+    row = emitted[0]
+    assert row["status"] == "enqueued" and row["priority"] == 1
+    assert row["id"] != done["id"]
