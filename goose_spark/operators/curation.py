@@ -376,3 +376,72 @@ def tx9(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# sp9 — overlapping chunk windows (RAG-prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32   # tokens per chunk
+_CHUNK_S = 24   # stride (8-token overlap)
+
+_SP9_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS n_tok FROM toks),
+c AS (SELECT doc_id, n_tok,
+             UNNEST(generate_series(0,
+                 CASE WHEN n_tok <= {_CHUNK_W} THEN 0
+                      ELSE CAST(CEIL(CAST(n_tok - {_CHUNK_W} AS DOUBLE)
+                                     / {_CHUNK_S}) AS INT) END)) AS ci,
+             tk
+      FROM n)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+       CAST(len(tk[ci * {_CHUNK_S} + 1 : LEAST(ci * {_CHUNK_S} + {_CHUNK_W}, len(tk))])
+            AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(
+           tk[ci * {_CHUNK_S} + 1 : LEAST(ci * {_CHUNK_S} + {_CHUNK_W}, len(tk))],
+           ' ')) AS chunk_digest
+FROM c ORDER BY doc_id, chunk_idx LIMIT 300"""
+
+
+@register(
+    "sp9_overlapping_chunks",
+    _SP9_ORACLE,
+    doc=f"Overlapping chunk windows ({_CHUNK_W}-token windows, stride "
+        f"{_CHUNK_S} — the RAG/retrieval indexing prep, distinct from "
+        f"sp3/sp4's concat-and-pack): each document fans out to its "
+        f"chunk rows with a digest pinning the exact chunk tokens. Pure "
+        f"JVM higher-order functions (sequence/transform/slice) — the "
+        f"per-doc chunk count is small so the HOF interpreter cost is "
+        f"negligible, and the op is map-only: no shuffle except the "
+        f"final ordered LIMIT.",
+    tags=("llm", "pipeline"),
+)
+def sp9(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    tk = words(F.col("text"))
+    toks = d.select("doc_id", tk.alias("tk"), F.size(tk).alias("n_tok"))
+    n_chunks = F.when(F.col("n_tok") <= _CHUNK_W, F.lit(0)).otherwise(
+        F.ceil((F.col("n_tok") - _CHUNK_W).cast("double") / _CHUNK_S).cast("int")
+    )
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks)).alias("ci")
+    start = F.col("ci") * _CHUNK_S + 1
+    # slice length: min(start + W - 1, n_tok) - start + 1
+    length = F.least(start + F.lit(_CHUNK_W - 1), F.col("n_tok")) - start + 1
+    piece = F.slice(F.col("tk"), start, length)
+    return (
+        toks.select("doc_id", "tk", "n_tok", chunk)
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            F.size(piece).cast("long").alias("chunk_tokens"),
+            F.md5(F.array_join(piece, " ")).alias("chunk_digest"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+        .limit(300)
+    )
