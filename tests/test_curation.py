@@ -143,3 +143,33 @@ def test_lm_surprisal_flags_rare_content(spark):
     # still scores ln(total/max_cnt) > 0
     n_docs = t(spark, SF_CORRECT, "documents").count()
     assert len(rows) == min(n_docs, 500)
+
+
+def test_overlapping_chunks_cover_every_token(spark):
+    from goose_spark.operators.curation import _CHUNK_S, _CHUNK_W
+
+    rows = REG["sp9_overlapping_chunks"].builder(spark, SF_CORRECT).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_tok = {
+        r["doc_id"]: len(re.split(r"\s+", r["text"].lower()))
+        for r in t(spark, SF_CORRECT, "documents").collect()
+    }
+    full_docs = 0
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        if chunks[-1]["start_tok"] + chunks[-1]["chunk_tokens"] - 1 != n_tok[doc_id]:
+            continue  # LIMIT 300 may cut a doc's tail chunks
+        full_docs += 1
+        # stride overlap: consecutive chunks share W-S tokens, and the
+        # union of [start, start+len) intervals covers 1..n_tok exactly
+        covered_to = 0
+        for c in chunks:
+            assert c["start_tok"] <= covered_to + 1  # no gap
+            covered_to = max(covered_to, c["start_tok"] + c["chunk_tokens"] - 1)
+            assert c["chunk_tokens"] <= _CHUNK_W
+        assert covered_to == n_tok[doc_id]
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] - a["start_tok"] == _CHUNK_S
+    assert full_docs > 0
