@@ -187,6 +187,16 @@ def sp7(spark: SparkSession, sf: str) -> DataFrame:
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
 
+
+def scrub_text(col: F.Column) -> F.Column:
+    """The tx8 masking chain as a reusable column expression (emails
+    then phones), for any pipeline stage that stores text — e.g. the
+    ingest path scrubs BEFORE fingerprinting so docs differing only in
+    PII dedupe together."""
+    return F.regexp_replace(
+        F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+
 #: The synthetic corpus carries no PII, so the query derives a
 #: deterministic PII-bearing "raw" text from each row (same expression in
 #: both engines); the operator under test is the scrub kernel, and the
@@ -244,9 +254,7 @@ def tx8(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0)))
         .cast("long")
         .alias("n_phone"),
-        F.regexp_replace(
-            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-        ).alias("scrubbed"),
+        scrub_text(raw).alias("scrubbed"),
     )
     digest = F.md5(
         F.array_join(

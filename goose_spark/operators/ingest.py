@@ -176,9 +176,25 @@ class CorpusIngest:
 
     # ------------------------------------------------------------------
 
-    def ingest_batch(self, spark: SparkSession, new_docs: DataFrame) -> dict:
+    def ingest_batch(self, spark: SparkSession, new_docs: DataFrame,
+                     scrub_pii: bool = False,
+                     benchmark_grams: DataFrame | None = None,
+                     decon_n: int = 4) -> dict:
         """Run one ingest round; returns acceptance stats. ``new_docs``
-        needs (doc_id, text) at minimum; all columns are kept."""
+        needs (doc_id, text) at minimum; all columns are kept.
+
+        ``scrub_pii`` masks emails/phones (curation.scrub_text) BEFORE
+        fingerprinting, so documents differing only in PII dedupe
+        together and no raw PII ever reaches the corpus store.
+        ``benchmark_grams`` — a DataFrame with one ``g`` column of
+        ``decon_n``-token shingles (the held-out eval suite) — rejects
+        any new doc sharing a gram with it (sp6's check, applied at the
+        door instead of after the fact); rejects are counted as
+        ``contaminated`` in the stats."""
+        if scrub_pii:
+            from goose_spark.operators.curation import scrub_text
+
+            new_docs = new_docs.withColumn("text", scrub_text(F.col("text")))
         new_docs = new_docs.persist()
         try:
             total = new_docs.count()
@@ -189,6 +205,27 @@ class CorpusIngest:
                 alpha.cast("double") / F.length("text") >= 0.5
             )
             passed = new_docs.filter(ok)
+            n_passed = passed.count()
+
+            # 1b. decontamination at the door (sp6's gram check): any
+            #     new doc sharing a decon_n-gram with the benchmark set
+            #     is rejected before it can enter the corpus. The
+            #     benchmark side is broadcast — eval suites are MBs.
+            n_contaminated = 0
+            if benchmark_grams is not None:
+                from goose_spark.operators.textlib import with_ngrams
+
+                hit = (
+                    with_ngrams(passed.select("doc_id", "text"), decon_n)
+                    .select("doc_id", F.explode("grams").alias("g"))
+                    .join(F.broadcast(benchmark_grams.select("g").distinct()),
+                          "g", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                passed = passed.join(hit, "doc_id", "left_anti").persist()
+                n_contaminated = n_passed - passed.count()
+                n_passed -= n_contaminated
 
             # 2. within-batch + against-history exact dedup on fp
             fp = passed.withColumn("fp", normalized_fingerprint(F.col("text")))
@@ -275,8 +312,9 @@ class CorpusIngest:
             new_bands.unpersist()
             return {
                 "batch": total,
-                "quality_rejected": total - passed.count(),
-                "exact_dups": passed.count() - exact_survivors,
+                "quality_rejected": total - n_passed - n_contaminated,
+                "contaminated": n_contaminated,
+                "exact_dups": n_passed - exact_survivors,
                 "near_dups": exact_survivors - n_accepted,
                 "accepted": n_accepted,
             }

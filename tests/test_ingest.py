@@ -36,8 +36,8 @@ def test_quality_and_exact_within_batch(spark, store):
         (3, "1234567890 " * 20),   # long but low alpha-ratio
         (4, GOOD),                 # exact dup of 1 within the batch
     ]))
-    assert stats == {"batch": 4, "quality_rejected": 2, "exact_dups": 1,
-                     "near_dups": 0, "accepted": 1}
+    assert stats == {"batch": 4, "quality_rejected": 2, "contaminated": 0,
+                     "exact_dups": 1, "near_dups": 0, "accepted": 1}
     assert store.corpus(spark).count() == 1
 
 
@@ -123,3 +123,31 @@ def test_streaming_ingest_matches_batch(spark, store, tmp_path):
     q.awaitTermination()
     ids = {r["doc_id"] for r in store.corpus(spark).collect()}
     assert ids == {1, 3}  # exact dup 2 dropped, both survivors accepted
+
+
+def test_ingest_scrub_and_decontaminate(spark, store):
+    """Curation at the door: PII is masked before fingerprinting (two
+    docs differing only in contact info dedupe together) and docs
+    sharing a 4-gram with the benchmark set never enter the corpus."""
+    from pyspark.sql import functions as F
+
+    pii_a = GOOD + " Contact alice@example.com or +1-415-555-0000 now."
+    pii_b = GOOD + " Contact bob@other.org or +44 20 7946 0000 now."
+    bench = spark.createDataFrame(
+        [("columnar scans with predicate",)], "g string"
+    )
+    stats = store.ingest_batch(
+        spark,
+        _docs(spark, [(1, pii_a), (2, pii_b), (3, GOOD2)]),
+        scrub_pii=True,
+        benchmark_grams=bench,
+    )
+    # GOOD2 contains the benchmark gram -> rejected; the two PII docs
+    # scrub to identical text -> exact dups of each other, one survives
+    assert stats["contaminated"] == 1
+    assert stats["exact_dups"] == 1
+    assert stats["accepted"] == 1
+    stored = store.corpus(spark).collect()
+    assert len(stored) == 1
+    assert "<EMAIL>" in stored[0]["text"] and "<PHONE>" in stored[0]["text"]
+    assert "alice@example.com" not in stored[0]["text"]
