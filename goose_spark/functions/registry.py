@@ -115,3 +115,25 @@ def flaky(key: str, fail_times: int):
 @job_fn("always-fail")
 def always_fail(*args):
     raise RuntimeError("this job always fails")
+
+
+# --- recording handlers (test/bench support, like `flaky` above) ----------
+# Handler fns must live in module code so executor Python workers resolve
+# them (FN_REGISTRY is per-process; decorators in a test body only exist
+# on the driver). The failing job's first arg carries the log path.
+
+def _record(tag: str, job: dict, err: str) -> None:
+    args = json.loads(job["args"]) if job.get("args") else []
+    if args:
+        with open(args[0], "a") as fh:
+            fh.write(f"{tag} {job['id']} {err}\n")
+
+
+@job_fn("record-error-handler")
+def record_error_handler(job, err):
+    _record("error", job, err)
+
+
+@job_fn("record-death-handler")
+def record_death_handler(job, err):
+    _record("death", job, err)

@@ -60,7 +60,9 @@ def _now() -> datetime:
 
 
 def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
-                   middlewares: tuple = ()):
+                   middlewares: tuple = (), error_handler: str | None = None,
+                   death_handler: str | None = None,
+                   skip_dead_queue: bool = False):
     """Build the mapInPandas execution fn (W3/W4/W5/W6). The returned
     closure is serialized to executors; it resolves fns via the registry
     and emits full outcome rows. Column-wise output assembly (no per-row
@@ -71,12 +73,22 @@ def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
     ``mw(next_fn) -> fn(job_dict)``; the first listed runs outermost.
     The retry wrapper stays outside the chain (it owns failure state),
     matching the reference composition order.
+
+    ``error_handler`` / ``death_handler`` are registry fn names (the
+    engine's fn-symbol form of retry.clj:47-53 error/death-handler-fn-
+    sym) called as ``handler(job_dict, error_str)`` on a non-final
+    failure / on death respectively, executor-side; a handler exception
+    is swallowed (it must never corrupt the outcome row, matching
+    goose's log-and-continue handlers). ``skip_dead_queue``
+    (retry.clj:55): a dying job's terminal row is written as 'deleted'
+    instead of 'dead' — executed and accounted, but it never enters the
+    dead queue surfaces.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json
 
-        from goose_spark.functions.registry import execute
+        from goose_spark.functions.registry import execute, resolve
 
         def call(job: dict):
             return execute(job["execute_fn"], job["args"])
@@ -84,6 +96,14 @@ def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
         chain = call
         for mw in reversed(middlewares):
             chain = mw(chain)
+
+        def _handle(handler_name, job, err):
+            if handler_name is None:
+                return
+            try:
+                resolve(handler_name)(job, err)
+            except Exception:  # noqa: BLE001 — handlers never break outcomes
+                pass
 
         delay_fn = retry_delay_fn or default_retry_delay_sec
         for pdf in batches:
@@ -102,20 +122,20 @@ def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
             max_retries = list(pdf["max_retries"])
             retry_queue = list(pdf["retry_queue"])
             ids = list(pdf["id"])
+            batch_ids = list(pdf["batch_id"])
             enqueued_at = list(pdf["enqueued_at"])
             for i in range(n_rows):
+                job = {
+                    "id": ids[i],
+                    "execute_fn": fns[i],
+                    "args": args[i],
+                    "queue": queue[i],
+                    "retry_count": retry_count[i],
+                    "enqueued_at": enqueued_at[i],
+                    "run_at": run_at[i],
+                }
                 try:
-                    chain(
-                        {
-                            "id": ids[i],
-                            "execute_fn": fns[i],
-                            "args": args[i],
-                            "queue": queue[i],
-                            "retry_count": retry_count[i],
-                            "enqueued_at": enqueued_at[i],
-                            "run_at": run_at[i],
-                        }
-                    )
+                    chain(job)
                     status.append(STATUS_SUCCESS)
                 except Exception as exc:  # noqa: BLE001 — job errors are data
                     n = 0 if pd.isna(retry_count[i]) else int(retry_count[i])
@@ -124,10 +144,19 @@ def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
                     if pd.isna(first_failed[i]):
                         first_failed[i] = now
                     if max_retries_exceeded(n, int(max_retries[i])):
-                        status.append(STATUS_DEAD)
+                        # death path (retry.clj:51-55): death-handler,
+                        # then dead-queue entry unless skipped. Batch
+                        # members always record 'dead' — goose's
+                        # skip-dead-queue skips the dead SET, but batch
+                        # state still counts the death (batch.clj), and
+                        # here one status column drives both.
+                        _handle(death_handler, job, error[i])
+                        skip = skip_dead_queue and pd.isna(batch_ids[i])
+                        status.append("deleted" if skip else STATUS_DEAD)
                         died[i] = now
                         run_at[i] = pd.NaT
                     else:
+                        _handle(error_handler, job, error[i])
                         status.append(STATUS_RETRYING)
                         retry_count[i] = n + 1
                         last_retried[i] = now
@@ -167,12 +196,21 @@ class Worker:
                  emit_in_progress: bool = False,
                  distributed_commit: bool = True,
                  queues: list[str] | None = None,
-                 scheduler_role: bool | None = None):
+                 scheduler_role: bool | None = None,
+                 error_handler: str | None = None,
+                 death_handler: str | None = None,
+                 skip_dead_queue: bool = False):
         import threading
 
         self.spark = spark
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.worker_id = worker_id
+        # retry.clj:47-55 handler parity: registry fn names called
+        # executor-side on failure/death; skip_dead_queue writes dying
+        # jobs as 'deleted' (no dead-queue entry)
+        self.error_handler = error_handler
+        self.death_handler = death_handler
+        self.skip_dead_queue = skip_dead_queue
         # Queue binding (worker.clj:27,43 `:queue` opt): a scoped worker
         # consumes/sweeps ONLY its queues, with its own checkpoint under
         # checkpoint/<queue-group> so multiple scoped workers can share a
@@ -428,7 +466,10 @@ class Worker:
             )
             self._append_log_table(marked)
         outcome = ordered.mapInPandas(
-            _make_executor(self.retry_delay_fn, self.worker_id, self.middlewares),
+            _make_executor(self.retry_delay_fn, self.worker_id, self.middlewares,
+                           error_handler=self.error_handler,
+                           death_handler=self.death_handler,
+                           skip_dead_queue=self.skip_dead_queue),
             schema=df.schema,
         )
         if self.distributed_commit:

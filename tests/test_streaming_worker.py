@@ -818,3 +818,64 @@ def test_state_as_of_requires_exactly_one_cursor(spark, ledger):
         api.state_as_of()
     with pytest.raises(ValueError):
         api.state_as_of(seq=1, ts=1.0)
+
+
+# --- error/death handlers + skip-dead-queue (retry.clj:47-55) ---------------
+
+def _handler_log(tag):
+    import tempfile
+    return os.path.join(tempfile.gettempdir(), f"goose-handler-{tag}.log")
+
+
+def test_error_and_death_handlers_fire(spark, ledger, tmp_path):
+    """Handlers resolve from the fn registry and run executor-side: a
+    failing job calls error_handler per retry-able failure and
+    death_handler exactly once on death."""
+    log = str(tmp_path / "handlers.log")
+    client = JobClient(ledger)
+    # the registry's recording handlers write to the path in the job's
+    # first arg (handlers must be module-registered to resolve on
+    # executor workers)
+    res = client.perform_async("always-fail", log, max_retries=1)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0,
+                    retry_delay_fn=lambda n: 0,
+                    error_handler="record-error-handler",
+                    death_handler="record-death-handler")
+    worker.process_available()   # failure 1 → retrying (error handler)
+    worker.tick()
+    worker.process_available()   # failure 2 → dead (death handler)
+    lines = open(log).read().strip().splitlines()
+    errors = [l for l in lines if l.startswith("error")]
+    deaths = [l for l in lines if l.startswith("death")]
+    assert len(errors) == 1 and res["id"] in errors[0]
+    assert len(deaths) == 1 and res["id"] in deaths[0]
+    assert "RuntimeError" in deaths[0]
+
+
+def test_skip_dead_queue(spark, ledger):
+    """skip_dead_queue (retry.clj:55): a dying job is executed and
+    accounted but never enters the dead-queue surfaces."""
+    client = JobClient(ledger)
+    client.perform_async("always-fail", max_retries=0)
+    client.perform_async("noop", 1)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0,
+                    retry_delay_fn=lambda n: 0, skip_dead_queue=True)
+    worker.process_available()
+    api = LedgerAPI(spark, ledger)
+    st = api.dashboard_counts()
+    assert st.get("dead", 0) == 0
+    assert st["success"] == 1
+    assert api.peek_dead(5) == []
+
+
+def test_handler_exception_never_breaks_outcome(spark, ledger):
+    client = JobClient(ledger)
+    client.perform_async("always-fail", max_retries=0)
+    # an unresolvable handler name = a raising handler: both must be
+    # swallowed without corrupting the outcome row
+    worker = Worker(spark, ledger, rand_int=lambda n: 0,
+                    retry_delay_fn=lambda n: 0,
+                    death_handler="no-such-handler")
+    worker.process_available()
+    api = LedgerAPI(spark, ledger)
+    assert api.dashboard_counts()["dead"] == 1  # outcome row intact
