@@ -351,3 +351,69 @@ def tx7(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# tx10 — winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5  # k-gram width (tokens per hash)
+_WIN_W = 4  # winnowing window (hashes per min-selection)
+
+_TX10_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents),
+kg AS (SELECT doc_id,
+              list_transform(generate_series(1, len(tk) - {_WIN_K - 1}),
+                             i -> md5(array_to_string(tk[i:i+{_WIN_K - 1}], ' '))) AS h
+       FROM toks WHERE len(tk) >= {_WIN_K}),
+win AS (SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(h) - {_WIN_W - 1}),
+                   i -> list_min(h[i:i+{_WIN_W - 1}]))) AS fps
+        FROM kg WHERE len(h) >= {_WIN_W})
+SELECT doc_id, len(fps) AS n_fingerprints,
+       md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+FROM win ORDER BY doc_id LIMIT 400"""
+
+
+@register(
+    "tx10_winnowing",
+    _TX10_ORACLE,
+    doc=f"Winnowing document fingerprints (Schleimer et al. 2003, the "
+        f"MOSS rolling-hash scheme): {_WIN_K}-gram hashes, minimum per "
+        f"{_WIN_W}-hash sliding window, distinct mins = the fingerprint "
+        f"set. Guarantees any shared run of >= {_WIN_K + _WIN_W - 1} "
+        f"tokens yields a shared fingerprint — the locality property "
+        f"md5-of-whole-doc (tx4) lacks. Map-only JVM higher-order "
+        f"functions; the digest pins the exact fingerprint set. At "
+        f"100 TB the (fingerprint -> doc) inverted index this feeds is "
+        f"one explode + groupBy, the same shape as dd2's band index.",
+    tags=("llm", "text"),
+)
+def tx10(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    tk = words(F.col("text"))
+    base = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= _WIN_K)
+    kgram = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - (_WIN_K - 1)),
+        lambda i: F.md5(F.array_join(F.slice("tk", i, _WIN_K), " ")),
+    )
+    h = base.select("doc_id", kgram.alias("h")).filter(F.size("h") >= _WIN_W)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (_WIN_W - 1)),
+        lambda i: F.array_min(F.slice("h", i, _WIN_W)),
+    )
+    fps = F.array_distinct(mins)
+    return (
+        h.select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fingerprints"),
+            F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )

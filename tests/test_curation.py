@@ -173,3 +173,40 @@ def test_overlapping_chunks_cover_every_token(spark):
         for a, b in zip(chunks, chunks[1:]):
             assert b["start_tok"] - a["start_tok"] == _CHUNK_S
     assert full_docs > 0
+
+
+def test_winnowing_locality_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a token run
+    of >= k+w-1 tokens share at least one fingerprint; fully disjoint
+    docs share none."""
+    from goose_spark.operators.text import _WIN_K, _WIN_W
+    from goose_spark.operators.textlib import words
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= K+W-1
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight nine {shared} ten eleven twelve"),
+            (3, "totally different words everywhere here and nothing repeats at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    tk = words(F.col("text"))
+    kgram = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - (_WIN_K - 1)),
+        lambda i: F.md5(F.array_join(F.slice("tk", i, _WIN_K), " ")),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (_WIN_W - 1)),
+        lambda i: F.array_min(F.slice("h", i, _WIN_W)),
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select("doc_id", tk.alias("tk"))
+        .select("doc_id", kgram.alias("h"))
+        .select("doc_id", F.array_distinct(mins).alias("fps"))
+        .collect()
+    }
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
