@@ -26,6 +26,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from goose_spark.operators.textlib import normalized_fingerprint, with_shingles, words
 from goose_spark.queries.base import register, t
@@ -177,11 +178,27 @@ def lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _build_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def _build_pairs(spark: SparkSession, sf: str,
+                 max_bucket: int | None = None) -> DataFrame:
+    """``max_bucket`` is the 100 TB hot-bucket guard (SCALE.md): a band
+    bucket holding more than ``max_bucket`` docs contributes
+    O(bucket²) candidate pairs — degenerate shingle distributions (all
+    boilerplate, empty docs) can blow one bucket up to corpus scale.
+    Capped buckets are DROPPED from candidacy (their members still pair
+    through their other, selective bands — the standard LSH frequency
+    cap, same rationale as common-shingle removal). Default None keeps
+    exact dd2/oracle semantics."""
     d = t(spark, sf, "documents")
     shingled = shingled_docs(spark, sf)
     sig = _minhash_sig(d, shingled=shingled)
     bands = _band_keys(sig)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bkey")
+        bands = (
+            bands.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))

@@ -210,3 +210,23 @@ def test_winnowing_locality_guarantee(spark):
     }
     assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """The 100 TB hot-bucket guard: capping band buckets drops
+    degenerate buckets from candidacy without touching selective ones.
+    On this corpus the uncapped pair set is reproduced with a generous
+    cap and shrinks (or stays) under a tight one."""
+    from goose_spark.operators.dedup import _build_pairs
+
+    sf = SF_CORRECT
+    exact = {(r["a_id"], r["b_id"]) for r in _build_pairs(spark, sf).collect()}
+    generous = {
+        (r["a_id"], r["b_id"])
+        for r in _build_pairs(spark, sf, max_bucket=10_000).collect()
+    }
+    assert generous == exact  # cap above every bucket size = no-op
+    tight = {
+        (r["a_id"], r["b_id"]) for r in _build_pairs(spark, sf, max_bucket=2).collect()
+    }
+    assert tight <= exact  # capping only ever removes candidates
