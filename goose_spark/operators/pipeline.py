@@ -262,7 +262,8 @@ def sp4(spark: SparkSession, sf: str) -> DataFrame:
 
 def token_chunks_two_pass(spark: SparkSession, sf: str,
                           num_buckets: int = 256,
-                          with_text: bool = False) -> DataFrame:
+                          with_text: bool = False,
+                          bucket_bounds: str = "uniform") -> DataFrame:
     """Distributed sequence packing — the 100 TB form of sp3's prefix sum.
 
     A single ``Window.orderBy(doc_id)`` funnels the whole corpus through
@@ -283,8 +284,12 @@ def token_chunks_two_pass(spark: SparkSession, sf: str,
     formulation for ANY bucketing (offsets are exact sums), asserted by
     test_two_pass_packing_matches_window. Tokenization runs once per
     pass; a production pipeline would checkpoint the (doc_id, n_tokens)
-    projection instead of recomputing — uniform buckets assume roughly
-    uniform doc_id density; quantile boundaries handle skewed id spaces.
+    projection instead of recomputing. ``bucket_bounds``: 'uniform'
+    (default — [min,max] width buckets, assumes roughly uniform doc_id
+    density) or 'quantile' (approxQuantile boundaries on doc_id — the
+    skewed-id-space form: every bucket holds ~the same row count no
+    matter how ids cluster; both are monotone, so the output is the
+    same, only task balance differs).
     """
     d = t(spark, sf, "documents")
     lohi = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
@@ -294,10 +299,26 @@ def token_chunks_two_pass(spark: SparkSession, sf: str,
             empty += ", text string"
         return spark.createDataFrame([], empty)
     lo, hi = int(lohi["lo"]), int(lohi["hi"])
-    width = max((hi - lo + 1) / num_buckets, 1e-9)
-    pid = F.least(
-        F.lit(num_buckets - 1), F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width))
-    ).cast("int")
+    if bucket_bounds == "quantile":
+        # O(buckets) boundary values via one sketch pass; strictly
+        # increasing after dedup (ties collapse — fewer buckets, same
+        # answer by the bucketing-independence property)
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = sorted(set(d.approxQuantile("doc_id", probs, 0.001)))
+        from functools import reduce
+
+        pid = reduce(
+            lambda acc, ib: F.when(F.col("doc_id") <= F.lit(ib[1]), ib[0]).otherwise(acc),
+            reversed(list(enumerate(bounds))),
+            F.lit(len(bounds)),
+        ).cast("int")
+    elif bucket_bounds == "uniform":
+        width = max((hi - lo + 1) / num_buckets, 1e-9)
+        pid = F.least(
+            F.lit(num_buckets - 1), F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width))
+        ).cast("int")
+    else:
+        raise ValueError(f"bucket_bounds must be 'uniform' or 'quantile', got {bucket_bounds!r}")
     carried = ["doc_id", "text"] if with_text else ["doc_id"]
     toks = d.select(
         *carried,

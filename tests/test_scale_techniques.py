@@ -127,3 +127,60 @@ def test_two_pass_packing_matches_window(spark):
         .collect()
     }
     assert two_pass == ref and len(two_pass) > 0
+
+
+def test_two_pass_quantile_buckets_match_and_balance(spark, tmp_path):
+    """Quantile bucket boundaries: identical chunk assignment to the
+    uniform form (bucketing-independence), with near-equal bucket row
+    counts even on a HEAVILY clustered doc_id space where uniform
+    buckets would put everything in one task."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from goose_spark.operators.pipeline import token_chunks_two_pass
+    from goose_spark.queries.base import t
+    from tests.conftest import SF_CORRECT
+
+    # skewed id space: 99% of ids in [0, 1000), a few at 10**12
+    src = t(spark, SF_CORRECT, "documents").limit(400)
+    skewed = src.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") < 396, F.col("doc_id")).otherwise(
+            F.col("doc_id") + F.lit(10**12)
+        ),
+    )
+    sf_dir = str(tmp_path / "skewed")
+    skewed.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    uni = {
+        (r["doc_id"], r["chunk"])
+        for r in token_chunks_two_pass(spark, sf_dir, num_buckets=16).collect()
+    }
+    qua = {
+        (r["doc_id"], r["chunk"])
+        for r in token_chunks_two_pass(
+            spark, sf_dir, num_buckets=16, bucket_bounds="quantile"
+        ).collect()
+    }
+    assert qua == uni and len(qua) == 400
+
+    # balance: uniform bounds put ~99% of rows in bucket 0; quantile
+    # bounds cap the largest bucket near 1/16 of the corpus
+    lo, hi = 0, 10**12 + 10**7
+    width = (hi - lo + 1) / 16
+    probs = [i / 16 for i in range(1, 16)]
+    bounds = sorted(set(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .approxQuantile("doc_id", probs, 0.001)
+    ))
+    from functools import reduce
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    qpid = reduce(
+        lambda acc, ib: F.when(F.col("doc_id") <= F.lit(ib[1]), ib[0]).otherwise(acc),
+        reversed(list(enumerate(bounds))),
+        F.lit(len(bounds)),
+    )
+    qcounts = [r["n"] for r in docs.groupBy(qpid.alias("p")).agg(F.count("*").alias("n")).collect()]
+    assert max(qcounts) <= 400 / 16 * 3  # no quantile bucket hogs the corpus
