@@ -129,21 +129,26 @@ def dd6(spark: SparkSession, sf: str) -> DataFrame:
         "label", F.col("node")
     ).persist()
 
-    for _ in range(MAX_PASSES):
+    for _pass in range(MAX_PASSES):
         # each node adopts min(own label, min neighbor label)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
         )
+        if (_pass + 1) % 5 == 0:
+            # truncate lineage: persist alone keeps the logical plan
+            # growing one join deeper per pass, and analyzer time blows
+            # up before the data does on long chains
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
