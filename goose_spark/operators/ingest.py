@@ -322,12 +322,18 @@ class CorpusIngest:
             new_docs.unpersist()
 
     def ingest_stream(self, spark: SparkSession, docs_stream: DataFrame,
-                      checkpoint: str | None = None):
+                      checkpoint: str | None = None,
+                      scrub_pii: bool = False,
+                      benchmark_grams: DataFrame | None = None):
         """Continuous form: the same batch body per micro-batch
-        (foreachBatch — the nightly-ingest topology as a stream)."""
+        (foreachBatch — the nightly-ingest topology as a stream), with
+        the same curation gates as the batch form."""
         return (
             docs_stream.writeStream.foreachBatch(
-                lambda df, _eid: self.ingest_batch(spark, df)
+                lambda df, _eid: self.ingest_batch(
+                    spark, df, scrub_pii=scrub_pii,
+                    benchmark_grams=benchmark_grams,
+                )
             )
             .option(
                 "checkpointLocation",
