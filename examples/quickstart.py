@@ -46,9 +46,13 @@ def main() -> None:
                                  callback_fn="noop")
     client.perform_async("always-fail", max_retries=1)          # will retry→die
 
-    # 3. consume — one streaming worker pass (checkpointed, availableNow)
+    # 3. consume — one streaming worker pass (checkpointed, availableNow);
+    #    error/death handlers are registry fn-syms fired executor-side
     sink = MetricsSink()
-    worker = Worker(spark, ledger_dir, metrics=sink, emit_in_progress=True)
+    cursor = client.ledger.mark()  # time-travel cursor: pre-execution
+    worker = Worker(spark, ledger_dir, metrics=sink, emit_in_progress=True,
+                    error_handler="record-error-handler",
+                    death_handler="record-death-handler")
     worker.process_available()
     worker.process_available()  # runs the batch callback
 
@@ -67,6 +71,11 @@ def main() -> None:
 
     html = ConsoleHtml(console)
     print("html home bytes:", len(html.home()))
+
+    # 4c. time travel — the queue as it looked before the worker ran
+    #     (Delta VERSION AS OF analog; compaction advances the horizon)
+    then = api.state_as_of(seq=cursor).groupBy("status").count().collect()
+    print("state as-of pre-execution:", sorted((r["status"], r["count"]) for r in then))
 
     # 5. manage — replay the (eventually) dead job, retention, compaction
     now = datetime.now(timezone.utc).replace(tzinfo=None)
