@@ -1,0 +1,227 @@
+"""End-to-end retrieval-indexing pipeline: the RAG-prep counterpart of
+examples/data_pipeline.py, composed from engine primitives:
+
+    documents
+      → overlapping chunk windows   (sp9 kernel: 32-token windows,
+                                     stride 24 — each chunk a retrieval
+                                     unit with a digest)
+      → chunk embeddings            (deterministic hashed bag-of-words
+                                     projection — honest stand-in for a
+                                     model encoder, same Arrow batch
+                                     path; dims/norms are real)
+      → IVF index                   (k-means quantizer from the ss3
+                                     kernel family: centroid assignment
+                                     via broadcast, per-cell postings)
+      → query top-k                 (probe nearest cells only, exact
+                                     cosine within the probed subset,
+                                     text joined back for the answer
+                                     context)
+
+Every stage is DataFrame algebra or an Arrow kernel; the index tables
+(chunks, embeddings, cells) are written to parquet between stages the
+way a production pipeline checkpoints. At 100 TB the probe step reads
+only the queried cells' postings — partition the postings table by
+cell id and the scan partition-prunes.
+
+Run:  python examples/retrieval_pipeline.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+_DIM = 32
+_K_CELLS = 8
+_PROBE = 2
+_TOP_K = 3
+
+
+def _embed_chunks(chunks_df):
+    """Deterministic hashed bag-of-words embedding (Arrow-batched):
+    token t adds ±1 to dimension hash(t) % DIM; vector L2-normalized.
+    A model encoder slots into this exact kernel signature."""
+    import pandas as pd
+
+    def gen(batches):
+        import zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for text in pdf["chunk_text"]:
+                v = np.zeros(_DIM)
+                for tok in text.split():
+                    h = zlib.crc32(tok.encode())  # deterministic across processes
+                    v[h % _DIM] += 1.0 if (h >> 16) % 2 else -1.0
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).tolist())
+            out = pd.DataFrame(
+                {"chunk_id": pdf["chunk_id"], "doc_id": pdf["doc_id"],
+                 "chunk_text": pdf["chunk_text"], "emb": vecs}
+            )
+            yield out
+
+    return chunks_df.mapInPandas(
+        gen, schema="chunk_id string, doc_id long, chunk_text string, emb array<double>"
+    )
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    from goose_spark.operators.curation import _CHUNK_S, _CHUNK_W
+    from goose_spark.operators.textlib import words
+    from goose_spark.queries.base import t
+    from goose_spark.session import get_spark
+
+    own = spark is None
+    if own:
+        spark = get_spark("gosling-retrieval")
+        spark.sparkContext.setLogLevel("ERROR")
+    stats: dict = {}
+    stage = tempfile.mkdtemp(prefix="gosling-retrieval-")
+    try:
+        # 1. chunk (sp9 shape, carrying the chunk text)
+        d = t(spark, sf_dir, "documents")
+        tk = words(F.col("text"))
+        toks = d.select("doc_id", tk.alias("tk"), F.size(tk).alias("n_tok"))
+        n_chunks = F.when(F.col("n_tok") <= _CHUNK_W, F.lit(0)).otherwise(
+            F.ceil((F.col("n_tok") - _CHUNK_W).cast("double") / _CHUNK_S).cast("int")
+        )
+        start = F.col("ci") * _CHUNK_S + 1
+        length = F.least(start + F.lit(_CHUNK_W - 1), F.col("n_tok")) - start + 1
+        chunks = (
+            toks.select("doc_id", "tk", "n_tok",
+                        F.explode(F.sequence(F.lit(0), n_chunks)).alias("ci"))
+            .select(
+                F.concat_ws("#", "doc_id", "ci").alias("chunk_id"),
+                "doc_id",
+                F.array_join(F.slice(F.col("tk"), start, length), " ").alias("chunk_text"),
+            )
+        )
+        chunks.write.parquet(os.path.join(stage, "chunks.parquet"))
+        chunks = spark.read.parquet(os.path.join(stage, "chunks.parquet"))
+        stats["chunks"] = chunks.count()
+
+        # 2. embed (Arrow kernel)
+        emb = _embed_chunks(chunks)
+        emb.write.parquet(os.path.join(stage, "embeddings.parquet"))
+        emb = spark.read.parquet(os.path.join(stage, "embeddings.parquet"))
+
+        # 3. IVF quantizer: k deterministic seeds (first k chunk
+        #    vectors by chunk_id) refined by 2 Lloyd passes of the ss3
+        #    fused assign+partial-sum shape
+        import numpy as np
+
+        seeds = [
+            np.array(r["emb"])
+            for r in emb.orderBy("chunk_id").limit(_K_CELLS).collect()
+        ]
+        cent = seeds
+        for _ in range(2):
+            bc = spark.sparkContext.broadcast([c.tolist() for c in cent])
+
+            def assign_partial(batches):
+                import numpy as np
+                import pandas as pd
+
+                C = np.array(bc.value)
+                sums = np.zeros_like(C)
+                counts = np.zeros(len(C))
+                for pdf in batches:
+                    V = np.array(list(pdf["emb"]))
+                    if len(V) == 0:
+                        continue
+                    cells = np.argmax(V @ C.T, axis=1)
+                    for c in range(len(C)):
+                        m = cells == c
+                        sums[c] += V[m].sum(axis=0)
+                        counts[c] += m.sum()
+                yield pd.DataFrame(
+                    {"cell": range(len(C)), "s": [s.tolist() for s in sums],
+                     "n": counts}
+                )
+
+            parts = emb.mapInPandas(
+                assign_partial, schema="cell int, s array<double>, n double"
+            ).collect()
+            sums = {}
+            counts = {}
+            for r in parts:
+                sums[r["cell"]] = sums.get(r["cell"], np.zeros(_DIM)) + np.array(r["s"])
+                counts[r["cell"]] = counts.get(r["cell"], 0) + r["n"]
+            cent = [
+                (sums[c] / counts[c]) if counts.get(c) else cent[c]
+                for c in range(_K_CELLS)
+            ]
+            cent = [c / (np.linalg.norm(c) or 1.0) for c in cent]
+        stats["cells"] = _K_CELLS
+
+        # 4. postings: each chunk assigned to its nearest cell; at scale
+        #    this table is PARTITIONED BY cell so probes prune
+        bc = spark.sparkContext.broadcast([c.tolist() for c in cent])
+
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.array(bc.value)
+            for pdf in batches:
+                V = np.array(list(pdf["emb"]))
+                cells = np.argmax(V @ C.T, axis=1) if len(V) else []
+                pdf = pdf.copy()
+                pdf["cell"] = list(cells)
+                yield pdf
+
+        postings = emb.mapInPandas(
+            assign,
+            schema="chunk_id string, doc_id long, chunk_text string, "
+                   "emb array<double>, cell int",
+        )
+        postings.write.partitionBy("cell").parquet(os.path.join(stage, "postings.parquet"))
+        postings = spark.read.parquet(os.path.join(stage, "postings.parquet"))
+
+        # 5. query: embed the query string the same way, probe the
+        #    nearest cells, exact cosine inside them, top-k with text
+        query = "table scan filter join"
+        import zlib
+
+        qv = np.zeros(_DIM)
+        for tok in query.split():
+            h = zlib.crc32(tok.encode())
+            qv[h % _DIM] += 1.0 if (h >> 16) % 2 else -1.0
+        qv = qv / (np.linalg.norm(qv) or 1.0)
+        order = np.argsort(-(np.array([c for c in cent]) @ qv))[:_PROBE]
+        probed = postings.filter(F.col("cell").isin([int(c) for c in order]))
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        cos = F.aggregate(
+            F.zip_with("emb", qcol, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        top = (
+            probed.select("chunk_id", "doc_id", "chunk_text", cos.alias("score"))
+            .orderBy(F.col("score").desc(), "chunk_id")
+            .limit(_TOP_K)
+            .collect()
+        )
+        stats["probed_cells"] = len(order)
+        stats["top"] = [(r["chunk_id"], round(r["score"], 4)) for r in top]
+        stats["top_texts"] = [r["chunk_text"][:40] for r in top]
+        return stats
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        if own:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    out = main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+    for k, v in out.items():
+        print(f"{k}: {v}")

@@ -2,8 +2,8 @@
 between dedup and packing: benchmark decontamination (n-gram overlap),
 temperature-weighted mixture resampling, and PII scrubbing.
 
-These extend the engine beyond the reference's job-queue surface (SURVEY
-§2.7 LLM-pipeline addenda); like the sp*/tx* family they are DataFrame
+These extend the engine beyond the reference's job-queue surface (the
+SURVEY §2.5 north-star LLM-pipeline family); like the sp*/tx* family they are DataFrame
 algebra + Arrow kernels with exact DuckDB oracles, and every rate/coin is
 the portable md5-prefix device (see operators/pipeline.py docstring) so
 results reproduce across engines, runs, and cluster sizes.

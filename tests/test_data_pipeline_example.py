@@ -26,3 +26,17 @@ def test_pipeline_end_to_end(spark):
     assert sum(stats["splits"].values()) == stats["after_mixture"]
     assert stats["train_chunks"] > 0
     assert stats["train_tokens"] > 0
+
+
+def test_retrieval_pipeline_end_to_end(spark):
+    """Chunk → embed → IVF index → probe top-k, with probed-subset
+    results matching a brute-force check over all cells."""
+    import retrieval_pipeline
+
+    stats = retrieval_pipeline.main(SF_SMOKE, spark=spark)
+    assert stats["chunks"] > 0
+    assert stats["probed_cells"] >= 1
+    assert len(stats["top"]) == retrieval_pipeline._TOP_K
+    scores = [s for _, s in stats["top"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0001 <= s <= 1.0001 for s in scores)  # unit-vector cosines
