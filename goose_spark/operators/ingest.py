@@ -196,6 +196,7 @@ class CorpusIngest:
 
             new_docs = new_docs.withColumn("text", scrub_text(F.col("text")))
         new_docs = new_docs.persist()
+        pinned = [new_docs]  # every persist in this round, freed in finally
         try:
             total = new_docs.count()
 
@@ -224,6 +225,7 @@ class CorpusIngest:
                     .distinct()
                 )
                 passed = passed.join(hit, "doc_id", "left_anti").persist()
+                pinned.append(passed)
                 n_contaminated = n_passed - passed.count()
                 n_passed -= n_contaminated
 
@@ -235,12 +237,14 @@ class CorpusIngest:
             if idx is not None:
                 fp = fp.join(idx.select("fp").distinct(), "fp", "left_anti")
             fp = fp.persist()
+            pinned.append(fp)
             exact_survivors = fp.count()
 
             # shared intermediates: bands + shingles of the batch, built
             # ONCE and reused by the self-check, the history check, and
             # the index publish
             new_bands = _band_keys(_minhash_sig(fp.select("doc_id", "text"))).persist()
+            pinned.append(new_bands)
             new_sh = with_shingles(fp.select("doc_id", "text")).select("doc_id", "sh")
 
             # 3a. WITHIN-batch near-dup: band self-join over the new
@@ -298,6 +302,7 @@ class CorpusIngest:
                 )
                 dup_ids = dup_ids.unionByName(hist_dups).distinct()
             accepted = fp.join(dup_ids, "doc_id", "left_anti").persist()
+            pinned.append(accepted)
             n_accepted = accepted.count()
 
             # 4. publish corpus rows + both indexes under ONE commit
@@ -309,7 +314,6 @@ class CorpusIngest:
                     (new_bands.join(accepted.select("doc_id"), "doc_id"), "bands"),
                 ]
             )
-            new_bands.unpersist()
             return {
                 "batch": total,
                 "quality_rejected": total - n_passed - n_contaminated,
@@ -319,7 +323,8 @@ class CorpusIngest:
                 "accepted": n_accepted,
             }
         finally:
-            new_docs.unpersist()
+            for df_ in pinned:
+                df_.unpersist()
 
     def ingest_stream(self, spark: SparkSession, docs_stream: DataFrame,
                       checkpoint: str | None = None,
