@@ -99,14 +99,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
 
     # 3b. PII scrub (tx8 kernel): mask emails/phones in the surviving
     #     text — map-only, pure codegen, no Python
-    from goose_spark.operators.curation import _EMAIL_RE, _PHONE_RE
+    from goose_spark.operators.curation import scrub_text
 
-    docs = docs.withColumn(
-        "text",
-        F.regexp_replace(
-            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-        ),
-    )
+    docs = docs.withColumn("text", scrub_text(F.col("text")))
 
     # 3c. decontamination (sp6 kernel): drop training docs sharing any
     #     4-gram with the held-out benchmark bucket

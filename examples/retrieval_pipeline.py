@@ -43,26 +43,42 @@ _PROBE = 2
 _TOP_K = 3
 
 
+def _make_embed(dim):
+    """Factory for the ONE hashed bag-of-words projection (crc32 ±1,
+    L2-normalized) used for both corpus chunks and queries — a single
+    code path so index and query vectors can never drift apart. Built
+    via a factory so cloudpickle ships it BY VALUE into mapInPandas
+    closures (examples/ is not importable on executor workers)."""
+
+    def _embed_text(text):
+        import zlib
+
+        import numpy as np
+
+        v = np.zeros(dim)
+        for tok in text.split():
+            h = zlib.crc32(tok.encode())  # deterministic across processes
+            v[h % dim] += 1.0 if (h >> 16) % 2 else -1.0
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    return _embed_text
+
+
+_embed_text = _make_embed(_DIM)
+
+
 def _embed_chunks(chunks_df):
     """Deterministic hashed bag-of-words embedding (Arrow-batched):
     token t adds ±1 to dimension hash(t) % DIM; vector L2-normalized.
     A model encoder slots into this exact kernel signature."""
     import pandas as pd
 
+    embed = _embed_text  # local capture → pickled by value into the kernel
+
     def gen(batches):
-        import zlib
-
-        import numpy as np
-
         for pdf in batches:
-            vecs = []
-            for text in pdf["chunk_text"]:
-                v = np.zeros(_DIM)
-                for tok in text.split():
-                    h = zlib.crc32(tok.encode())  # deterministic across processes
-                    v[h % _DIM] += 1.0 if (h >> 16) % 2 else -1.0
-                n = np.linalg.norm(v)
-                vecs.append((v / n if n else v).tolist())
+            vecs = [embed(text).tolist() for text in pdf["chunk_text"]]
             out = pd.DataFrame(
                 {"chunk_id": pdf["chunk_id"], "doc_id": pdf["doc_id"],
                  "chunk_text": pdf["chunk_text"], "emb": vecs}
@@ -190,13 +206,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         # 5. query: embed the query string the same way, probe the
         #    nearest cells, exact cosine inside them, top-k with text
         query = "table scan filter join"
-        import zlib
-
-        qv = np.zeros(_DIM)
-        for tok in query.split():
-            h = zlib.crc32(tok.encode())
-            qv[h % _DIM] += 1.0 if (h >> 16) % 2 else -1.0
-        qv = qv / (np.linalg.norm(qv) or 1.0)
+        qv = _embed_text(query)
         order = np.argsort(-(np.array([c for c in cent]) @ qv))[:_PROBE]
         probed = postings.filter(F.col("cell").isin([int(c) for c in order]))
         qcol = F.array(*[F.lit(float(x)) for x in qv])

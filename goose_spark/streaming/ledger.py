@@ -298,8 +298,11 @@ class Ledger:
 
     def mark(self) -> int:
         """An as-of cursor for time travel: every row appended after this
-        call carries a larger ``seq`` (seqs are ns-epoch based)."""
-        return time.time_ns()
+        call carries a larger ``seq``. Issued through ``next_seq`` (ns
+        epoch + in-process tiebreak) so the cursor also exceeds every
+        seq THIS process has already handed out — a bare clock read
+        could trail rows appended microseconds earlier."""
+        return next_seq()
 
     def compaction_floor(self) -> int:
         """Oldest seq time travel can reach: 0 until the first
@@ -328,6 +331,11 @@ class Ledger:
             import datetime as _dt
 
             if isinstance(ts, _dt.datetime):
+                if ts.tzinfo is None:
+                    # naive datetimes are UTC everywhere in this module
+                    # (expired_batch_ids, compact(now=)); timestamp()
+                    # would read them as LOCAL time
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
                 seq = int(ts.timestamp() * 1_000_000_000)
             else:
                 seq = int(ts * 1_000_000_000)
