@@ -417,3 +417,65 @@ def tx10(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(400)
     )
+
+
+# ---------------------------------------------------------------------------
+# tx11 — corpus report card
+# ---------------------------------------------------------------------------
+
+_TX11_ORACLE = """
+WITH s AS (SELECT lang,
+                  len(string_split_regex(lower(text), '\\s+')) AS n_toks,
+                  n_chars,
+                  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+           FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+       CAST(MAX(n_toks) AS BIGINT) AS max_toks,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks), 4) AS chars_per_token,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_docs,
+       ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) AS dup_rate
+FROM s GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "tx11_corpus_report",
+    _TX11_ORACLE,
+    doc="Corpus report card — the first query a data engineer runs on a "
+        "new dump: per-language doc/token volumes, token-length extremes, "
+        "chars-per-token (a tokenizer sanity signal), and the exact-dup "
+        "rate via normalized fingerprints. One scan, one (lang) "
+        "hash-agg; the COUNT(DISTINCT fp) expands per lang but stays "
+        "map-side-combinable, and at 100 TB the same report runs per "
+        "dump partition and unions.",
+    tags=("llm", "text"),
+)
+def tx11(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import normalized_fingerprint, token_count_ws
+
+    d = t(spark, sf, "documents")
+    s = d.select(
+        "lang",
+        token_count_ws(F.col("text")).alias("n_toks"),
+        "n_chars",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("n_toks").alias("min_toks"),
+            F.max("n_toks").alias("max_toks"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_toks"), 4
+            ).alias("chars_per_token"),
+            F.count_distinct("fp").alias("distinct_docs"),
+            F.round(
+                F.lit(1.0) - F.count_distinct("fp").cast("double") / F.count("*"), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )
