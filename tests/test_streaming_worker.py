@@ -879,3 +879,53 @@ def test_handler_exception_never_breaks_outcome(spark, ledger):
     worker.process_available()
     api = LedgerAPI(spark, ledger)
     assert api.dashboard_counts()["dead"] == 1  # outcome row intact
+
+
+def test_torn_compaction_completes_deletes(spark, ledger):
+    """A compaction crash AFTER the compacted parts publish but BEFORE
+    the superseded files are deleted leaves duplicate history rows —
+    which the max-seq state view collapses — and the next Ledger open
+    finishes the deletes (the OPTIMIZE-txn roll-forward)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from goose_spark.streaming.ledger import Ledger, next_seq
+
+    client = JobClient(ledger)
+    for i in range(3):
+        client.perform_async("noop", i)
+    old_files = sorted(glob.glob(os.path.join(ledger.log_dir, "*.parquet")))
+    assert len(old_files) == 3
+
+    # stage the compacted snapshot (the state view, one part)
+    staging = os.path.join(ledger.root, ".compact-torn")
+    os.makedirs(staging)
+    state = ledger.state(spark)
+    state.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    )
+    base = next_seq()
+    n = pq.ParquetFile(os.path.join(staging, part)).metadata.num_rows
+    entries = [{"src": part, "dst": f"{base}-compacted.parquet", "rows": n}]
+    ledger._write_manifest(base, staging, entries, deletes=old_files)
+    # the crash: compacted part renamed in, deletes never executed
+    os.replace(
+        os.path.join(staging, part),
+        os.path.join(ledger.log_dir, entries[0]["dst"]),
+    )
+
+    # duplicate rows visible in the raw log, but the state view already
+    # collapses them — readers are never wrong mid-crash
+    assert len(glob.glob(os.path.join(ledger.log_dir, "*.parquet"))) == 4
+    assert ledger.state(spark).count() == 3
+
+    # restart completes the txn: superseded files dropped
+    recovered = Ledger(ledger.root)
+    left = sorted(glob.glob(os.path.join(recovered.log_dir, "*.parquet")))
+    assert left == [os.path.join(recovered.log_dir, entries[0]["dst"])]
+    assert recovered.state(spark).count() == 3
+    ids = {r["id"] for r in recovered.state(spark).collect()}
+    assert len(ids) == 3
