@@ -929,3 +929,29 @@ def test_torn_compaction_completes_deletes(spark, ledger):
     assert recovered.state(spark).count() == 3
     ids = {r["id"] for r in recovered.state(spark).collect()}
     assert len(ids) == 3
+
+
+def test_concurrent_producers_never_lose_rows(spark, ledger):
+    """Multi-writer enqueue safety: N threads each append through their
+    own JobClient (unique staged filenames, atomic renames); every job
+    lands exactly once. The reference gets this from Redis' single
+    dispatcher — the ledger gets it from the filesystem rename contract."""
+    import threading
+
+    N_THREADS, PER = 8, 200
+
+    def produce(k):
+        c = JobClient(ledger)
+        for i in range(PER):
+            c.perform_async("noop", k * PER + i)
+
+    threads = [threading.Thread(target=produce, args=(k,)) for k in range(N_THREADS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    log = ledger.log(spark)
+    assert log.count() == N_THREADS * PER
+    assert log.select("id").distinct().count() == N_THREADS * PER
+    # seqs are unique too (the ordering key never collides)
+    assert log.select("seq").distinct().count() == N_THREADS * PER
