@@ -128,3 +128,45 @@ def test_approx_aggregates_within_error_bounds(spark):
         assert abs(a["approx_orders"] - e["orders"]) <= 0.15 * e["orders"]
         assert e["q_brk"][0] <= a["approx_p50"] <= e["q_brk"][1]
         assert e["p_brk"][0] <= a["approx_price_p99"] <= e["p_brk"][1]
+
+
+def test_text_kernels_handle_unicode(spark):
+    """CJK, emoji, RTL, combining marks, and astral-plane text flow
+    through the tokenizer/shingle/fingerprint/scrub kernels without
+    crashes or mojibake (real dumps are full of all of these)."""
+    from pyspark.sql import functions as F
+
+    from goose_spark.operators.curation import scrub_text
+    from goose_spark.operators.textlib import (
+        normalized_fingerprint,
+        token_count_ws,
+        with_ngrams,
+        with_shingles,
+    )
+
+    rows = [
+        (1, "这是 一段 中文 文本 用于 测试 分词 行为"),
+        (2, "🚀 emoji 🌍 mixed 🔥 with words and ✨ sparkle"),
+        (3, "نص عربي من اليمين إلى اليسار مع كلمات"),
+        (4, "étoile café combining marks aplenty here now"),
+        (5, "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 astral 𝒫𝓁𝒶𝓃𝑒 chars with tail tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        scrub_text(F.col("text")).alias("scrubbed"),
+    ).collect()
+    assert all(r["n"] >= 7 for r in out)
+    assert len({r["fp"] for r in out}) == len(rows)  # distinct docs, distinct fps
+    # scrub is a no-op on PII-free unicode (no corruption)
+    originals = dict(rows)
+    assert all(r["scrubbed"] == originals[r["doc_id"]] for r in out)
+    sh = with_shingles(df).collect()
+    ng = with_ngrams(df, 3).collect()
+    assert all(len(r["sh"]) > 0 for r in sh)
+    assert all(len(r["grams"]) > 0 for r in ng)
+    # round-trip: shingle text preserved byte-for-byte
+    zh = next(r for r in sh if r["doc_id"] == 1)
+    assert zh["sh"][0] == "这是 一段 中文"
