@@ -955,3 +955,19 @@ def test_concurrent_producers_never_lose_rows(spark, ledger):
     assert log.select("id").distinct().count() == N_THREADS * PER
     # seqs are unique too (the ordering key never collides)
     assert log.select("seq").distinct().count() == N_THREADS * PER
+
+
+def test_large_args_payload_roundtrip(spark, ledger):
+    """A ~1 MB JSON args payload survives enqueue → columnar ledger →
+    Arrow executor → outcome commit intact (goose nippy-serializes blobs
+    of arbitrary size; the engine's JSON-in-string column must too)."""
+    big = "x" * (1 << 20)
+    client = JobClient(ledger)
+    res = client.perform_async("noop", big, {"nested": [1, 2, 3]})
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    api = LedgerAPI(spark, ledger)
+    row = api.find_by_id(res["id"])
+    assert row["status"] == "success"
+    args = json.loads(row["args"])
+    assert args[0] == big and args[1] == {"nested": [1, 2, 3]}
