@@ -84,3 +84,29 @@ def test_cron_boundary_one_ms():
     # due-time boundary parity (registry_test.clj:20-40): strictly-after
     s = cron.parse("0 * * * *")
     assert s.next_after(datetime(2026, 1, 1, 1, 0, 0)) == datetime(2026, 1, 1, 2, 0)
+
+
+def test_cron_dst_boundaries_run_exactly_once():
+    """DST semantics pinned (Vixie-cron-style): a schedule in the
+    spring-forward gap still fires once (shifted +1h to the first
+    existing instant); a fall-back schedule fires on the FIRST of the
+    two wall-clock occurrences, not both."""
+    from datetime import datetime
+
+    from goose_spark.functions.cron import next_run
+
+    # US 2026 spring forward: Mar 8, 02:00→03:00 America/New_York.
+    # "30 2" does not exist that day; the run lands at 03:30 EDT = 07:30Z.
+    spring = next_run("30 2 * * *", "America/New_York", datetime(2026, 3, 8, 5, 0))
+    assert spring == datetime(2026, 3, 8, 7, 30)
+    # and the day after, it is back to the normal 02:30 EDT = 06:30Z
+    after = next_run("30 2 * * *", "America/New_York", spring)
+    assert after == datetime(2026, 3, 9, 6, 30)
+
+    # US 2026 fall back: Nov 1, 01:30 occurs twice (EDT then EST); the
+    # engine fires the first (EDT = 05:30Z) and the NEXT run is the
+    # following day, never the second occurrence
+    fall = next_run("30 1 * * *", "America/New_York", datetime(2026, 11, 1, 4, 0))
+    assert fall == datetime(2026, 11, 1, 5, 30)
+    nxt = next_run("30 1 * * *", "America/New_York", fall)
+    assert nxt == datetime(2026, 11, 2, 6, 30)
