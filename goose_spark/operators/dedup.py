@@ -442,3 +442,74 @@ def dd5(spark: SparkSession, sf: str) -> DataFrame:
         .applyInPandas(block_pairs, schema="a_id long, b_id long, cos double")
         .orderBy("a_id", "b_id")
     )
+
+
+def embedding_near_dup_lsh_blocked(spark: SparkSession, sf: str,
+                                   threshold: float = 0.4) -> DataFrame:
+    """dd5's 100 TB form: block by sign-random-projection LSH bucket
+    instead of the label column (dd5's docstring: "at scale the block
+    is an LSH/IVF bucket"). Same BLAS pairwise kernel per bucket, exact
+    cosine verified in-kernel, pairs deduped across buckets (a pair can
+    collide in several bands). Finds cross-label near-dups the label
+    blocking cannot, at the cost of missing pairs that collide in no
+    band — the recall/cost dial every production dedup tunes
+    (test_lsh_blocked_near_dup pins recall on this corpus)."""
+    import pandas as pd
+
+    from goose_spark.operators.similarity import _DIM, _PLANE_SEED, _as_double
+
+    v = t(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+
+    # Near-dup banding is LOOSER than ss2's ANN banding (4 bands × 4
+    # bits): at cosine 0.4 the bit-agreement probability is ~0.63, so
+    # 2-bit bands collide at ~0.40 each and 8 bands give ~0.98 expected
+    # recall — the band-count/width dial, set for this regime.
+    n_bands, bits = 8, 2
+
+    def band_sig(batches):
+        import numpy as np
+
+        planes = np.random.RandomState(_PLANE_SEED).randn(_DIM, n_bands * bits)
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            hyp = (mat @ planes) > 0
+            rows = []
+            for i, vid in enumerate(pdf["vec_id"]):
+                for b in range(n_bands):
+                    chunk = hyp[i, b * bits : (b + 1) * bits]
+                    key = int(np.packbits(chunk, bitorder="little")[0])
+                    rows.append((vid, b, key))
+            yield pd.DataFrame(rows, columns=["vec_id", "band", "bkey"])
+
+    bands = v.mapInPandas(band_sig, schema="vec_id long, band int, bkey int")
+    blocked = bands.join(v, "vec_id").select("band", "bkey", "vec_id", "emb")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+        norm2 = (mat * mat).sum(axis=1)
+        dots = mat @ mat.T
+        cos = dots / np.sqrt(norm2[:, None] * norm2[None, :])
+        ai, bi = np.triu_indices(n, k=1)
+        keep = cos[ai, bi] >= threshold
+        ai, bi = ai[keep], bi[keep]
+        a_id, b_id = ids[ai], ids[bi]
+        swap = a_id > b_id
+        a_id, b_id = np.where(swap, b_id, a_id), np.where(swap, a_id, b_id)
+        return pd.DataFrame(
+            {"a_id": a_id, "b_id": b_id, "cos": np.round(cos[ai, bi], 6)}
+        )
+
+    return (
+        blocked.groupBy("band", "bkey")
+        .applyInPandas(block_pairs, schema="a_id long, b_id long, cos double")
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )

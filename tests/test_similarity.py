@@ -52,3 +52,24 @@ def test_ann_scores_match_exact_for_shared_neighbors(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(exact[key] - r["score"]) < 1e-9
+
+
+def test_lsh_blocked_near_dup_recall_and_precision(spark):
+    """The LSH-blocked dd5 variant: every returned pair is exact-cosine
+    verified (precision 1.0 by construction) and recall vs the
+    label-blocked exact pair set clears a floor on this corpus."""
+    from goose_spark.operators.dedup import embedding_near_dup_lsh_blocked
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in REGISTRY["dd5_embedding_near_dup"].builder(spark, SF_CORRECT).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], r["cos"])
+        for r in embedding_near_dup_lsh_blocked(spark, SF_CORRECT).collect()
+    }
+    assert all(c >= 0.4 for _, _, c in lsh)  # in-kernel verification
+    lsh_pairs_set = {(a, b) for a, b, _ in lsh}
+    if exact:
+        recall = len(lsh_pairs_set & exact) / len(exact)
+        assert recall >= 0.6, f"recall {recall} below floor"
