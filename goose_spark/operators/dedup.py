@@ -13,8 +13,10 @@ Scale design (100 TB):
   pairwise comparison.
 * n-gram Jaccard (dd4): blocked self-join — the block key (lang ×
   length bucket) bounds each join partition.
-* embedding near-dup (dd5): label-blocked; at scale the block is an
-  IVF/LSH bucket id (see similarity.py).
+* embedding near-dup (dd5): label-blocked; the scale form is
+  ``embedding_near_dup_lsh_blocked`` below — sign-projection LSH
+  buckets as the block key (8×2-bit bands tuned for the near-dup
+  cosine regime), recall-tested against the exact pair set.
 
 All Spark sides are pure DataFrame algebra; each has an exact DuckDB
 twin for the value-hash gate.
