@@ -574,3 +574,78 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
                        FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_qty
            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
     )
+
+
+@register(
+    "q66_window_dedup",
+    """WITH b AS (
+         SELECT user_id, event_type, event_id, ts,
+                time_bucket(INTERVAL '10 minutes', ts) AS w
+         FROM events),
+       r AS (
+         SELECT user_id, event_type, event_id, w,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type, w
+                                   ORDER BY ts, event_id) AS rn
+         FROM b)
+       SELECT CAST(COUNT(*) AS BIGINT) AS total_events,
+              CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_dups
+       FROM r""",
+    doc="Windowed event dedup — the DuckDB-checkable batch twin of the "
+        "streaming effect_once guard (dropDuplicatesWithinWatermark): "
+        "keep the first event per (user, type) inside each 10-minute "
+        "tumbling bucket, count the kept/dropped split. One "
+        "(user,type,bucket) shuffle; the window never spans buckets so "
+        "state is bounded exactly like the watermark horizon bounds the "
+        "streaming form.",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    w = F.window("ts", "10 minutes")["start"].alias("w")
+    b = e.select("user_id", "event_type", "event_id", "ts", w)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "event_type", "w").orderBy("ts", "event_id")
+    )
+    r = b.withColumn("rn", rn)
+    return r.agg(
+        F.count("*").alias("total_events"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("kept"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("dropped_dups"),
+    )
+
+
+@register(
+    "q67_robust_dispersion",
+    """WITH med AS (SELECT l_returnflag,
+                          median(l_quantity) AS med_qty
+                   FROM lineitem GROUP BY l_returnflag)
+       SELECT l.l_returnflag,
+              ROUND(CAST(MIN(med_qty) AS DOUBLE), 2) AS median_qty,
+              ROUND(CAST(median(ABS(l.l_quantity - med_qty)) AS DOUBLE), 2)
+                AS mad_qty
+       FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+       GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+    doc="Robust dispersion: median absolute deviation per return flag — "
+        "the outlier-resistant spread statistic quality pipelines use "
+        "where stddev is poisoned by heavy tails. Two-level exact "
+        "medians: the per-group median is one agg whose tiny result "
+        "broadcast-joins back for the deviation pass. Spark's "
+        "percentile(0.5) and DuckDB's median agree exactly (both "
+        "interpolate the order statistic).",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("med_qty").cast("double"), 2).alias("median_qty"),
+            F.round(
+                F.expr("percentile(abs(l_quantity - med_qty), 0.5)").cast("double"), 2
+            ).alias("mad_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
