@@ -649,3 +649,40 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q68_price_histogram",
+    """SELECT CASE WHEN o_totalprice < 0 THEN 0
+                   WHEN o_totalprice >= 600000 THEN 13
+                   ELSE CAST(FLOOR(o_totalprice / 50000) AS INT) + 1 END AS bucket,
+              COUNT(*) AS n,
+              CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                AS lo,
+              CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                AS hi
+       FROM orders GROUP BY 1 ORDER BY bucket""",
+    doc="Equal-width histogram via width_bucket on the Spark side (12 "
+        "interior buckets over [0, 600k), overflow bucket 13; DuckDB "
+        "lacks the function so the oracle spells out the identical "
+        "floor arithmetic): order-value distribution with per-bucket "
+        "extrema. One scan + one tiny hash-agg; the histogram of a "
+        "100 TB fact is the same single map-side-combinable pass.",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("lo"),
+            F.round(F.max(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("hi"),
+        )
+        .orderBy("bucket")
+    )
