@@ -686,3 +686,43 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q69_activity_islands",
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events),
+       g AS (SELECT user_id, d,
+                    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                             AS INT) AS grp
+             FROM days),
+       runs AS (SELECT user_id, grp, COUNT(*) AS run_days,
+                       MIN(d) AS run_start
+                FROM g GROUP BY user_id, grp)
+       SELECT CAST(MAX(run_days) AS BIGINT) AS longest_streak,
+              CAST(COUNT(*) AS BIGINT) AS n_runs,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+              ROUND(CAST(SUM(run_days) AS DOUBLE) / COUNT(*), 4) AS avg_run_days
+       FROM runs""",
+    doc="Islands-and-gaps: per-user runs of consecutive active days via "
+        "the date-minus-row_number grouping trick, then streak stats. "
+        "Two (user)-partitioned steps — the window and the run agg share "
+        "the user_id exchange; no global sort anywhere. The shape behind "
+        "retention streaks, uptime runs, and contiguous-coverage audits.",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    g = days.withColumn("grp", F.date_sub(F.col("d"), rn))
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("run_days"), F.min("d").alias("run_start")
+    )
+    return runs.agg(
+        F.max("run_days").alias("longest_streak"),
+        F.count("*").alias("n_runs"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(
+            F.sum("run_days").cast("double") / F.count("*"), 4
+        ).alias("avg_run_days"),
+    )
