@@ -726,3 +726,43 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("run_days").cast("double") / F.count("*"), 4
         ).alias("avg_run_days"),
     )
+
+
+@register(
+    "q70_measures_unpivot",
+    """SELECT l_returnflag, measure,
+              CAST(ROUND(SUM(CAST(v AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+       FROM (
+         SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'tax', l_tax FROM lineitem) u
+       GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure""",
+    doc="Wide-to-long UNPIVOT: the four lineitem measures melt to "
+        "(measure, value) rows via stack() — ONE scan emitting 4 rows "
+        "per input row, where the oracle's UNION-ALL spelling (the "
+        "portable twin) scans four times. Then one (flag, measure) "
+        "hash-agg. The melt shape feeds metric stores and long-format "
+        "ML feature tables.",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+            "'discount', l_discount, 'tax', l_tax) AS (measure, v)"
+        ),
+    )
+    return (
+        melted.groupBy("l_returnflag", "measure")
+        .agg(
+            F.round(F.sum(F.col("v").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total")
+        )
+        .orderBy("l_returnflag", "measure")
+    )

@@ -411,3 +411,23 @@ def test_order_priority_semi_join_pushdown(spark):
     assert "GreaterThanOrEqual(o_orderdate" in pushed
     assert "LeftSemi" in r.text
     assert "CartesianProduct" not in r.text
+
+
+def test_window_dedup_single_shuffle(spark):
+    r = report(REGISTRY["q66_window_dedup"].builder(spark, SF_CORRECT))
+    assert r.single_partition_exchanges <= 1  # final scalar agg only
+    assert r.shuffles >= 1  # (user,type,bucket) exchange
+
+
+def test_unpivot_single_scan(spark):
+    # stack() emits 4 rows per input from ONE scan (the UNION-ALL oracle
+    # form would scan lineitem four times)
+    r = report(REGISTRY["q70_measures_unpivot"].builder(spark, SF_CORRECT))
+    assert r.text.count("FileScan") == 1
+
+
+def test_activity_islands_shares_user_exchange(spark):
+    r = report(REGISTRY["q69_activity_islands"].builder(spark, SF_CORRECT))
+    # window + run agg both key on user_id; no unpartitioned window
+    assert "Window" in r.text
+    assert r.single_partition_exchanges <= 1  # the final scalar summary
