@@ -766,3 +766,53 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+@register(
+    "q71_full_outer_reconcile",
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                 FROM customer GROUP BY c_nationkey),
+       s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+             FROM supplier GROUP BY s_nationkey)
+       SELECT COALESCE(c.nk, s.nk) AS nk,
+              CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+              CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp,
+              CASE WHEN c.nk IS NULL THEN 'supplier_only'
+                   WHEN s.nk IS NULL THEN 'customer_only'
+                   ELSE 'both' END AS presence
+       FROM c FULL OUTER JOIN s ON c.nk = s.nk
+       ORDER BY nk""",
+    doc="FULL OUTER reconciliation — the side-by-side audit shape "
+        "(which nations have customers but no suppliers, or vice "
+        "versa): two tiny pre-aggregates full-outer-joined with "
+        "COALESCE null repair and a presence verdict. Both inputs are "
+        "O(nations) after their partial aggs, so the full-outer join is "
+        "a broadcast-scale reconciliation even when the base tables are "
+        "100 TB facts.",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = c.join(s, c.nk == s.snk, "full_outer")
+    presence = (
+        F.when(F.col("nk").isNull(), "supplier_only")
+        .when(F.col("snk").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return (
+        j.select(
+            F.coalesce("nk", "snk").alias("nk"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            presence.alias("presence"),
+        )
+        .orderBy("nk")
+    )
