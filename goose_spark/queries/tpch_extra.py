@@ -816,3 +816,38 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+@register(
+    "q72_rank_vs_dense_rank",
+    """WITH s AS (SELECT p_brand, p_size, COUNT(*) AS n
+                 FROM part GROUP BY p_brand, p_size)
+       SELECT p_brand, p_size, n,
+              RANK() OVER w AS rnk,
+              DENSE_RANK() OVER w AS drnk
+       FROM s
+       WINDOW w AS (PARTITION BY p_brand ORDER BY n DESC)
+       ORDER BY p_brand, rnk, p_size LIMIT 200""",
+    doc="RANK vs DENSE_RANK tie semantics on a deliberately tied "
+        "ordering (size-counts per brand collide constantly): RANK "
+        "leaves gaps after ties, DENSE_RANK does not — the pair q10's "
+        "row_number and q49's percent_rank don't exercise. Per-brand "
+        "partitioning keeps the window local to its hash partition; the "
+        "outer ORDER BY adds p_size so the LIMIT is total despite the "
+        "ties.",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part")
+    s = p.groupBy("p_brand", "p_size").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("n").desc())
+    return (
+        s.select(
+            "p_brand",
+            "p_size",
+            "n",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("p_brand", "rnk", "p_size")
+        .limit(200)
+    )
