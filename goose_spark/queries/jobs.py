@@ -304,3 +304,44 @@ def qj12(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("queue")
     )
+
+
+@register(
+    "qj13_queue_age_profile",
+    f"""SELECT queue,
+               COUNT(*) AS backlog,
+               MIN(enqueued_at) AS oldest_enqueued_at,
+               CAST(ROUND(epoch(TIMESTAMP '2026-06-01 00:00:00'
+                                - MIN(enqueued_at)), 0) AS BIGINT)
+                 AS oldest_age_sec,
+               CAST(ROUND(epoch(TIMESTAMP '2026-06-01 00:00:00'
+                                - MAX(enqueued_at)), 0) AS BIGINT)
+                 AS newest_age_sec
+        FROM {_JOBS} WHERE status = 'enqueued'
+        GROUP BY queue ORDER BY queue""",
+    doc="Queue backlog age profile — the 'how stale is the oldest "
+        "waiting job' gauge an operator checks before scaling a fleet "
+        "(complements qj10's depth with recency; the reference reads "
+        "this off the head of each Redis list). Fixed reference instant "
+        "so the oracle is deterministic; in production the instant is "
+        "now(). One (queue) hash-agg over the enqueued partition.",
+)
+def qj13(spark: SparkSession, sf: str) -> DataFrame:
+    ref = F.lit("2026-06-01 00:00:00").cast("timestamp")
+    # fixture timestamps are NTZ; session tz is UTC so the cast chain
+    # is value-identical to the oracle's epoch() subtraction
+    age = lambda col: F.round(  # noqa: E731
+        ref.cast("double") - col.cast("timestamp").cast("double"), 0
+    ).cast("long")
+    return (
+        fixture(spark, "jobs")
+        .filter(F.col("status") == "enqueued")
+        .groupBy("queue")
+        .agg(
+            F.count("*").alias("backlog"),
+            F.min("enqueued_at").alias("oldest_enqueued_at"),
+            age(F.min("enqueued_at")).alias("oldest_age_sec"),
+            age(F.max("enqueued_at")).alias("newest_age_sec"),
+        )
+        .orderBy("queue")
+    )
