@@ -34,6 +34,7 @@ import shutil
 import time
 import uuid
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -312,6 +313,12 @@ class Ledger:
                 return int(fh.read().strip() or 0)
         except OSError:
             return 0
+        except ValueError as exc:
+            raise ValueError(
+                "corrupt COMPACTION marker in "
+                f"{self.commits_dir}: {exc}; remove the file to reset "
+                "the time-travel floor to 0 (all history readable)"
+            ) from exc
 
     def state_as_of(self, spark: SparkSession, seq: int | None = None,
                     ts=None) -> DataFrame:
@@ -637,8 +644,117 @@ class Ledger:
             sub = table.take(idx)
             name = (f"h{bucket}-" if bucket else "") + f"{next_seq()}.parquet"
             tmp = os.path.join(self.scheduled_dir, f".tmp-{uuid.uuid4().hex}.parquet")
-            pq.write_table(sub, tmp)
+            # bounded row groups keep every park file splittable by
+            # pop_due's row-group fallback — a single monolithic row
+            # group would force the whole file into driver memory
+            pq.write_table(sub, tmp, row_group_size=self.PARK_ROW_GROUP)
             os.replace(tmp, os.path.join(self.scheduled_dir, name))
+
+    # rows per row group in park files; pop_due can therefore split any
+    # park file at ≤ this granularity when enforcing its pop limit
+    PARK_ROW_GROUP = 50_000
+
+    @staticmethod
+    def _scheduled_sort_key(path: str) -> tuple[str, str]:
+        """Oldest hour bucket first (due rows live in the oldest
+        buckets), then file seq within a bucket. Legacy un-bucketed
+        files sort first — they may hold arbitrarily old rows."""
+        f = os.path.basename(path)
+        if f.startswith("h") and f[1:11].isdigit():
+            return (f[1:11], f)
+        return ("", f)
+
+    def pop_due(self, now, limit: int) -> tuple[pa.Table | None, list[str], bool]:
+        """Bounded pop from the scheduled store — the engine's
+        ``ZRANGEBYSCORE … LIMIT 0 <pop-limit>`` (reference:
+        src/goose/brokers/redis/commands.clj:219-228, pop limit
+        src/goose/defaults.clj:49). Returns ``(rows, consumed_files,
+        more)``:
+
+        * ``rows`` — ALL rows of the consumed files (due and not-yet-due
+          alike; the caller splits and re-parks survivors), at most
+          ~``limit`` plus one row-group of slack. Never the whole
+          backlog: whole files are taken oldest-bucket-first until the
+          row budget is met, and a file that would blow the budget on
+          its own is split at row-group granularity — the head row
+          groups are consumed, the tail is streamed row-group-by-
+          row-group into a replacement file without ever being
+          materialized as one table.
+        * ``consumed_files`` — files the caller must remove via
+          ``replace_scheduled`` after re-parking survivors.
+        * ``more`` — unconsumed candidate files remain (the caller
+          should pop again: goose re-polls immediately while due jobs
+          are found, scheduler.clj:36-48).
+
+        Parquet ``run_at`` min-stats prune files inside the current hour
+        bucket whose earliest row is still in the future — they are
+        skipped, not consumed, and do not set ``more``."""
+        files = sorted(self.scheduled_files(due_before=now), key=self._scheduled_sort_key)
+        chosen: list[pa.Table] = []
+        consumed: list[str] = []
+        total = 0
+        more = False
+        now_ts = pd.Timestamp(now) if not isinstance(now, pd.Timestamp) else now
+        for path in files:
+            try:
+                pf = pq.ParquetFile(path)
+            except (OSError, pa.ArrowInvalid):
+                continue  # racing writer/compactor; next sweep sees it
+            meta = pf.metadata
+            if meta.num_rows == 0:
+                consumed.append(path)  # zero-row husk: just drop it
+                continue
+            if total >= limit:
+                more = True
+                break
+            # min(run_at) stats prune within the due hour bucket
+            try:
+                col = meta.schema.to_arrow_schema().get_field_index("run_at")
+                mins = [
+                    meta.row_group(g).column(col).statistics.min
+                    for g in range(meta.num_row_groups)
+                    if meta.row_group(g).column(col).statistics is not None
+                ]
+                if mins and min(m for m in mins if m is not None) > now_ts:
+                    continue  # wholly future: skip unread, leave in place
+            except Exception:  # noqa: BLE001 — stats are an optimization only
+                pass
+            if total + meta.num_rows <= limit or total == 0:
+                if total == 0 and meta.num_rows > limit and meta.num_rows > self.PARK_ROW_GROUP:
+                    # oversized head file: consume head row groups up to
+                    # the limit, stream the tail into a replacement file
+                    taken, g = [], 0
+                    while g < meta.num_row_groups and sum(t.num_rows for t in taken) < limit:
+                        taken.append(pf.read_row_group(g))
+                        g += 1
+                    if g < meta.num_row_groups:
+                        base = os.path.basename(path)
+                        prefix = base[:12] if base.startswith("h") and base[1:11].isdigit() else ""
+                        tmp = os.path.join(self.scheduled_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+                        writer = pq.ParquetWriter(tmp, pf.schema_arrow)
+                        try:
+                            for gg in range(g, meta.num_row_groups):
+                                writer.write_table(pf.read_row_group(gg))
+                        finally:
+                            writer.close()
+                        os.replace(
+                            tmp,
+                            os.path.join(self.scheduled_dir, f"{prefix}{next_seq()}.parquet"),
+                        )
+                        more = True
+                    chosen.extend(taken)
+                    total += sum(t.num_rows for t in taken)
+                    consumed.append(path)
+                else:
+                    chosen.append(pf.read())
+                    total += meta.num_rows
+                    consumed.append(path)
+            else:
+                more = True
+                break
+        if not chosen:
+            return None, consumed, False
+        return pa.concat_tables(chosen, promote_options="default"), consumed, more
 
     def read_scheduled(self, files: list[str] | None = None) -> pa.Table | None:
         if files is None:

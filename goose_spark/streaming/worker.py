@@ -59,6 +59,11 @@ def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
+# Vectorized analog of goose's redis-scheduled-jobs-pop-limit (50,
+# src/goose/defaults.clj:49): bounds rows materialized per due-sweep pop.
+DEFAULT_SCHEDULE_POP_LIMIT = 10_000
+
+
 def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
                    middlewares: tuple = (), error_handler: str | None = None,
                    death_handler: str | None = None,
@@ -199,12 +204,21 @@ class Worker:
                  scheduler_role: bool | None = None,
                  error_handler: str | None = None,
                  death_handler: str | None = None,
-                 skip_dead_queue: bool = False):
+                 skip_dead_queue: bool = False,
+                 schedule_pop_limit: int = DEFAULT_SCHEDULE_POP_LIMIT):
         import threading
 
         self.spark = spark
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.worker_id = worker_id
+        # Per-pop bound on the due-sweep (W7). Goose pops 50 jobs per
+        # poll (defaults.clj:49) because its unit of work is one Redis
+        # round-trip per job; the engine's unit is one Arrow batch, so
+        # the default bounds a pop at 10k rows (a few MB of driver
+        # memory) instead. Set 50 for strict reference parity — the
+        # drain loop still clears any backlog either way, it just takes
+        # more iterations.
+        self.schedule_pop_limit = max(1, int(schedule_pop_limit))
         # retry.clj:47-55 handler parity: registry fn names called
         # executor-side on failure/death; skip_dead_queue writes dying
         # jobs as 'deleted' (no dead-queue entry)
@@ -559,23 +573,43 @@ class Worker:
     # ------------------------------------------------------------------
 
     def _sweep_due(self) -> None:
-        # run_at-hour bucket prune: only files whose bucket can hold rows
-        # due by now are opened (future buckets are skipped unread). A
-        # stale parked row whose job was since re-parked into a later
-        # bucket fails the latest-seq guard below, so per-bucket sweeping
-        # stays exactly-once.
-        files = self.ledger.scheduled_files(due_before=_now())
-        tbl = self.ledger.read_scheduled(files)
+        """Drain due parked rows in bounded chunks. Each pop materializes
+        at most ``schedule_pop_limit`` rows (plus one row-group of
+        slack) in driver memory — never the whole backlog — and the loop
+        re-pops immediately while due jobs are found, exactly goose's
+        scheduler: pop ≤50 (defaults.clj:49, commands.clj:219-228), poll
+        again without sleeping when the pop was non-empty
+        (scheduler.clj:36-48). A mass-retry wave all due "now" therefore
+        drains in O(wave/limit) bounded iterations instead of one
+        unbounded ``to_pandas()``."""
+        while self._sweep_due_chunk():
+            pass
+
+    def _sweep_due_chunk(self) -> bool:
+        # run_at-hour bucket prune + parquet min-stats prune: only files
+        # whose bucket can hold rows due by now are opened. A stale
+        # parked row whose job was since re-parked into a later bucket
+        # fails the latest-seq guard below, so per-bucket sweeping stays
+        # exactly-once.
+        tbl, files, more = self.ledger.pop_due(_now(), self.schedule_pop_limit)
         if tbl is None or tbl.num_rows == 0:
-            return
+            if files:  # zero-row husk files: drop them
+                self.ledger.replace_scheduled(None, files)
+            return False
         # latest parked row per id (a retry may re-park the same id)
         pdf = tbl.to_pandas().sort_values("seq").drop_duplicates("id", keep="last")
         # stale-guard: a parked row is live only if it is STILL the job's
-        # latest ledger row (redelivered history must never re-execute)
+        # latest ledger row (redelivered history must never re-execute).
+        # Broadcast-join the ≤pop-limit popped ids against the state view
+        # rather than an isin() literal list — 10k+ literals would blow
+        # up Catalyst planning time, a broadcast hash join does not.
+        ids_df = self.spark.createDataFrame(
+            pd.DataFrame({"id": pdf["id"].unique()}), schema="id string"
+        )
         latest = {
             r["id"]: (r["seq"], r["status"])
             for r in self.ledger.state(self.spark)
-            .filter(F.col("id").isin(pdf["id"].tolist()))
+            .join(F.broadcast(ids_df), "id")
             .select("id", "seq", "status")
             .collect()
         }
@@ -587,13 +621,13 @@ class Worker:
         pdf = pdf[live_mask]
         if len(pdf) == 0:
             self.ledger.replace_scheduled(None, files)
-            return
+            return more
         due_mask = pdf["run_at"] <= pd.Timestamp(_now())
         due, remaining = pdf[due_mask], pdf[~due_mask]
         remaining_tbl = pa.Table.from_pandas(remaining, schema=ARROW_LOG_SCHEMA, preserve_index=False)
         self.ledger.replace_scheduled(remaining_tbl if len(remaining) else None, files)
         if len(due) == 0:
-            return
+            return more
         # due jobs jump the queue (front-enqueue parity, commands.clj:145-160)
         due = due.copy()
         due["priority"] = PRIORITY_FRONT
@@ -621,11 +655,12 @@ class Worker:
                 )
             )
         if len(mine) == 0:
-            return
+            return more
         due_df = self.spark.createDataFrame(
             mine, schema=self.ledger._spark_log_schema()
         )
         self._execute_and_log(due_df)
+        return more
 
     # ------------------------------------------------------------------
     # cron tick (W8)
