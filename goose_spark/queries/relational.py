@@ -172,17 +172,23 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT c.c_custkey, COALESCE(COUNT(o.o_orderkey), 0) AS n_orders
        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
        GROUP BY c.c_custkey ORDER BY n_orders DESC, c.c_custkey LIMIT 50""",
-    doc="Left outer join + null-safe count. At scale: pre-aggregate orders "
-        "by custkey before the join would shrink the probe side; Catalyst "
-        "does not rewrite this automatically, so express the cheap form.",
+    doc="Left outer join + null-safe count, expressed as aggregate-then-"
+        "join: orders collapses to one row per custkey BEFORE the join, so "
+        "the join moves |distinct custkeys| rows instead of |orders| rows. "
+        "Catalyst does not rewrite join-then-aggregate into this cheaper "
+        "form automatically, so the plan states it.",
 )
 def q07(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer").select("c_custkey")
-    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        t(spark, sf, "orders")
+        .select("o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_cnt"))
+    )
     return (
-        c.join(o, o.o_custkey == c.c_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.coalesce(F.count("o_orderkey"), F.lit(0)).alias("n_orders"))
+        c.join(per_cust, per_cust.o_custkey == c.c_custkey, "left")
+        .select("c_custkey", F.coalesce(F.col("_cnt"), F.lit(0)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "c_custkey")
         .limit(50)
     )

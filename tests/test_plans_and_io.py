@@ -36,6 +36,17 @@ def test_dims_broadcast_in_multiway_join(spark):
     assert r.sort_merge_joins <= 1
 
 
+def test_q07_aggregates_orders_before_join(spark):
+    """q07 must join customer against the per-custkey AGGREGATE of
+    orders, not raw orders (round-6 verdict item #2): at 100× scale the
+    join then moves |distinct custkeys| rows instead of |orders| rows.
+    Proof: the only aggregate is keyed on o_custkey (below the join);
+    a join-then-aggregate plan would instead aggregate on c_custkey."""
+    r = report(REGISTRY["q07_left_outer_join"].builder(spark, SF_CORRECT))
+    assert "HashAggregate(keys=[o_custkey" in r.text, r.text
+    assert "HashAggregate(keys=[c_custkey" not in r.text, r.text
+
+
 def test_topk_per_key_uses_window_group_limit(spark):
     r = report(REGISTRY["q10_window_row_number"].builder(spark, SF_CORRECT))
     assert r.has_window_group_limit
