@@ -17,6 +17,7 @@ from datetime import datetime, timedelta, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from goose_spark import specs
 from goose_spark.functions import cron as cronlib
 from goose_spark.schema import (
     DEFAULT_MAX_RETRIES,
@@ -45,29 +46,65 @@ def _validate_queue(queue: str) -> None:
         raise ValueError(f"queue {queue!r} is protected")
 
 
+#: job-row fields a caller may override — anything else would be
+#: silently dropped by the log schema, so the spec gate rejects it
+#: (goose's retry-opts s/map-of key restriction, specs.clj:130-137)
+_OVERRIDABLE = {
+    "id", "status", "priority", "enqueued_at", "run_at", "cron_name",
+    "batch_id", "retry_count", "error", "first_failed_at",
+    "last_retried_at", "died_at", "worker_id",
+}
+
+
 class JobClient:
+    """Producer client. ``instrument=False`` disables the enqueue-time
+    spec gate (specs.clj:241-254 instrument/unstrument parity) — unlike
+    goose the gate defaults ON: the engine's checks are cheap Python
+    predicates, not spec conformance walks."""
+
     def __init__(self, ledger: Ledger | str, queue: str = "default",
-                 max_retries: int = DEFAULT_MAX_RETRIES, retry_queue: str | None = None):
+                 max_retries: int = DEFAULT_MAX_RETRIES, retry_queue: str | None = None,
+                 instrument: bool = True):
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.queue = queue
         self.max_retries = max_retries
         self.retry_queue = retry_queue
+        self.instrument = instrument
+        if instrument:
+            # ::client-opts (specs.clj:171): defaults checked once here,
+            # per-call overrides re-checked in _job_row
+            _validate_queue(queue)
+            specs.validate_retry_opts(max_retries, retry_queue, _validate_queue)
 
     # -- internals ----------------------------------------------------------
 
     def _job_row(self, execute_fn: str, args: tuple, queue: str | None, **over) -> dict:
         q = queue or self.queue
         _validate_queue(q)
+        max_retries = over.pop("max_retries", self.max_retries)
+        retry_queue = over.pop("retry_queue", self.retry_queue)
+        if self.instrument:
+            specs.validate_fn_name(execute_fn)
+            args_json = specs.validate_args(args)
+            specs.validate_retry_opts(max_retries, retry_queue, _validate_queue)
+            unknown = set(over) - _OVERRIDABLE
+            if unknown:
+                raise specs.SpecError(
+                    f"unknown job option(s) {sorted(unknown)}; "
+                    f"allowed: {sorted(_OVERRIDABLE)}"
+                )
+        else:
+            args_json = json.dumps(list(args))
         row = {
             "id": str(uuid.uuid4()),
             "queue": q,
             "execute_fn": execute_fn,
-            "args": json.dumps(list(args)),
+            "args": args_json,
             "status": STATUS_ENQUEUED,
             "priority": PRIORITY_BACK,
             "enqueued_at": _now(),
-            "max_retries": over.pop("max_retries", self.max_retries),
-            "retry_queue": over.pop("retry_queue", self.retry_queue),
+            "max_retries": max_retries,
+            "retry_queue": retry_queue,
         }
         row.update(over)
         return row
@@ -83,6 +120,8 @@ class JobClient:
 
     def perform_at(self, run_at: datetime, execute_fn: str, *args,
                    queue: str | None = None, **over) -> dict:
+        if self.instrument:
+            specs.validate_instant(run_at)  # ::instant, specs.clj:170
         if run_at <= _now():
             # past-due → straight to the front of the ready queue
             # (scheduler.clj:15-17 past-due? → enqueue-front)
@@ -97,6 +136,8 @@ class JobClient:
 
     def perform_in_sec(self, sec: float, execute_fn: str, *args,
                        queue: str | None = None, **over) -> dict:
+        if self.instrument and (isinstance(sec, bool) or not isinstance(sec, (int, float))):
+            raise specs.SpecError(f"sec must be a number, got {sec!r}")
         return self.perform_at(_now() + timedelta(seconds=sec), execute_fn, *args,
                                queue=queue, **over)
 
@@ -109,6 +150,13 @@ class JobClient:
             raise ValueError(f"invalid cron schedule {cron_schedule!r}")
         q = queue or self.queue
         _validate_queue(q)
+        if self.instrument:
+            # ::cron-opts (specs.clj:101-107) + fn/args gate
+            if not isinstance(cron_name, str) or not cron_name:
+                raise specs.SpecError(f"cron_name must be a non-empty string, got {cron_name!r}")
+            specs.validate_timezone(tz)
+            specs.validate_fn_name(execute_fn)
+            specs.validate_args(args)
         now = _now()
         entry = {
             "cron_name": cron_name,
@@ -157,6 +205,15 @@ class JobClient:
                       queue: str | None = None, **over) -> dict:
         if not args_coll:
             raise ValueError("perform_batch requires at least one args tuple")
+        if self.instrument:
+            # ::batch-opts + ::batch-args (specs.clj:109-117,172)
+            specs.validate_batch_opts(callback_fn, linger_sec)
+            if any(isinstance(a, (str, bytes)) or not hasattr(a, "__iter__")
+                   for a in args_coll):
+                raise specs.SpecError(
+                    "perform_batch args_coll must be a collection of arg "
+                    "TUPLES (one per job), not bare values"
+                )
         batch_id = str(uuid.uuid4())
         rows = [
             self._job_row(execute_fn, tuple(args), queue, batch_id=batch_id, **over)

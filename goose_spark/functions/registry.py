@@ -137,3 +137,11 @@ def record_error_handler(job, err):
 @job_fn("record-death-handler")
 def record_death_handler(job, err):
     _record("death", job, err)
+
+
+@job_fn("raising-handler")
+def raising_handler(job, err):
+    """A handler that itself fails — executor-side handler exceptions
+    must be swallowed, never corrupt the outcome row (retry.clj's
+    log-and-continue handlers)."""
+    raise RuntimeError("handler blew up")

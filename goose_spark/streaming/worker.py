@@ -221,7 +221,13 @@ class Worker:
         self.schedule_pop_limit = max(1, int(schedule_pop_limit))
         # retry.clj:47-55 handler parity: registry fn names called
         # executor-side on failure/death; skip_dead_queue writes dying
-        # jobs as 'deleted' (no dead-queue entry)
+        # jobs as 'deleted' (no dead-queue entry). Validated at
+        # construction (specs.clj:124-128 handler fn-sym + arity specs) —
+        # a typo'd handler name must fail the worker at startup, not be
+        # silently swallowed at the first job failure.
+        from goose_spark.specs import validate_worker_handlers
+
+        validate_worker_handlers(error_handler, death_handler, skip_dead_queue)
         self.error_handler = error_handler
         self.death_handler = death_handler
         self.skip_dead_queue = skip_dead_queue

@@ -871,11 +871,12 @@ def test_skip_dead_queue(spark, ledger):
 def test_handler_exception_never_breaks_outcome(spark, ledger):
     client = JobClient(ledger)
     client.perform_async("always-fail", max_retries=0)
-    # an unresolvable handler name = a raising handler: both must be
-    # swallowed without corrupting the outcome row
+    # a handler that raises when called must be swallowed executor-side
+    # without corrupting the outcome row (an UNRESOLVABLE handler name
+    # now fails at Worker construction — see test_specs.py)
     worker = Worker(spark, ledger, rand_int=lambda n: 0,
                     retry_delay_fn=lambda n: 0,
-                    death_handler="no-such-handler")
+                    death_handler="raising-handler")
     worker.process_available()
     api = LedgerAPI(spark, ledger)
     assert api.dashboard_counts()["dead"] == 1  # outcome row intact
