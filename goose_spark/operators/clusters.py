@@ -129,7 +129,6 @@ def dd6(spark: SparkSession, sf: str) -> DataFrame:
         "label", F.col("node")
     ).persist()
 
-    prev_ckpt_rdd = None
     for _pass in range(MAX_PASSES):
         # each node adopts min(own label, min neighbor label)
         neighbor_min = (
@@ -146,14 +145,13 @@ def dd6(spark: SparkSession, sf: str) -> DataFrame:
         if (_pass + 1) % 5 == 0:
             # truncate lineage: persist alone keeps the logical plan
             # growing one join deeper per pass, and analyzer time blows
-            # up before the data does on long chains. unpersist() is a
-            # no-op on checkpoint blocks, so superseded checkpoints are
-            # freed through their RDD handle below; only the newest
-            # snapshot (one label table) stays pinned.
+            # up before the data does on long chains. Superseded
+            # checkpoint blocks cannot be freed explicitly (unpersist is
+            # a no-op on them); dropping the Python reference when
+            # `labels` is rebound below lets the JVM ContextCleaner
+            # reclaim them — GC-driven, at most a handful of label
+            # tables outstanding between GC cycles.
             new_labels = new_labels.localCheckpoint(eager=True)
-            if prev_ckpt_rdd is not None:
-                prev_ckpt_rdd.unpersist()
-            prev_ckpt_rdd = new_labels.rdd
         else:
             new_labels = new_labels.persist()
         changed = (

@@ -86,7 +86,11 @@ rates AS (SELECT lang, n_docs,
                  sqrt(CAST(n_min AS DOUBLE) / n_docs) AS rate
           FROM counts, tot),
 thr AS (SELECT lang, n_docs, share, rate,
-               lpad(lower(to_hex(CAST(FLOOR(rate * 256) AS INT))), 2, '0')
+               -- LEAST(…,255) keeps rate_hex two chars for rate >= 1.0
+               -- (to_hex(256) is '100'; lpad would TRUNCATE it to '10'),
+               -- so the hex coin matches the Spark side even if the
+               -- rate >= 1.0 short-circuit below is ever refactored away
+               lpad(lower(to_hex(LEAST(CAST(FLOOR(rate * 256) AS INT), 255))), 2, '0')
                  AS rate_hex
         FROM rates),
 s AS (SELECT d.lang,
@@ -185,7 +189,13 @@ def sp7(spark: SparkSession, sf: str) -> DataFrame:
 #: RE2/Java-portable patterns: character classes + bounded reps only, no
 #: lookaround or backreferences (those diverge between engines).
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+#: No whitespace in the separator class and a bounded width: an
+#: unbounded class with \s greedily swallowed unrelated digit runs
+#: across spaces ("555-1234 2024" masked the year too), and since
+#: scrub_text runs BEFORE fingerprinting on the ingest path, that
+#: over-masking could merge genuinely distinct documents in dedup.
+#: Trade: space-separated phones ("415 555 1234") stay unmasked.
+_PHONE_RE = r"\+?[0-9][0-9()\-]{5,16}[0-9]"
 
 
 def scrub_text(col: F.Column) -> F.Column:

@@ -127,7 +127,6 @@ def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
             max_retries = list(pdf["max_retries"])
             retry_queue = list(pdf["retry_queue"])
             ids = list(pdf["id"])
-            batch_ids = list(pdf["batch_id"])
             enqueued_at = list(pdf["enqueued_at"])
             for i in range(n_rows):
                 job = {
@@ -151,13 +150,14 @@ def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
                     if max_retries_exceeded(n, int(max_retries[i])):
                         # death path (retry.clj:51-55): death-handler,
                         # then dead-queue entry unless skipped. Batch
-                        # members always record 'dead' — goose's
-                        # skip-dead-queue skips the dead SET, but batch
-                        # state still counts the death (batch.clj), and
-                        # here one status column drives both.
+                        # members skip the dead queue too (goose's
+                        # skip-dead-queue omits them from the global
+                        # dead SET while the batch's own dead-set still
+                        # counts the death, batch.clj) — batch counting
+                        # keys on died_at, not on the 'dead' status, so
+                        # a 'deleted' row still registers as a death.
                         _handle(death_handler, job, error[i])
-                        skip = skip_dead_queue and pd.isna(batch_ids[i])
-                        status.append("deleted" if skip else STATUS_DEAD)
+                        status.append("deleted" if skip_dead_queue else STATUS_DEAD)
                         died[i] = now
                         run_at[i] = pd.NaT
                     else:
@@ -736,7 +736,11 @@ class Worker:
                 F.sum(F.when(F.col("status").isin(STATUS_ENQUEUED, "in_progress", STATUS_SCHEDULED), 1).otherwise(0)).alias("enq"),
                 F.sum(F.when(F.col("status") == STATUS_RETRYING, 1).otherwise(0)).alias("retrying"),
                 F.sum(F.when(F.col("status") == STATUS_SUCCESS, 1).otherwise(0)).alias("success"),
-                F.sum(F.when(F.col("status") == STATUS_DEAD, 1).otherwise(0)).alias("dead"),
+                # died_at, not status: a member that died under
+                # skip_dead_queue is written 'deleted' (off the dead-queue
+                # surfaces) but its death still counts toward the batch's
+                # terminal status, exactly goose's batch dead-set
+                F.sum(F.when(F.col("died_at").isNotNull(), 1).otherwise(0)).alias("dead"),
             )
             .collect()
         )

@@ -75,6 +75,20 @@ def test_pii_scrub_masks_everything(spark):
     assert sum(r["phones_redacted"] for r in out) == n_docs
 
 
+def test_phone_mask_does_not_swallow_neighbor_digits():
+    """Regression (round-6 advice): the phone pattern must not greedily
+    consume unrelated digit runs across whitespace — '555-1234 2024'
+    masks only the number, the year survives. Matters because
+    scrub_text runs before fingerprinting on the ingest path, where
+    over-masking merges genuinely distinct docs in dedup."""
+    import re
+
+    masked = re.sub(curation._PHONE_RE, "<PHONE>", "call 555-1234 2024 deadline")
+    assert masked == "call <PHONE> 2024 deadline"
+    masked = re.sub(curation._PHONE_RE, "<PHONE>", "at +1-415-555-0123.")
+    assert masked == "at <PHONE>."
+
+
 def test_pii_scrub_leaves_no_residue(spark):
     d = t(spark, SF_CORRECT, "documents")
     raw = F.concat(

