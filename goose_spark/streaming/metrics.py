@@ -1,37 +1,122 @@
-"""Metrics emission — goose's StatsD layer re-expressed on Spark.
+"""Metrics backend protocol — goose's ``Metrics`` protocol re-expressed.
 
-Reference surface (``src/goose/metrics.clj:35-42,59-86``): counters
-(jobs processed/success/failure/recovered), timings (execution latency,
-per-fn latency, schedule/retry/cron latency classes), gauges (queue
-depths, total enqueued/scheduled/dead sizes —
-``src/goose/brokers/redis/metrics.clj:14-44``).
+Reference surface (``src/goose/metrics.clj:35-42``): a user-implementable
+backend with ``enabled?`` / ``increment`` / ``timing`` / ``gauge``, plus
+the canonical metric names (``metrics.clj:9-33``) and the middleware
+feed that emits processed/succeeded/failed counts and execution timings
+per job (``metrics.clj:59-86``). Goose ships StatsD as the specimen
+backend (``src/goose/metrics/statsd.clj``).
 
 Engine mapping:
-* per-micro-batch counters/timings → a ``MetricsSink`` fed from the
-  worker's foreachBatch (same position in the execution path as goose's
-  middleware wrap, ``src/goose/brokers/redis/worker.clj:46-55``)
+* ``Metrics`` — the protocol base. Implement the three emit methods and
+  pass your instance as ``Worker(metrics=...)``; the worker feeds it per
+  micro-batch from foreachBatch, the same position in the execution path
+  as goose's metrics middleware (``worker.clj:46-55``). ``None`` behaves
+  as a disabled backend (metrics.clj:45-50 nil extension).
+* ``MetricsSink`` — in-memory recorder (tests, local inspection).
+* ``StatsDMetrics`` — the specimen network backend: plain StatsD UDP
+  datagrams (``key:value|type|@rate|#tags``) over the stdlib socket, no
+  client library needed; prefix/sample-rate/static-tags match goose's
+  statsd.clj default-opts.
 * queue-depth gauges → ``events.job_queue_depth_stream`` aggregation
 * engine-level progress (rows/sec, batch duration, watermark lag) →
   ``StreamingQueryListener`` (Spark emits these natively per trigger)
 
-The sink here is an in-memory/stdout recorder; swap ``emit`` for a
-StatsD/Prometheus client in production — the measurement points are the
-part that mirrors the reference.
+The worker emits COUNTS per micro-batch, not one datagram per job: at
+cluster scale a per-job UDP send from the driver would serialize the
+hot path; the per-batch aggregate carries the same information.
 """
 
 from __future__ import annotations
 
 import json
-import time
+import random
+import socket
 from dataclasses import dataclass, field
 
 from pyspark.sql.streaming import StreamingQueryListener
 
+#: terminal/failure statuses counted as jobs.failed (a 'deleted' outcome
+#: row is a skip-dead-queue death — still a failure)
+_FAILURE_STATUSES = ("retrying", "dead", "deleted")
+
+
+class Metrics:
+    """The backend protocol (src/goose/metrics.clj:35-42). Subclass and
+    implement ``increment`` / ``timing`` / ``gauge``; override
+    ``enabled`` to toggle at runtime. All keys below are goose's literal
+    metric names (metrics.clj:9-33), so dashboards built against a goose
+    deployment read identically against the engine."""
+
+    # counters (metrics.clj:10-13)
+    JOBS_PROCESSED = "jobs.processed"
+    JOBS_SUCCESS = "jobs.succeeded"
+    JOBS_FAILURE = "jobs.failed"
+    JOBS_RECOVERED = "jobs.recovered"
+    # timings (metrics.clj:19-25)
+    EXECUTION_TIME = "job.execution_time"
+    BATCH_COMPLETION_TIME = "batch.completion_time"
+    EXECUTION_LATENCY = "execution.latency"
+    SCHEDULE_LATENCY = "scheduled.latency"
+    CRON_SCHEDULE_LATENCY = "cron_scheduled.latency"
+    RETRY_LATENCY = "retry.latency"
+    # gauges (metrics.clj:27-33)
+    TOTAL_ENQUEUED_SIZE = "total_enqueued_jobs.count"
+    SCHEDULED_SIZE = "scheduled_jobs.count"
+    CRON_SIZE = "cron_jobs.count"
+    DEAD_SIZE = "dead_jobs.count"
+    BATCHES_SIZE = "batches.count"
+
+    @staticmethod
+    def format_queue_count(queue: str) -> str:
+        """Per-queue depth gauge key (metrics.clj:27-28)."""
+        return f"enqueued_jobs.{queue}.count"
+
+    @staticmethod
+    def format_batch_status(status: str) -> str:
+        """Batch terminal counter key (metrics.clj:15-18)."""
+        return f"batch.{status}"
+
+    def enabled(self) -> bool:
+        return True
+
+    def increment(self, key: str, n: int = 1, tags: dict | None = None) -> None:
+        raise NotImplementedError
+
+    def timing(self, key: str, ms: float, tags: dict | None = None) -> None:
+        raise NotImplementedError
+
+    def gauge(self, key: str, value: float, tags: dict | None = None) -> None:
+        raise NotImplementedError
+
+    # -- worker feed (record-metrics parity, metrics.clj:59-86) ----------
+
+    def record_outcomes(self, statuses: list[str], wall_ms: float) -> None:
+        """Feed from a micro-batch's outcome rows."""
+        counts: dict[str, int] = {}
+        for s in statuses:
+            counts[s] = counts.get(s, 0) + 1
+        self.record_outcome_counts(counts, wall_ms)
+
+    def record_outcome_counts(self, status_counts: dict[str, int], wall_ms: float) -> None:
+        """Count-shaped feed (the distributed-commit path already has
+        (status → n) aggregates; expanding them to a per-row list would
+        be O(jobs) driver work for no information gain)."""
+        n = sum(status_counts.values())
+        if not n:
+            return
+        self.increment(self.JOBS_PROCESSED, n)
+        self.increment(self.JOBS_SUCCESS, status_counts.get("success", 0))
+        self.increment(
+            self.JOBS_FAILURE,
+            sum(status_counts.get(s, 0) for s in _FAILURE_STATUSES),
+        )
+        self.timing(self.EXECUTION_TIME, wall_ms / n)
+
 
 @dataclass
-class MetricsSink:
-    """Counter/timing/gauge recorder with goose's metric names
-    (src/goose/metrics.clj:9-33)."""
+class MetricsSink(Metrics):
+    """In-memory recorder — the default sink for tests and local runs."""
 
     counters: dict = field(default_factory=dict)
     timings: dict = field(default_factory=dict)
@@ -53,27 +138,52 @@ class MetricsSink:
             return key
         return key + "," + ",".join(f"{k}={v}" for k, v in sorted(tags.items()))
 
-    # goose metric names — parity with src/goose/metrics.clj:9-33
-    JOBS_PROCESSED = "jobs.processed"
-    JOBS_SUCCESS = "jobs.success"
-    JOBS_FAILURE = "jobs.failure"
-    JOBS_RECOVERED = "jobs.recovered"
-    EXECUTION_TIME = "job.execution_time"
-    TOTAL_ENQUEUED_SIZE = "total_enqueued.size"
-    QUEUE_SIZE = "enqueued.size"
-    SCHEDULED_SIZE = "scheduled.size"
-    DEAD_SIZE = "dead.size"
 
-    def record_outcomes(self, statuses: list[str], wall_ms: float) -> None:
-        """Feed from a micro-batch's outcome rows — the same counts the
-        metrics middleware emits per job (metrics.clj:59-86)."""
-        n = len(statuses)
-        if not n:
+@dataclass
+class StatsDMetrics(Metrics):
+    """Specimen StatsD backend (statsd.clj default-opts parity:
+    host/port/prefix/sample-rate/static tags/enabled toggle). Emits the
+    plain StatsD line protocol — ``<prefix><key>:<value>|<type>`` with
+    ``|@rate`` sampling and ``|#k:v`` tag extensions — via stdlib UDP;
+    works against statsd, Datadog agents, Telegraf, Vector, etc."""
+
+    host: str = "localhost"
+    port: int = 8125
+    prefix: str = "goose."
+    sample_rate: float = 1.0
+    tags: dict = field(default_factory=dict)
+    enabled_flag: bool = True
+    _sock: socket.socket | None = field(default=None, repr=False)
+
+    def enabled(self) -> bool:
+        return self.enabled_flag
+
+    def increment(self, key: str, n: int = 1, tags: dict | None = None) -> None:
+        self._send(key, n, "c", tags)
+
+    def timing(self, key: str, ms: float, tags: dict | None = None) -> None:
+        self._send(key, ms, "ms", tags)
+
+    def gauge(self, key: str, value: float, tags: dict | None = None) -> None:
+        self._send(key, value, "g", tags)
+
+    def _send(self, key: str, value, type_char: str, tags: dict | None) -> None:
+        if not self.enabled_flag:
             return
-        self.increment(self.JOBS_PROCESSED, n)
-        self.increment(self.JOBS_SUCCESS, sum(1 for s in statuses if s == "success"))
-        self.increment(self.JOBS_FAILURE, sum(1 for s in statuses if s in ("retrying", "dead")))
-        self.timing(self.EXECUTION_TIME, wall_ms / n)
+        if self.sample_rate < 1.0 and random.random() > self.sample_rate:
+            return
+        line = f"{self.prefix}{key}:{value}|{type_char}"
+        if self.sample_rate < 1.0:
+            line += f"|@{self.sample_rate}"
+        merged = {**self.tags, **(tags or {})}
+        if merged:
+            line += "|#" + ",".join(f"{k}:{v}" for k, v in sorted(merged.items()))
+        if self._sock is None:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            self._sock.sendto(line.encode("utf-8"), (self.host, self.port))
+        except OSError:
+            pass  # metrics must never break the worker (fire-and-forget UDP)
 
 
 class ProgressListener(StreamingQueryListener):

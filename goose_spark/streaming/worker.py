@@ -262,7 +262,10 @@ class Worker:
         if retry_delay_fn is None and rand_int is not None:
             retry_delay_fn = lambda n: default_retry_delay_sec(n, rand_int)  # noqa: E731
         self.retry_delay_fn = retry_delay_fn
-        self.metrics = metrics  # MetricsSink | None — the W4 metrics wrap
+        # Pluggable metrics backend (streaming/metrics.py Metrics
+        # protocol — goose's metrics-plugin, metrics.clj:35-42); None
+        # behaves as a disabled backend (the nil extension, clj:45-50)
+        self.metrics = metrics
         self.middlewares = tuple(middlewares)  # user middlewares (W4)
         # W1 console parity: stamp in_progress rows before executing, so a
         # crash leaves visibly in-flight jobs in the state view until the
@@ -505,7 +508,7 @@ class Worker:
             pa.compute.equal(out_tbl["status"], pa.scalar(STATUS_RETRYING))
         )
         self.ledger.park(retrying)
-        if self.metrics is not None:
+        if self.metrics is not None and self.metrics.enabled():
             # metrics middleware position parity (worker.clj:46-55)
             self.metrics.record_outcomes(
                 out_tbl["status"].to_pylist(),
@@ -547,10 +550,10 @@ class Worker:
             self.ledger.park(
                 self._to_arrow(out.filter(F.col("status") == STATUS_RETRYING))
             )
-        if self.metrics is not None:
-            statuses = [s for s, c in status_counts.items() for _ in range(int(c))]
-            self.metrics.record_outcomes(
-                statuses, (_time.perf_counter() - exec_start) * 1000
+        if self.metrics is not None and self.metrics.enabled():
+            self.metrics.record_outcome_counts(
+                {s: int(c) for s, c in status_counts.items()},
+                (_time.perf_counter() - exec_start) * 1000,
             )
         self._run_batch_callbacks(sorted(touched_set))
 

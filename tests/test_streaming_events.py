@@ -162,6 +162,86 @@ def test_worker_metrics_sink(spark, tmp_path):
     assert len(sink.timings[MetricsSink.EXECUTION_TIME]) >= 1
 
 
+def test_custom_metrics_backend_injection(spark, tmp_path):
+    """The Metrics protocol (metrics.clj:35-42): a user-implemented
+    backend receives goose's literal metric-key names from the worker
+    feed — no subclassing of engine internals beyond the three emit
+    methods."""
+    from goose_spark.client import JobClient
+    from goose_spark.streaming.metrics import Metrics
+    from goose_spark.streaming.worker import Worker
+
+    calls = []
+
+    class MyBackend(Metrics):
+        def increment(self, key, n=1, tags=None):
+            calls.append(("increment", key, n))
+
+        def timing(self, key, ms, tags=None):
+            calls.append(("timing", key, ms))
+
+        def gauge(self, key, value, tags=None):
+            calls.append(("gauge", key, value))
+
+    root = str(tmp_path / "ledger")
+    client = JobClient(root)
+    for i in range(5):
+        client.perform_async("noop", i)
+    client.perform_async("always-fail", max_retries=0)
+    Worker(spark, root, retry_delay_fn=lambda n: 0, metrics=MyBackend()).process_available()
+    counters = {k: n for op, k, n in calls if op == "increment"}
+    # goose's literal metric names (src/goose/metrics.clj:10-19)
+    assert counters["jobs.processed"] == 6
+    assert counters["jobs.succeeded"] == 5
+    assert counters["jobs.failed"] == 1
+    assert any(op == "timing" and k == "job.execution_time" for op, k, _ in calls)
+
+
+def test_disabled_metrics_backend_not_called(spark, tmp_path):
+    from goose_spark.client import JobClient
+    from goose_spark.streaming.metrics import Metrics
+    from goose_spark.streaming.worker import Worker
+
+    class Disabled(Metrics):
+        def enabled(self):
+            return False
+
+        def increment(self, key, n=1, tags=None):  # pragma: no cover
+            raise AssertionError("disabled backend must not be fed")
+
+    root = str(tmp_path / "ledger")
+    JobClient(root).perform_async("noop")
+    Worker(spark, root, metrics=Disabled()).process_available()  # no raise
+
+
+def test_statsd_backend_wire_format():
+    """StatsD specimen backend (statsd.clj parity): correct line
+    protocol over UDP, with prefix, type chars and merged tags."""
+    import socket as s
+
+    from goose_spark.streaming.metrics import StatsDMetrics
+
+    srv = s.socket(s.AF_INET, s.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.settimeout(5)
+    port = srv.getsockname()[1]
+    m = StatsDMetrics(host="127.0.0.1", port=port, prefix="goose.",
+                      tags={"env": "test"})
+    m.increment("jobs.processed", 3)
+    m.timing("job.execution_time", 12.5, tags={"queue": "default"})
+    m.gauge("dead_jobs.count", 7)
+    got = sorted(srv.recv(4096).decode() for _ in range(3))
+    srv.close()
+    assert got == [
+        "goose.dead_jobs.count:7|g|#env:test",
+        "goose.job.execution_time:12.5|ms|#env:test,queue:default",
+        "goose.jobs.processed:3|c|#env:test",
+    ]
+    # disabled toggle: nothing sent, no socket errors
+    off = StatsDMetrics(enabled_flag=False)
+    off.increment("jobs.processed")
+
+
 def test_cron_api_queries(spark, tmp_path):
     from goose_spark.api import LedgerAPI
     from goose_spark.client import JobClient
