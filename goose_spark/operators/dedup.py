@@ -447,7 +447,8 @@ def dd5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def embedding_near_dup_lsh_blocked(spark: SparkSession, sf: str,
-                                   threshold: float = 0.4) -> DataFrame:
+                                   threshold: float = 0.4,
+                                   max_bucket: int | None = None) -> DataFrame:
     """dd5's 100 TB form: block by sign-random-projection LSH bucket
     instead of the label column (dd5's docstring: "at scale the block
     is an LSH/IVF bucket"). Same BLAS pairwise kernel per bucket, exact
@@ -455,7 +456,16 @@ def embedding_near_dup_lsh_blocked(spark: SparkSession, sf: str,
     collide in several bands). Finds cross-label near-dups the label
     blocking cannot, at the cost of missing pairs that collide in no
     band — the recall/cost dial every production dedup tunes
-    (test_lsh_blocked_near_dup pins recall on this corpus)."""
+    (test_lsh_blocked_near_dup pins recall on this corpus).
+
+    ``max_bucket`` is the hot-bucket frequency cap (the text-LSH
+    ``_build_pairs`` guard, same rationale): the per-bucket kernel is
+    O(bucket²) in time AND memory (the full cosine matrix), so one
+    degenerate bucket — e.g. a mass of near-zero or boilerplate
+    embeddings all landing in one sign pattern — would blow a single
+    task to corpus scale. Buckets over the cap are DROPPED from
+    candidacy; their members still pair through their other, more
+    selective bands. Default None keeps exact recall semantics."""
     import pandas as pd
 
     from goose_spark.operators.similarity import _DIM, _PLANE_SEED, _as_double
@@ -486,6 +496,13 @@ def embedding_near_dup_lsh_blocked(spark: SparkSession, sf: str,
             yield pd.DataFrame(rows, columns=["vec_id", "band", "bkey"])
 
     bands = v.mapInPandas(band_sig, schema="vec_id long, band int, bkey int")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bkey")
+        bands = (
+            bands.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     blocked = bands.join(v, "vec_id").select("band", "bkey", "vec_id", "emb")
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -73,7 +73,15 @@ def validate_args(args: tuple) -> str:
     encode(x). The engine's wire format is JSON, so tuples come back as
     lists and custom types must be pre-serialized by the caller, exactly
     like goose's custom-nippy-serializer escape hatch. Returns the
-    encoded string so the caller encodes once."""
+    encoded string so the caller encodes once.
+
+    Scalar args (the overwhelmingly common case) trivially round-trip,
+    so they skip the decode/re-encode pass — the gate costs one
+    isinstance sweep, not 3× the serialization work (goose documents a
+    40% enqueue cost for full spec conformance, specs.clj:245; this
+    keeps the engine's gate cheap enough to leave on)."""
+    if all(type(a) in (str, int, float, bool, type(None)) for a in args):
+        return json.dumps(list(args))
     try:
         encoded = json.dumps(list(args))
         re_encoded = json.dumps(json.loads(encoded))

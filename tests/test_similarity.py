@@ -73,3 +73,49 @@ def test_lsh_blocked_near_dup_recall_and_precision(spark):
     if exact:
         recall = len(lsh_pairs_set & exact) / len(exact)
         assert recall >= 0.6, f"recall {recall} below floor"
+
+
+def test_lsh_blocked_hot_bucket_cap(spark, tmp_path):
+    """The max_bucket frequency cap bounds the O(bucket²) kernel on a
+    degenerate corpus: 1500 identical embeddings land in ONE bucket per
+    band (2.25M-pair kernel uncapped); with the cap those buckets are
+    dropped — no pair between degenerate ids survives — while genuine
+    near-dup pairs in small buckets are still found (recall pinned)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goose_spark.operators.dedup import embedding_near_dup_lsh_blocked
+
+    rng = np.random.RandomState(7)
+    rows = []
+    degenerate = rng.randn(64).astype("f4")
+    for i in range(1500):  # the hot bucket: one sign pattern, all bands
+        rows.append((i, degenerate.tolist(), 0))
+    true_pairs = set()
+    for j in range(20):  # distinct near-dup pairs in selective buckets
+        base = rng.randn(64).astype("f4")
+        jit = (base + rng.randn(64).astype("f4") * 0.01).astype("f4")
+        a, b = 10_000 + 2 * j, 10_001 + 2 * j
+        rows.append((a, base.tolist(), 1))
+        rows.append((b, jit.tolist(), 1))
+        true_pairs.add((a, b))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    capped = embedding_near_dup_lsh_blocked(
+        spark, str(tmp_path), max_bucket=100
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in capped}
+    # every degenerate-bucket pair dropped: bounded kernel input
+    assert not any(a < 1500 and b < 1500 for a, b in got)
+    # genuine near-dups still found through their small buckets
+    found = len(got & true_pairs) / len(true_pairs)
+    assert found >= 0.9, f"capped recall {found} on selective pairs"

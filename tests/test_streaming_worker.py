@@ -450,7 +450,11 @@ def test_crash_recovery_replays_unacked_batch(spark, ledger):
     for i in range(5):
         client.perform_async("noop", i)
 
-    w1 = Worker(spark, ledger, worker_id="w-crash", rand_int=lambda n: 0)
+    # small_batch_rows=0 pins the STAGED (distributed) commit path —
+    # this test exercises its torn-staging recovery specifically; the
+    # small-batch driver commit has its own crash test below
+    w1 = Worker(spark, ledger, worker_id="w-crash", rand_int=lambda n: 0,
+                small_batch_rows=0)
     orig_append = ledger.append_df
 
     def dying_append(df):
@@ -489,6 +493,64 @@ def test_crash_recovery_replays_unacked_batch(spark, ledger):
     # a third pass consumes nothing (the ack committed)
     w2.process_available()
     assert w2.executions == 5
+
+
+def test_crash_recovery_small_batch_path(spark, ledger):
+    """Same W10 contract on the small-batch driver commit: dying before
+    the single-file rename publishes nothing; the restarted worker
+    replays the unacked micro-batch exactly once."""
+    client = JobClient(ledger)
+    for i in range(5):
+        client.perform_async("noop", i)
+
+    w1 = Worker(spark, ledger, worker_id="w-crash-s", rand_int=lambda n: 0)
+    orig = Worker._append_log_table
+
+    def dying_append(self, table):
+        raise RuntimeError("simulated crash before driver-commit rename")
+
+    Worker._append_log_table = dying_append
+    try:
+        with pytest.raises(Exception):
+            w1.process_available()
+    finally:
+        Worker._append_log_table = orig
+
+    assert counts(spark, ledger) == {"enqueued": 5}  # nothing published
+    w2 = Worker(spark, ledger, worker_id="w-recovered-s", rand_int=lambda n: 0)
+    w2.process_available()
+    assert w2.executions == 5
+    assert counts(spark, ledger) == {"success": 5}
+
+
+def test_small_batch_routing(spark, ledger, monkeypatch):
+    """Micro-batches at or under small_batch_rows take the driver-
+    compacted path; bigger ones keep the fully distributed path. The
+    row estimate comes from the streaming source log + parquet footers
+    (no Spark job)."""
+    calls = []
+    orig = Worker._process_batch_small
+
+    def spy(self, rows_all):
+        calls.append(True)
+        return orig(self, rows_all)
+
+    monkeypatch.setattr(Worker, "_process_batch_small", spy)
+
+    client = JobClient(ledger)
+    for i in range(20):
+        client.perform_async("noop", i)
+    Worker(spark, ledger, rand_int=lambda n: 0).process_available()
+    assert calls == [True]  # 20 rows ≤ 10k default → small path
+    assert counts(spark, ledger) == {"success": 20}
+
+    calls.clear()
+    for i in range(20):
+        client.perform_async("noop", 100 + i)
+    Worker(spark, ledger, rand_int=lambda n: 0,
+           small_batch_rows=5).process_available()
+    assert calls == []  # 20 rows > 5 → distributed path
+    assert counts(spark, ledger) == {"success": 40}
 
 
 def test_torn_commit_rolls_forward(spark, ledger):
