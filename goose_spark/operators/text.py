@@ -479,3 +479,84 @@ def tx11(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx12 — duplicated-span detection (winnowing inverted index)
+# ---------------------------------------------------------------------------
+
+_TX12_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents),
+kg AS (SELECT doc_id,
+              list_transform(generate_series(1, len(tk) - {_WIN_K - 1}),
+                             i -> md5(array_to_string(tk[i:i+{_WIN_K - 1}], ' '))) AS h
+       FROM toks WHERE len(tk) >= {_WIN_K}),
+win AS (SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(h) - {_WIN_W - 1}),
+                   i -> list_min(h[i:i+{_WIN_W - 1}]))) AS fps
+        FROM kg WHERE len(h) >= {_WIN_W}),
+fp AS (SELECT doc_id, unnest(fps) AS f FROM win),
+shared AS (SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT p.doc_id,
+       COUNT(*) AS n_fps,
+       CAST(COUNT(s.f) AS BIGINT) AS shared_fps,
+       ROUND(CAST(COUNT(s.f) AS DOUBLE) / COUNT(*), 4) AS dup_span_ratio
+FROM fp p LEFT JOIN shared s ON p.f = s.f
+GROUP BY p.doc_id ORDER BY p.doc_id LIMIT 400"""
+
+
+@register(
+    "tx12_duplicate_spans",
+    _TX12_ORACLE,
+    doc=f"Duplicated-SPAN detection (the exact-substring dedup family of "
+        f"Lee et al. 2022, approximated at winnowing granularity): every "
+        f"shared token run of >= {_WIN_K + _WIN_W - 1} words is caught by "
+        f"a shared fingerprint (tx10's locality guarantee), so a doc's "
+        f"share of corpus-duplicated fingerprints measures how much of "
+        f"it is boilerplate/copied text — the signal used to EXCISE "
+        f"repeated spans rather than drop whole near-dup docs (dd2-dd5 "
+        f"operate at document granularity; this operates inside them). "
+        f"Plan: map-only fingerprinting, one explode, one (fp) hash-agg "
+        f"for the inverted index, one join back, one (doc) agg — the "
+        f"dd2 band-index shape, no quadratic stage at any scale.",
+    tags=("llm", "dedup"),
+)
+def tx12(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    tk = words(F.col("text"))
+    base = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= _WIN_K)
+    kgram = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - (_WIN_K - 1)),
+        lambda i: F.md5(F.array_join(F.slice("tk", i, _WIN_K), " ")),
+    )
+    h = base.select("doc_id", kgram.alias("h")).filter(F.size("h") >= _WIN_W)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (_WIN_W - 1)),
+        lambda i: F.array_min(F.slice("h", i, _WIN_W)),
+    )
+    fp = h.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("f")
+    )
+    shared = (
+        fp.groupBy("f")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("f", F.lit(1).alias("_shared"))
+    )
+    return (
+        fp.join(shared, "f", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.count("_shared").alias("shared_fps"),
+            F.round(
+                F.count("_shared").cast("double") / F.count("*"), 4
+            ).alias("dup_span_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )

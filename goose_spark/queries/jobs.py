@@ -345,3 +345,39 @@ def qj13(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("queue")
     )
+
+
+@register(
+    "qj14_scheduled_backlog_buckets",
+    f"""SELECT strftime(run_at, '%Y%m%d%H') AS bucket,
+               COUNT(*) AS parked,
+               CAST(SUM(CASE WHEN run_at <= TIMESTAMP '2026-06-01 00:00:00'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS due
+        FROM {_JOBS}
+        WHERE status IN ('scheduled', 'retrying') AND run_at IS NOT NULL
+        GROUP BY bucket ORDER BY bucket""",
+    doc="Scheduled-store depth per run_at HOUR bucket with a due split — "
+        "the operator gauge for the bounded due-sweep (the sweep pops "
+        "whole hour-bucket files oldest-first under schedule_pop_limit, "
+        "so this histogram IS its work queue; goose reads the analog "
+        "off ZCOUNT ranges). Fixed reference instant keeps the oracle "
+        "deterministic. One map-side-combinable hash-agg; at 100 TB the "
+        "bucket IS the partition key, so the scan prunes to parked "
+        "partitions only.",
+)
+def qj14(spark: SparkSession, sf: str) -> DataFrame:
+    due_ref = F.lit("2026-06-01 00:00:00").cast("timestamp")
+    j = fixture(spark, "jobs")
+    return (
+        j.filter(
+            F.col("status").isin("scheduled", "retrying")
+            & F.col("run_at").isNotNull()
+        )
+        .groupBy(F.date_format("run_at", "yyyyMMddHH").alias("bucket"))
+        .agg(
+            F.count("*").alias("parked"),
+            F.sum(F.when(F.col("run_at") <= due_ref, 1).otherwise(0))
+            .cast("long").alias("due"),
+        )
+        .orderBy("bucket")
+    )

@@ -196,3 +196,42 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("w_start", "event_type")
     )
+
+
+@register(
+    "q73_asof_join",
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT * FROM events WHERE event_type = 'view')
+       SELECT p.user_id, p.event_id,
+              v.event_id AS view_event_id,
+              CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(v.ts)) AS BIGINT)
+                AS secs_since_view
+       FROM p ASOF LEFT JOIN v
+         ON p.user_id = v.user_id AND v.ts <= p.ts
+       ORDER BY p.user_id, p.event_id""",
+    doc="TWO-TABLE as-of join (operators/asof.py): every purchase gets "
+        "the user's latest preceding view — the merge_asof/ASOF-JOIN/aj "
+        "temporal primitive Spark lacks. Union + one key shuffle + one "
+        "per-key sort + running last(struct) window: O(n log n) per key "
+        "with NO range-join candidate explosion, left-join null on no "
+        "match. DuckDB's native ASOF LEFT JOIN is the oracle.",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.asof import asof_join
+
+    e = t(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), "ts"
+    )
+    j = asof_join(p, v, on="user_id", right_cols=["view_event_id"])
+    return (
+        j.select(
+            "user_id",
+            "event_id",
+            "view_event_id",
+            (F.col("ts").cast("long") - F.col("ts_right").cast("long"))
+            .cast("long").alias("secs_since_view"),
+        )
+        .orderBy("user_id", "event_id")
+    )
