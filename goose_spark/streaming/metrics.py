@@ -89,6 +89,36 @@ class Metrics:
     def gauge(self, key: str, value: float, tags: dict | None = None) -> None:
         raise NotImplementedError
 
+    #: latency-class → metric key (metrics.clj:22-25); the class of an
+    #: outcome row derives from its fields: retried rows → retry,
+    #: cron-born → cron_scheduled, run_at-parked → scheduled, plain →
+    #: execution (goose tags each job the same way, job.clj latency)
+    LATENCY_KEYS = {
+        "execution": EXECUTION_LATENCY,
+        "scheduled": SCHEDULE_LATENCY,
+        "cron": CRON_SCHEDULE_LATENCY,
+        "retry": RETRY_LATENCY,
+    }
+
+    def record_latency_classes(self, avg_ms_by_class: dict) -> None:
+        """Per-class latency timings (record-metrics, metrics.clj:66-69
+        — goose emits the job's wait latency before executing; the
+        engine emits the micro-batch's per-class mean at commit).
+        Non-positive latencies are skipped, same as goose's
+        ``(when (pos? latency) …)`` guard (API-replayed jobs can carry
+        negative waits)."""
+        for cls, ms in avg_ms_by_class.items():
+            key = self.LATENCY_KEYS.get(cls)
+            if key is not None and ms is not None and ms > 0:
+                self.timing(key, ms)
+
+    def record_batch_terminal(self, status: str, completion_ms: float | None) -> None:
+        """Batch terminal transition (metrics.clj:15-20): one counter on
+        the derived status + the batch completion time."""
+        self.increment(self.format_batch_status(status))
+        if completion_ms is not None and completion_ms > 0:
+            self.timing(self.BATCH_COMPLETION_TIME, completion_ms)
+
     # -- worker feed (record-metrics parity, metrics.clj:59-86) ----------
 
     def record_outcomes(self, statuses: list[str], wall_ms: float) -> None:
@@ -112,6 +142,36 @@ class Metrics:
             sum(status_counts.get(s, 0) for s in _FAILURE_STATUSES),
         )
         self.timing(self.EXECUTION_TIME, wall_ms / n)
+
+
+def latency_classes_ms(pdf, now) -> dict:
+    """Classify outcome rows into goose's latency classes and return
+    the mean wait (ms) per class. Basis per class: retry → last retry
+    stamp, cron/scheduled → the due instant (run_at), execution →
+    enqueued_at — the same reference points goose's latency tuple
+    carries (retry.clj/scheduler timestamps). Pure pandas, bounded by
+    the micro-batch."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return {}
+    retry = pdf["retry_count"].fillna(0).to_numpy() > 0
+    cron = pdf["cron_name"].notna().to_numpy()
+    sched = pdf["run_at"].notna().to_numpy()
+    cls = np.where(retry, "retry",
+                   np.where(cron, "cron", np.where(sched, "scheduled", "execution")))
+    basis = pdf["enqueued_at"].copy()
+    basis[sched] = pdf["run_at"][sched]
+    has_retry_stamp = retry & pdf["last_retried_at"].notna().to_numpy()
+    basis[has_retry_stamp] = pdf["last_retried_at"][has_retry_stamp]
+    wait_ms = (pd.Timestamp(now) - pd.to_datetime(basis)).dt.total_seconds() * 1000
+    out = {}
+    for c in np.unique(cls):
+        vals = wait_ms[cls == c].dropna()
+        if len(vals):
+            out[str(c)] = float(vals.mean())
+    return out
 
 
 @dataclass

@@ -641,6 +641,13 @@ class Worker:
                 out_tbl["status"].to_pylist(),
                 (_time.perf_counter() - _exec_start) * 1000,
             )
+            from goose_spark.streaming.metrics import latency_classes_ms
+
+            lat_pdf = out_tbl.select(
+                ["status", "retry_count", "cron_name", "run_at",
+                 "enqueued_at", "last_retried_at"]
+            ).to_pandas()
+            self.metrics.record_latency_classes(latency_classes_ms(lat_pdf, _now()))
         self._batch_callbacks(out_tbl)
 
     def _commit_distributed(self, outcome: DataFrame, exec_start: float) -> None:
@@ -656,17 +663,38 @@ class Worker:
         if not moved:
             return
         out = self.spark.read.schema(self.ledger._spark_log_schema()).parquet(*moved)
-        # one summary scan: (status × batch_id) counts — cardinality is
-        # bounded by 4 statuses × touched batches, never by job volume
+        # one summary scan: (status × batch_id × latency-class) counts +
+        # mean wait — cardinality is bounded by 4 statuses × touched
+        # batches × 4 classes, never by job volume
+        retried = F.coalesce(F.col("retry_count"), F.lit(0)) > 0
+        lcls = (
+            F.when(retried, "retry")
+            .when(F.col("cron_name").isNotNull(), "cron")
+            .when(F.col("run_at").isNotNull(), "scheduled")
+            .otherwise("execution")
+        )
+        basis = (
+            F.when(retried, F.coalesce("last_retried_at", "run_at", "enqueued_at"))
+            .when(F.col("run_at").isNotNull(), F.col("run_at"))
+            .otherwise(F.col("enqueued_at"))
+        )
+        wait_ms = (F.lit(_now()).cast("double") - basis.cast("double")) * 1000
         summary = (
-            out.groupBy("status", "batch_id").agg(F.count("*").alias("n")).collect()
+            out.groupBy("status", "batch_id", lcls.alias("_lcls"))
+            .agg(F.count("*").alias("n"), F.avg(wait_ms).alias("avg_wait_ms"))
+            .collect()
         )
         status_counts: dict[str, int] = {}
         touched_set = set()
+        lat_sum: dict[str, float] = {}
+        lat_n: dict[str, int] = {}
         for r in summary:
             status_counts[r["status"]] = status_counts.get(r["status"], 0) + int(r["n"])
             if r["batch_id"] is not None:
                 touched_set.add(r["batch_id"])
+            if r["avg_wait_ms"] is not None:
+                lat_sum[r["_lcls"]] = lat_sum.get(r["_lcls"], 0.0) + r["avg_wait_ms"] * int(r["n"])
+                lat_n[r["_lcls"]] = lat_n.get(r["_lcls"], 0) + int(r["n"])
         n_rows = int(sum(status_counts.values()))
         if n_rows == 0:
             return
@@ -681,6 +709,9 @@ class Worker:
             self.metrics.record_outcome_counts(
                 {s: int(c) for s, c in status_counts.items()},
                 (_time.perf_counter() - exec_start) * 1000,
+            )
+            self.metrics.record_latency_classes(
+                {c: lat_sum[c] / lat_n[c] for c in lat_sum if lat_n.get(c)}
             )
         self._run_batch_callbacks(sorted(touched_set))
 
@@ -887,6 +918,15 @@ class Worker:
             current["status"] = derived
             current["seq"] = next_seq()
             self._append_batch_update(current)
+            if self.metrics is not None and self.metrics.enabled():
+                # batch terminal metrics (metrics.clj:15-20): counter on
+                # the derived status + create→terminal completion time
+                created = current.get("created_at")
+                comp_ms = (
+                    (_now() - created).total_seconds() * 1000
+                    if created is not None else None
+                )
+                self.metrics.record_batch_terminal(derived, comp_ms)
             if current.get("callback_fn"):
                 self.ledger.append_rows(
                     [

@@ -242,6 +242,70 @@ def test_statsd_backend_wire_format():
     off.increment("jobs.processed")
 
 
+def test_latency_class_helper_pure():
+    """latency_classes_ms: class derivation + basis instants + the
+    goose (pos? latency) guard, on a hand-built frame."""
+    import pandas as pd
+
+    from goose_spark.streaming.metrics import latency_classes_ms
+
+    now = pd.Timestamp("2026-01-01 00:00:10")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "status": ["success"] * 4 + ["retrying"],
+            "retry_count": [0, 0, 0, 2, 1],
+            "cron_name": [None, "nightly", None, None, None],
+            "run_at": [None, t0, t0, None, now + pd.Timedelta(seconds=60)],
+            "enqueued_at": [t0] * 5,
+            "last_retried_at": [None, None, None, t0, None],
+        }
+    )
+    out = latency_classes_ms(pdf, now)
+    assert out["execution"] == 10_000.0   # row 0: now - enqueued_at
+    assert out["cron"] == 10_000.0        # row 1: now - run_at
+    assert out["scheduled"] == 10_000.0   # row 2: now - run_at
+    # retry class: row 3 (last_retried_at basis, +10s) and row 4
+    # (future run_at, -60s) average; the pos-guard lives in
+    # record_latency_classes, not here
+    assert out["retry"] == (10_000.0 - 60_000.0) / 2
+
+    from goose_spark.streaming.metrics import MetricsSink
+
+    sink = MetricsSink()
+    sink.record_latency_classes({"execution": 10.0, "retry": -5.0, "bogus": 3.0})
+    assert sink.timings == {"execution.latency": [10.0]}  # guard + known keys
+
+
+def test_worker_emits_latency_and_batch_metrics(spark, tmp_path):
+    """Full metric-surface parity (metrics.clj:15-25,59-86): execution
+    latency timings plus the batch terminal counter and completion
+    time, fed from a real worker pass."""
+    from goose_spark.client import JobClient
+    from goose_spark.streaming.metrics import MetricsSink
+    from goose_spark.streaming.worker import Worker
+
+    root = str(tmp_path / "ledger")
+    client = JobClient(root)
+    for i in range(5):
+        client.perform_async("noop", i)
+    res = client.perform_batch("flaky", [("mb1", 0), ("mb2", 99)],
+                               callback_fn="noop", max_retries=0)
+    sink = MetricsSink()
+    # small_batch_rows=0 forces the DISTRIBUTED commit path, whose
+    # latency classes come from the bounded summary scan (the driver
+    # path is covered by test_worker_metrics_sink + the pure helper)
+    Worker(spark, root, retry_delay_fn=lambda n: 0, metrics=sink,
+           small_batch_rows=0).process_available()
+    assert sink.counters["jobs.processed"] == 7
+    assert len(sink.timings["execution.latency"]) >= 1
+    assert all(ms > 0 for ms in sink.timings["execution.latency"])
+    assert sink.counters["batch.partial-success"] == 1
+    assert res["id"]  # batch created
+    [comp] = sink.timings["batch.completion_time"]
+    assert comp > 0
+
+
 def test_cron_api_queries(spark, tmp_path):
     from goose_spark.api import LedgerAPI
     from goose_spark.client import JobClient
