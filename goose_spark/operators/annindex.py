@@ -1,0 +1,149 @@
+"""Persisted IVF ANN index — the index LIFECYCLE the inline ss3 query
+skips: build once (k-means train + assign), persist as parquet
+partitioned BY CLUSTER, then serve any number of queries with
+partition-pruned reads. At 100 TB this is the difference between an ANN
+demo and an ANN system: training costs one pass, the index is a durable
+table, and each query batch touches only ``nprobe/k`` of the corpus —
+enforced by an actual ``PartitionFilters`` clause on the scan (the
+probed-cluster set is ≤ k values, so the filter is always a tiny static
+IN list, never a join the planner might not prune through).
+
+Reuses ss3's deterministic trainer (``similarity._train_ivf``: fused
+assign+partial-sum kernel, k×dim driver traffic per iteration) and
+assignment kernel (one matmul per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.operators.similarity import (
+    _DIM,
+    _embeddings,
+    _train_ivf,
+    IVF_NPROBE,
+    TOP_K,
+)
+
+
+def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
+    """Train the coarse quantizer and materialize the index:
+    ``centroids/`` (k rows) + ``assignments/`` parquet partitioned by
+    ``cluster`` (id + embedding co-located per cell) + ``manifest.json``.
+    Returns the manifest."""
+    v = _embeddings(spark, sf)
+    centroids = _train_ivf(v)
+    k = len(centroids)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    def assign_with_emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one matmul per Arrow batch, carrying the embedding through —
+        # no shuffle join back to the corpus (cf. similarity._assign,
+        # which returns ids only and would need the join)
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            yield pd.DataFrame(
+                {
+                    "cluster": scores.argmax(axis=1).astype("int32"),
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                }
+            )
+
+    assigned = v.mapInPandas(
+        assign_with_emb, schema="cluster int, vec_id long, emb array<double>"
+    )
+    (
+        assigned.select("cluster", "vec_id", "emb")
+        # co-locate each cell before the partitioned write: one file per
+        # cell instead of (tasks × cells) tiny files — at corpus scale
+        # this is the difference between k files and k×10⁴ files
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(index_dir, "assignments"))
+    )
+    manifest = {"k": k, "dim": _DIM, "n": v.count(), "version": 1}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
+                    nprobe: int = IVF_NPROBE, topk: int = TOP_K) -> DataFrame:
+    """Top-k cosine neighbors for ``queries`` (``query_id``, ``qe``)
+    against a built index. Plan shape: probes computed per Arrow batch
+    (one matmul against the ≤k×dim broadcast centroid matrix), probed
+    cells collected as a ≤k-value STATIC partition filter (guaranteed
+    ``PartitionFilters`` pruning on the assignments scan), exact cosine
+    within the pruned cells, per-query WindowGroupLimit top-k."""
+    import numpy as np
+
+    cent = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cmat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["qe"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            top = np.argsort(-scores, axis=1)[:, :nprobe]
+            rows = [
+                (int(qid), int(c))
+                for qid, cl in zip(pdf["query_id"], top)
+                for c in cl
+            ]
+            yield pd.DataFrame(rows, columns=["query_id", "cluster"])
+
+    # persisted: used twice (cell-set collect + candidate join) — without
+    # the cache the probe kernel would run twice
+    q_probes = queries.mapInPandas(probe, schema="query_id long, cluster int").persist()
+    # the probed-cell set is bounded by k (the index's cluster count),
+    # so collecting it is O(k) — the static IN filter it produces is
+    # what guarantees partition pruning at ANY query volume
+    probed = sorted({r["cluster"] for r in q_probes.select("cluster").distinct().collect()})
+    cells = (
+        spark.read.parquet(os.path.join(index_dir, "assignments"))
+        .filter(F.col("cluster").isin(probed))
+    )
+    cand = (
+        F.broadcast(q_probes)
+        .join(cells, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+        .distinct()
+    )
+    qe = queries.select("query_id", "qe")
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    ))
+    cos = dot / (nrm(F.col("qe")) * nrm(F.col("ne")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+        .orderBy("query_id", "rank")
+    )

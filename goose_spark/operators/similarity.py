@@ -372,3 +372,41 @@ def ss4(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# ss5 — persisted IVF index lifecycle (build once → partition-pruned query)
+# ---------------------------------------------------------------------------
+
+_IVF_INDEX_DIRS: dict = {}
+
+
+@register(
+    "ss5_ann_ivf_index",
+    None,  # approximate — recall-gated in tests, rows-only for the driver
+    doc="The IVF index LIFECYCLE (operators/annindex.py): train + assign "
+        "once, persist centroids + assignments as parquet PARTITIONED BY "
+        "cluster, serve queries with a static probed-cell partition "
+        "filter (PartitionFilters-verified pruning: a query batch reads "
+        "nprobe/k of the corpus, the rest is never opened). ss3 is the "
+        "inline form; this is the durable-index form a 100 TB corpus "
+        "actually operates — build cost amortizes over every query "
+        "batch. Index cached per sf within the session.",
+    tags=("llm", "similarity"),
+)
+def ss5(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from goose_spark.operators.annindex import build_ivf_index, ivf_index_query
+
+    idx = _IVF_INDEX_DIRS.get(sf)
+    if idx is None or not _os.path.exists(_os.path.join(idx, "manifest.json")):
+        idx = _tempfile.mkdtemp(prefix="goose-ivf-idx-")
+        build_ivf_index(spark, sf, idx)
+        _IVF_INDEX_DIRS[sf] = idx
+    v = _embeddings(spark, sf)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    return ivf_index_query(spark, idx, q)

@@ -18,7 +18,10 @@ def test_every_query_documented():
 
 def test_rows_only_entries_are_the_known_approximates():
     rows_only = sorted(n for n, s in REG.items() if s.oracle is None)
-    assert rows_only == ["q29_approx_aggregates", "ss2_ann_lsh", "ss3_ann_ivf"]
+    assert rows_only == [
+        "q29_approx_aggregates", "ss2_ann_lsh", "ss3_ann_ivf",
+        "ss5_ann_ivf_index",
+    ]
 
 
 def test_graded_window_is_stable():

@@ -4,6 +4,8 @@ it, so the recall bar lives here)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from goose_spark.queries import load_all
 from tests.conftest import SF_CORRECT
 
@@ -119,3 +121,52 @@ def test_lsh_blocked_hot_bucket_cap(spark, tmp_path):
     # genuine near-dups still found through their small buckets
     found = len(got & true_pairs) / len(true_pairs)
     assert found >= 0.9, f"capped recall {found} on selective pairs"
+
+
+def test_ivf_index_lifecycle(spark, tmp_path):
+    """Persisted IVF index: build writes the cluster-partitioned layout,
+    the query scan proves PartitionFilters pruning, recall clears the
+    ss3 floor, and a second query batch reuses the index without
+    rebuilding (the file set is untouched)."""
+    import os
+
+    from goose_spark.operators.annindex import build_ivf_index, ivf_index_query
+    from goose_spark.operators.similarity import _embeddings, IVF_K, N_QUERIES
+    from goose_spark.plans.inspect import report
+
+    idx = str(tmp_path / "ivf")
+    man = build_ivf_index(spark, SF_CORRECT, idx)
+    assert man["k"] == IVF_K
+    cells = [d for d in os.listdir(os.path.join(idx, "assignments"))
+             if d.startswith("cluster=")]
+    assert 1 < len(cells) <= IVF_K  # genuinely partitioned by cell
+
+    v = _embeddings(spark, SF_CORRECT)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    res = ivf_index_query(spark, idx, q)
+    # partition pruning is in the PLAN, not just hoped for
+    r = report(res)
+    assert any("cluster" in pf for pf in
+               __import__("re").findall(r"PartitionFilters: \[[^\]]*\]", r.text)), r.text
+
+    exact = {
+        (row["query_id"], row["neighbor_id"])
+        for row in REGISTRY["ss1_cosine_topk_bruteforce"].builder(spark, SF_CORRECT).collect()
+    }
+    got_rows = res.collect()
+    got = {(row["query_id"], row["neighbor_id"]) for row in got_rows}
+    assert len(got & exact) / len(exact) >= 0.6
+
+    # reuse: a second, different query batch against the same files
+    import time
+    mtimes = {f: os.path.getmtime(os.path.join(idx, "assignments", f))
+              for f in cells}
+    q2 = v.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    out2 = ivf_index_query(spark, idx, q2, topk=3).collect()
+    assert {row["query_id"] for row in out2} == {5, 6, 7}
+    assert all(os.path.getmtime(os.path.join(idx, "assignments", f)) == m
+               for f, m in mtimes.items())  # index untouched
