@@ -203,6 +203,10 @@ class JobClient:
     def perform_batch(self, execute_fn: str, args_coll: list[tuple],
                       callback_fn: str | None = None, linger_sec: int = 3600,
                       queue: str | None = None, **over) -> dict:
+        # materialize FIRST: args_coll may be a generator — the spec
+        # gate's any() scan must not consume it, and `if not` on a
+        # generator is always falsy-safe only after materialization
+        args_coll = list(args_coll)
         if not args_coll:
             raise ValueError("perform_batch requires at least one args tuple")
         if self.instrument:

@@ -77,7 +77,17 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
         .partitionBy("cluster")
         .parquet(os.path.join(index_dir, "assignments"))
     )
-    manifest = {"k": k, "dim": _DIM, "n": v.count(), "version": 1}
+    # row count from the written index's parquet footers — a v.count()
+    # here would re-execute the whole embeddings pipeline a third time
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    n = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(index_dir, "assignments", "*", "*.parquet"))
+    )
+    manifest = {"k": k, "dim": _DIM, "n": n, "version": 1}
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest
@@ -112,9 +122,11 @@ def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
             ]
             yield pd.DataFrame(rows, columns=["query_id", "cluster"])
 
-    # persisted: used twice (cell-set collect + candidate join) — without
-    # the cache the probe kernel would run twice
-    q_probes = queries.mapInPandas(probe, schema="query_id long, cluster int").persist()
+    # computed twice (cell-set collect + candidate join) — deliberately
+    # NOT persisted: a .persist() here would pin an entry in the JVM
+    # CacheManager per query call (cached plans are not GC-reclaimed),
+    # and the kernel is one matmul per Arrow batch — cheaper to redo
+    q_probes = queries.mapInPandas(probe, schema="query_id long, cluster int")
     # the probed-cell set is bounded by k (the index's cluster count),
     # so collecting it is O(k) — the static IN filter it produces is
     # what guarantees partition pruning at ANY query volume

@@ -48,6 +48,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     # the running last); forward → right rows last (visible to the
     # running first over the following frame).
     right_tag = 0 if direction == "backward" else 2
+    # a right row with a NULL timestamp can never satisfy the inequality
+    # (merge_asof/DuckDB contract) — without this filter it would sort
+    # nulls-first and be carried onto every left row as a phantom match
+    right = right.filter(F.col(right_ts).isNotNull())
     l = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_ats"),
@@ -73,7 +77,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         carried = F.first("_rpack", ignorenulls=True).over(
             w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-    matched = u.withColumn("_m", carried).filter(F.col("_side") == 1)
+    # a left row with a NULL timestamp likewise matches nothing (it
+    # would sort first and, forward, adopt the earliest right row)
+    matched = u.withColumn(
+        "_m", F.when(F.col("_ats").isNotNull(), carried)
+    ).filter(F.col("_side") == 1)
 
     out_cols = [F.col(c) for c in left.columns]
     taken = set(left.columns)

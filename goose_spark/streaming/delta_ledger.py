@@ -94,8 +94,31 @@ class DeltaLedger(Ledger):
         )
 
     def append_df(self, df):  # pragma: no cover
+        """One Delta txn. Returns (files added by THIS commit, rows) so
+        the worker's post-commit bookkeeping (summary scan over the
+        committed files → retry parking, batch callbacks, metrics) works
+        unchanged on the Delta backend — an empty list here would
+        silently no-op all of it. The add-actions come from the commit's
+        own _delta_log entry (the public Delta protocol format), not a
+        re-count of the input."""
+        import glob as _glob
+        import json as _json
+
         df.write.format("delta").mode("append").save(self.log_dir)
-        return [], df.count()
+        log_glob = os.path.join(self.log_dir, "_delta_log", "*.json")
+        latest = max(_glob.glob(log_glob))  # zero-padded version ordering
+        moved, rows = [], 0
+        with open(latest) as fh:
+            for line in fh:
+                action = _json.loads(line)
+                add = action.get("add")
+                if add is None:
+                    continue
+                moved.append(os.path.join(self.log_dir, add["path"]))
+                stats = add.get("stats")
+                if stats:
+                    rows += int(_json.loads(stats).get("numRecords", 0))
+        return moved, rows
 
     def log(self, spark):  # pragma: no cover
         return spark.read.format("delta").load(self.log_dir)

@@ -581,7 +581,10 @@ class Worker:
             ordered = df.repartition(width).sortWithinPartitions(
                 F.col("priority").desc(), F.col("enqueued_at")
             )
-        if self.emit_in_progress and self.distributed_commit:
+        use_driver = (
+            driver_commit if driver_commit is not None else not self.distributed_commit
+        )
+        if self.emit_in_progress and not use_driver:
             # executor-side in-progress stamp: same staged-append as the
             # outcome commit; the seq (fresh time base + per-id hash
             # offset) stays below the outcome row's later time base, so
@@ -618,9 +621,6 @@ class Worker:
                            death_handler=self.death_handler,
                            skip_dead_queue=self.skip_dead_queue),
             schema=df.schema,
-        )
-        use_driver = (
-            driver_commit if driver_commit is not None else not self.distributed_commit
         )
         if not use_driver:
             self._commit_distributed(outcome, _exec_start)
@@ -823,10 +823,26 @@ class Worker:
             )
         if len(mine) == 0:
             return more
+        # same right-sizing as _process_batch_small: the chunk is a
+        # bounded driver-built frame, so pre-sort in pandas, fan out at
+        # ceil(rows/rows_per_task) tasks, and (when bounded) commit
+        # driver-side — not a fixed 32-task shuffle per chunk
+        mine = mine.sort_values(["priority", "enqueued_at"],
+                                ascending=[False, True])
+        width = max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                -(-len(mine) // self.rows_per_task),
+            ),
+        )
         due_df = self.spark.createDataFrame(
             mine, schema=self.ledger._spark_log_schema()
         )
-        self._execute_and_log(due_df)
+        self._execute_and_log(
+            due_df, width=width, pre_ordered=True,
+            driver_commit=True if len(mine) <= self.small_batch_rows else None,
+        )
         return more
 
     # ------------------------------------------------------------------

@@ -61,6 +61,32 @@ def test_forward_earliest_at_or_after(spark):
     assert out["L3"] == "R-late"
 
 
+def test_null_timestamps_never_match(spark):
+    """merge_asof/DuckDB contract: a NULL timestamp on either side
+    participates in no match — without the guards, null right rows sort
+    first and become phantom matches for every left row (backward), and
+    a null left row adopts the earliest right row (forward)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "L1"), (1, None, "L-null")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "R-null"), (1, _ts("2024-01-01 09:00:00"), "R-ok")],
+        "k int, ts timestamp, rv string",
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r["lv"]: r["rv"]
+            for r in asof_join(left, right, on="k", direction=direction).collect()
+        }
+        assert out["L-null"] is None, direction
+        assert out["L1"] != "R-null", direction
+    back = {
+        r["lv"]: r["rv"] for r in asof_join(left, right, on="k").collect()
+    }
+    assert back["L1"] == "R-ok"
+
+
 def test_single_shuffle_plan(spark):
     """The formulation's point: ONE hash exchange on the key (plus the
     union), never a range-join candidate explosion."""

@@ -133,6 +133,16 @@ def test_batch_opts_rejections(client):
         client.perform_batch("noop", [1, 2])  # bare values, not arg tuples
 
 
+def test_batch_accepts_generator_args(client):
+    """The spec gate must not CONSUME its input: a generator args_coll
+    survives validation and enqueues every job (regression: any() used
+    to exhaust it, leaving zero rows and an IndexError)."""
+    res = client.perform_batch("noop", ((i,) for i in range(3)))
+    assert res["total"] == 3 and len(res["job_ids"]) == 3
+    with pytest.raises(ValueError, match="at least one"):
+        client.perform_batch("noop", (t for t in ()))  # empty generator
+
+
 # --- instrument=False escape hatch (specs.clj:241-254) ---------------------
 
 def test_unstrumented_client_skips_the_gate(tmp_path):
