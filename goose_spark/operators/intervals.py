@@ -1,0 +1,124 @@
+"""Temporal interval operators Spark has no built-in for: the banded
+(bounded-Δt) join and the sweep-line concurrency profile.
+
+Both are expressed so the plan is the one you'd want at 100 TB:
+
+- :func:`banded_join` — "all pairs within ±band" with NO selective
+  equi-key. A naive range join is O(|L|·|R|) candidate pairs (Catalyst
+  plans a broadcast-nested-loop); bucketing both sides by
+  ``floor(epoch/band)`` and exploding the LEFT side into its 3 adjacent
+  buckets turns it into ONE hash shuffle whose candidate set is only
+  the pairs at most one band apart — the standard interval-blocking
+  trick (same family as the LSH band-bucket join in operators/dedup).
+- :func:`interval_concurrency` — running overlap count over interval
+  endpoints. The textbook formulation is a GLOBAL ordered running sum
+  (single-partition window — the scale-killer sp3/sp4 eliminated); this
+  one rides the same two-pass distributed prefix sum: per-bucket delta
+  subtotals → O(buckets) driver round-trip → per-bucket local windows.
+
+Reference parity: goose (a background-job library) has no temporal
+analytics; these belong to the "beyond the reference" pipeline surface
+(SURVEY §2.7) next to as-of join (operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def banded_join(left: DataFrame, right: DataFrame, band_sec: int,
+                left_ts: str = "ts", right_ts: str = "ts") -> DataFrame:
+    """Inner-join every left row to every right row with
+    ``|left.ts - right.ts| <= band_sec`` (inclusive, exact to the µs).
+
+    Plan shape: right rows hash into ONE band bucket
+    (``floor(epoch_us / band_us)``); left rows explode into bucket-1,
+    bucket, bucket+1 (any row within ±band is at most one bucket away).
+    The equi-join on the bucket id is an ordinary hash shuffle —
+    candidate pairs are bounded by events-per-2-bands, not |L|·|R| —
+    and each qualifying pair matches EXACTLY once (the right side owns
+    a single bucket). AQE's skew split handles hot buckets (a traffic
+    spike inside one band) like any other skewed hash join.
+
+    Column naming: output carries every left column plus the right
+    columns suffixed ``_r`` on collision. NULL timestamps on either
+    side match nothing (same contract as operators/asof.py).
+    """
+    band_us = band_sec * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+
+    lt = left.filter(F.col(left_ts).isNotNull()).select(
+        *left.columns,
+        l_us.alias("_lus"),
+        F.explode(
+            F.array(
+                F.floor(l_us / band_us) - 1,
+                F.floor(l_us / band_us),
+                F.floor(l_us / band_us) + 1,
+            )
+        ).alias("_bkt"),
+    )
+    renames = {c: c + "_r" for c in right.columns if c in left.columns}
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
+        *[F.col(c).alias(renames.get(c, c)) for c in right.columns],
+        r_us.alias("_rus"),
+        F.floor(r_us / band_us).alias("_bkt"),
+    )
+    return (
+        lt.join(rt, "_bkt")
+        .filter(F.abs(F.col("_lus") - F.col("_rus")) <= band_us)
+        .drop("_bkt", "_lus", "_rus")
+    )
+
+
+def interval_concurrency(intervals: DataFrame, spark: SparkSession,
+                         start_col: str = "start", end_col: str = "end",
+                         bucket: str = "day") -> DataFrame:
+    """Sweep-line concurrency: for each interval endpoint, the number of
+    intervals open at that instant (closed intervals: a start is counted
+    before an end at the same timestamp — the max-overlap convention).
+
+    Returns ``(ts, delta, level)`` rows, one per endpoint: ``level`` is
+    the running open-interval count AFTER applying the endpoint's ±1.
+
+    Scale shape (the whole point): a global ``Window.orderBy(ts)``
+    running sum funnels every endpoint through one task. Instead:
+
+    1. endpoints bucket by ``date_trunc(bucket, ts)``;
+    2. pass 1: per-bucket SUM(delta) → driver (O(buckets) longs) →
+       exclusive running offsets, broadcast back;
+    3. pass 2: per-bucket ordered window adds the local prefix sum to
+       the bucket's offset — all buckets rank in parallel.
+
+    Intermediate levels at tied (ts, delta) keys are a permutation of
+    the same value set (+1 runs ascend, −1 runs descend), so any
+    aggregate over ``level`` that is order-insensitive within ties —
+    MAX/MIN per period, the daily peak — is deterministic and
+    engine-portable even though Spark's intra-tie row order is not.
+    """
+    starts = intervals.select(
+        F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+    )
+    ends = intervals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
+    pts = starts.unionAll(ends).withColumn(
+        "_bkt", F.date_trunc(bucket, "ts")
+    )
+    sums = pts.groupBy("_bkt").agg(F.sum("delta").alias("s")).collect()
+    offs, acc = [], 0
+    for r in sorted(sums, key=lambda r: r["_bkt"]):
+        offs.append((r["_bkt"], acc))
+        acc += int(r["s"])
+    off_df = spark.createDataFrame(offs, "_bkt timestamp, _off long")
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.join(F.broadcast(off_df), "_bkt")
+        .withColumn("level", (F.col("_off") + F.sum("delta").over(w)).cast("long"))
+        .drop("_bkt", "_off")
+    )

@@ -5,6 +5,7 @@ Importing the submodules populates :data:`goose_spark.queries.base.REGISTRY`.
 
 from goose_spark.queries import (  # noqa: F401
     base,
+    events_ext,
     jobs,
     relational,
     relational_ext,

@@ -1,0 +1,193 @@
+"""Temporal-analytics queries over the events table: banded (bounded-Δt)
+join, staged funnel, and sweep-line peak concurrency — the three event
+silhouettes q30/q52/q57/q69/q73 don't cover.
+
+Each is built on the scale-shaped operator form (operators/intervals.py)
+with the naive ANSI formulation as its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.queries.base import register, t
+
+BAND_SEC = 300  # ±5 minutes
+GAP_MIN = 30  # session gap, minutes (same as q30)
+
+
+@register(
+    "q74_banded_time_join",
+    f"""SELECT a.event_id,
+               COUNT(b.event_id) AS n_nearby,
+               CAST(COALESCE(ROUND(SUM(CAST(b.value AS DECIMAL(18,2))), 2), 0)
+                    AS DOUBLE) AS purchase_value
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') a
+        LEFT JOIN (SELECT event_id, ts, value FROM events
+                   WHERE event_type = 'purchase') b
+          ON b.ts BETWEEN a.ts - INTERVAL {BAND_SEC} SECOND
+                      AND a.ts + INTERVAL {BAND_SEC} SECOND
+        GROUP BY a.event_id
+        ORDER BY a.event_id""",
+    doc="Banded time join with NO selective equi-key: every error event "
+        "joined to ALL purchases (any user) within ±5 minutes. Catalyst "
+        "would plan the raw inequality join as a broadcast-nested-loop "
+        "(O(|L|·|R|) compares); operators/intervals.banded_join buckets "
+        "both sides by floor(epoch/band) and explodes the left into its "
+        "3 adjacent buckets, so it runs as ONE ordinary hash shuffle "
+        "whose candidates are bounded by events-per-2-bands — AQE skew "
+        "split covers hot bands. Left-join zeros recovered with a "
+        "co-partitioned join back to the error side.",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.intervals import banded_join
+
+    e = t(spark, sf, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "ts")
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "ts", "value"
+    )
+    pairs = banded_join(err, pur, band_sec=BAND_SEC)
+    near = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_nearby"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("_pv"),
+    )
+    return (
+        err.select("event_id")
+        .join(near, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
+            F.coalesce("_pv", F.lit(0)).cast("double").alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q75_event_funnel",
+    """WITH s AS (SELECT user_id, MIN(ts) AS s1 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS c1
+                  FROM events e JOIN s ON e.user_id = s.user_id
+                  WHERE e.event_type = 'click' AND e.ts > s.s1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS p1
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.c1
+                  GROUP BY e.user_id)
+       SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s
+       UNION ALL SELECT '2_click', COUNT(*) FROM c
+       UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+       ORDER BY stage""",
+    doc="Ordered-sequence funnel: users who signed up, then clicked "
+        "strictly after their first signup, then purchased strictly "
+        "after that first qualifying click. Three conditional min-ts "
+        "aggregations chained by per-stage joins — every shuffle hashes "
+        "on user_id, so stages 2 and 3 join co-partitioned aggregate "
+        "outputs (no re-shuffle of the event scan's full width), and "
+        "each stage's frame shrinks monotonically. The classic product-"
+        "analytics silhouette the session/retention queries don't cover.",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p1"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(s, "1_signup")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+@register(
+    "q76_peak_concurrency",
+    f"""WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - LAG(ts) OVER w > INTERVAL '{GAP_MIN}' MINUTE
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged),
+        iv AS (SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+               FROM sess GROUP BY user_id, sid),
+        pts AS (SELECT s AS ts, 1 AS delta FROM iv
+                UNION ALL SELECT e, -1 FROM iv),
+        lv AS (SELECT ts, delta,
+                      SUM(delta) OVER (ORDER BY ts, delta DESC
+                                       ROWS UNBOUNDED PRECEDING) AS level
+               FROM pts)
+       SELECT strftime(ts, '%Y-%m-%d') AS day,
+              CAST(MAX(level) AS BIGINT) AS peak,
+              COUNT(*) AS n_transitions
+       FROM lv GROUP BY day ORDER BY day""",
+    doc="Peak concurrent sessions per day, sweep-line form: sessionize "
+        "(q30's gaps-and-islands), emit ±1 interval endpoints, running "
+        "net-open count, daily MAX. The oracle's global ordered running "
+        "sum is the single-partition scale-killer; the Spark side rides "
+        "operators/intervals.interval_concurrency — per-day delta "
+        "subtotals, O(days) driver offsets, per-day parallel windows "
+        "(the sp3/sp4 two-pass prefix sum). Daily MAX over tied "
+        "endpoints is permutation-invariant, so both formulations agree "
+        "exactly (see the operator docstring for the argument).",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.intervals import interval_concurrency
+
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    ns = F.when(
+        lag_us.isNull()
+        | ((F.unix_micros(F.col("ts")) - lag_us) > GAP_MIN * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("ns", ns)
+        .withColumn("sid", F.sum("ns").over(run))
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    )
+    lv = interval_concurrency(iv, spark, "start", "end", bucket="day")
+    return (
+        lv.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max("level").alias("peak"),
+            F.count("*").alias("n_transitions"),
+        )
+        .orderBy("day")
+    )

@@ -1,0 +1,174 @@
+"""operators/intervals.py — banded join and sweep-line concurrency:
+semantic contracts (vs a naive formulation on the same data) plus the
+plan assertions that ARE the operators' reason to exist."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.operators.intervals import banded_join, interval_concurrency
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# --- banded_join -----------------------------------------------------------
+
+
+def _naive_pairs(spark, left, right, band_sec):
+    """Reference semantics: cross join + |Δ| filter (what the operator
+    must equal, never what it may plan)."""
+    return (
+        left.crossJoin(
+            right.select(
+                F.col("ts").alias("ts_r"), *[c for c in right.columns if c != "ts"]
+            )
+        )
+        .filter(
+            F.abs(F.unix_micros("ts") - F.unix_micros("ts_r"))
+            <= band_sec * 1_000_000
+        )
+    )
+
+
+def test_banded_join_matches_naive(spark):
+    """Every |Δt| ≤ band pair appears exactly once — including pairs
+    whose bucket ids differ by one (the explode's whole purpose) and the
+    exact boundary Δ == band (inclusive)."""
+    base = _ts("2024-03-01 12:00:00")
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=37 * i)) for i in range(40)],
+        "lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, base + dt.timedelta(seconds=53 * i - 120)) for i in range(40)]
+        # exact-boundary pair: Δ is precisely the band width
+        + [(999, base + dt.timedelta(seconds=300))],
+        "rid int, ts timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in banded_join(left, right, band_sec=300).collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in _naive_pairs(spark, left, right, 300).collect()
+    )
+    assert got == want and (0, 999) in got
+    assert len(got) == len(set(got)), "a pair matched more than once"
+
+
+def test_banded_join_null_ts_and_collisions(spark):
+    """NULL timestamps match nothing; colliding right column names get
+    the _r suffix."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-03-01 12:00:00")), (2, None)], "event_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts("2024-03-01 12:01:00")), (8, None)], "event_id int, ts timestamp"
+    )
+    out = banded_join(left, right, band_sec=300)
+    assert {"event_id", "ts", "event_id_r", "ts_r"} == set(out.columns)
+    rows = out.collect()
+    assert [(r["event_id"], r["event_id_r"]) for r in rows] == [(1, 7)]
+
+
+def test_banded_join_plan_is_hash_not_nested_loop(spark):
+    """The point of the operator: the raw inequality join plans as
+    BroadcastNestedLoopJoin (O(|L|·|R|) compares); the banded form must
+    plan as an equi hash/sort-merge join on the bucket id."""
+    left = spark.range(1000).select(
+        "id", F.timestamp_micros(F.col("id") * 1_000_000).alias("ts")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("rid"),
+        F.timestamp_micros(F.col("id") * 900_000).alias("ts"),
+    )
+    plan = banded_join(left, right, band_sec=60)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # SortMergeJoin or ShuffledHashJoin on _bkt
+
+
+# --- interval_concurrency --------------------------------------------------
+
+
+def test_concurrency_hand_example(spark):
+    """[0,10] [5,15] [12,20] → peak 2 twice, with the closed-interval
+    convention: a start at an end's exact ts counts as overlapping."""
+    b = _ts("2024-03-01 00:00:00")
+
+    def iv(s, e):
+        return (b + dt.timedelta(minutes=s), b + dt.timedelta(minutes=e))
+
+    df = spark.createDataFrame(
+        [iv(0, 10), iv(5, 15), iv(12, 20)], "start timestamp, end timestamp"
+    )
+    out = interval_concurrency(df, spark).orderBy("ts", F.col("delta").desc()).collect()
+    assert [r["level"] for r in out] == [1, 2, 1, 2, 1, 0]
+
+
+def test_concurrency_tie_start_before_end(spark):
+    """Start and end at the identical timestamp: +1 processes first, so
+    the handover instant shows BOTH intervals open (max-overlap)."""
+    b = _ts("2024-03-01 00:00:00")
+    df = spark.createDataFrame(
+        [(b, b + dt.timedelta(hours=1)), (b + dt.timedelta(hours=1), b + dt.timedelta(hours=2))],
+        "start timestamp, end timestamp",
+    )
+    out = interval_concurrency(df, spark)
+    assert out.agg(F.max("level")).collect()[0][0] == 2
+
+
+def test_concurrency_two_pass_matches_global_window(spark):
+    """The distributed two-pass prefix sum must equal the textbook
+    single-window running sum on every order-insensitive readout (daily
+    MAX/MIN) — intervals spanning day boundaries included."""
+    b = _ts("2024-03-04 22:00:00")
+    rows = [
+        (b + dt.timedelta(hours=3 * i), b + dt.timedelta(hours=3 * i + 5 + (i % 7)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "start timestamp, end timestamp")
+    fast = interval_concurrency(df, spark)
+
+    pts = df.select(F.col("start").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        df.select(F.col("end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy(F.col("ts"), F.col("delta").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    slow = pts.withColumn("level", F.sum("delta").over(w).cast("long"))
+
+    def daily(d):
+        return sorted(
+            tuple(r)
+            for r in d.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.max("level").alias("mx"), F.min("level").alias("mn"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+
+    assert daily(fast) == daily(slow)
+
+
+def test_concurrency_no_single_partition_window(spark):
+    """Scale assertion: the operator's window partitions by the time
+    bucket — no empty PARTITION BY (the global-sort funnel) anywhere."""
+    b = _ts("2024-03-01 00:00:00")
+    df = spark.createDataFrame(
+        [(b, b + dt.timedelta(hours=i + 1)) for i in range(5)],
+        "start timestamp, end timestamp",
+    )
+    plan = (
+        interval_concurrency(df, spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            assert "_bkt" in line, f"global window found: {line}"
