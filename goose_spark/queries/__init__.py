@@ -24,6 +24,7 @@ def load_all() -> dict:
         clusters,
         curation,
         dedup,
+        layout,
         multimodal,
         pipeline,
         similarity,
