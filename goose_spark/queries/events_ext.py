@@ -82,14 +82,15 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
        UNION ALL SELECT '2_click', COUNT(*) FROM c
        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
        ORDER BY stage""",
-    doc="Ordered-sequence funnel: users who signed up, then clicked "
-        "strictly after their first signup, then purchased strictly "
-        "after that first qualifying click. Three conditional min-ts "
-        "aggregations chained by per-stage joins — every shuffle hashes "
-        "on user_id, so stages 2 and 3 join co-partitioned aggregate "
-        "outputs (no re-shuffle of the event scan's full width), and "
-        "each stage's frame shrinks monotonically. The classic product-"
-        "analytics silhouette the session/retention queries don't cover.",
+    doc="Staged re-qualification funnel — the STRICT variant of ev1's "
+        "first-touch funnel: stage N's timestamp is the first qualifying "
+        "event AFTER stage N-1's (a user whose only-ever-first click "
+        "predates signup still converts here via a later click; ev1's "
+        "global-first-touch comparison would drop them). Three "
+        "conditional min-ts aggregations chained by per-stage joins — "
+        "every shuffle hashes on user_id, so stages 2 and 3 join "
+        "co-partitioned aggregate outputs, and each stage's frame "
+        "shrinks monotonically.",
 )
 def q75(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
