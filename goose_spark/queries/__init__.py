@@ -21,6 +21,7 @@ from goose_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 def load_all() -> dict:
     """Import every query-providing module (incl. operator extensions)."""
     from goose_spark.operators import (  # noqa: F401
+        bpe,
         clusters,
         curation,
         dedup,
@@ -28,6 +29,7 @@ def load_all() -> dict:
         multimodal,
         pipeline,
         similarity,
+        sketches,
         text,
     )
 

@@ -19,7 +19,10 @@ def test_every_query_documented():
 def test_rows_only_entries_are_the_known_approximates():
     rows_only = sorted(n for n, s in REG.items() if s.oracle is None)
     assert rows_only == [
-        "q29_approx_aggregates", "ss2_ann_lsh", "ss3_ann_ivf",
+        "q29_approx_aggregates",
+        "q78_sketch_rollup",  # sketch estimates (error bound: test_sketches)
+        "q79_bpe_merges",  # iterative induction (cross-impl check: test_bpe)
+        "ss2_ann_lsh", "ss3_ann_ivf",
         "ss5_ann_ivf_index",
     ]
 
