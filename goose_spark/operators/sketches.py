@@ -60,6 +60,104 @@ def range_rollup(sketches: DataFrame, bucket_expr) -> DataFrame:
     )
 
 
+def theta_weekly_retention(events: DataFrame) -> DataFrame:
+    """Week-over-week retained-user estimates from THETA sketches —
+    the set-ALGEBRA sketch: HLL unions only, theta also intersects, so
+    "users active in week N ∩ week N+1" never needs a rescan or a
+    distinct-join. Per-week sketches (one raw pass), then a tiny
+    O(weeks) self-join on week+7d and a scalar theta_intersection.
+    At 100 TB the sketch table is KBs and every retention/overlap
+    matrix query is driver-cheap."""
+    wk = events.groupBy(
+        F.date_trunc("week", "ts").alias("week")
+    ).agg(F.theta_sketch_agg("user_id").alias("users_theta"))
+    nxt = wk.select(
+        F.col("week").alias("_nw"),
+        F.col("users_theta").alias("_nsk"),
+    )
+    return (
+        wk.join(nxt, F.col("_nw") == F.col("week") + F.expr("INTERVAL 7 DAYS"))
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.theta_sketch_estimate("users_theta").cast("bigint").alias("est_users"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("users_theta", "_nsk")
+            ).cast("bigint").alias("est_retained"),
+        )
+        .withColumn(
+            "retention",
+            F.round(F.col("est_retained") / F.col("est_users"), 4),
+        )
+        .orderBy("week")
+    )
+
+
+# --- incremental (streaming) rollup maintenance ----------------------------
+
+
+def _daily_sketches(events: DataFrame) -> DataFrame:
+    """Streaming-safe sketch rows: day string partition key, HLL users,
+    KLL values. No exact counters — sketch union is IDEMPOTENT under
+    replay (re-merging a batch's users is a set union no-op), which is
+    what makes the foreachBatch upsert effectively-once without a
+    transactional sink; an exact count would double on replay, so
+    counts stay on the ledger/metrics path."""
+    return events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("user_hll"),
+        F.kll_sketch_agg_double("value").alias("value_kll"),
+    )
+
+
+def rollup_upsert(spark: SparkSession, batch_events: DataFrame,
+                  rollup_dir: str) -> None:
+    """Merge one micro-batch into the per-day sketch table: sketch the
+    batch, union with the existing sketches of ONLY the touched days,
+    dynamic-partition-overwrite those day partitions. Untouched days'
+    files are never rewritten — the write cost per trigger is
+    O(days touched by the batch), not O(history)."""
+    import os
+
+    new = _daily_sketches(batch_events)
+    if os.path.isdir(rollup_dir) and any(
+        not f.startswith("_") for f in os.listdir(rollup_dir)
+    ):
+        days = [r["day"] for r in new.select("day").distinct().collect()]
+        old = spark.read.parquet(rollup_dir).filter(F.col("day").isin(days))
+        new = (
+            new.unionByName(old)
+            .groupBy("day")
+            .agg(
+                F.hll_union_agg("user_hll", F.lit(True)).alias("user_hll"),
+                F.expr("kll_merge_agg_double(value_kll)").alias("value_kll"),
+            )
+        )
+    (
+        new.repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(rollup_dir)
+    )
+
+
+def attach_rollup_stream(stream: DataFrame, rollup_dir: str,
+                         checkpoint: str):
+    """Wire rollup maintenance onto an event stream: every micro-batch
+    upserts its days' sketches. Returns the started query."""
+
+    def upsert(bdf: DataFrame, _bid: int) -> None:
+        rollup_upsert(bdf.sparkSession, bdf, rollup_dir)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 @register(
     "q78_sketch_rollup",
     None,  # approximate estimates — rows-only, error bound pinned in tests

@@ -72,3 +72,83 @@ def test_union_merge_equals_single_pass(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("d")
     ).collect()[0]
     assert merged["est_users"] == single["d"]
+
+
+def test_theta_retention_within_bounds(spark):
+    """Theta intersection estimates week-over-week retained users
+    within 10% of the exact overlap (theta default lgK is generous for
+    150 users — expect near-exact)."""
+    from goose_spark.operators.sketches import theta_weekly_retention
+
+    e = t(spark, SF_CORRECT, "events")
+    got = {r["week"]: r for r in theta_weekly_retention(e).collect()}
+    wk = e.select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("wk"),
+        "user_id",
+    ).distinct()
+    nxt = wk.select(F.col("wk").alias("nw"), F.col("user_id").alias("nu"))
+    exact = {
+        r["wk"]: r
+        for r in wk.join(
+            nxt,
+            (F.col("nu") == F.col("user_id"))
+            & (
+                F.col("nw")
+                == F.date_format(F.date_add(F.to_date("wk"), 7), "yyyy-MM-dd")
+            ),
+        )
+        .groupBy("wk")
+        .agg(F.countDistinct("user_id").alias("retained"))
+        .collect()
+    }
+    assert len(got) >= 3
+    for wkday, g in got.items():
+        x = exact[wkday]["retained"]
+        assert abs(g["est_retained"] - x) <= max(0.1 * x, 2), (wkday, g, x)
+        assert 0 < g["retention"] <= 1.0
+
+
+def test_streaming_rollup_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """foreachBatch upsert across two file-stream chunks converges to
+    the same HLL estimates as one batch pass, and re-merging the same
+    events is a no-op (sketch union is a set union)."""
+    from goose_spark.operators.sketches import (
+        attach_rollup_stream,
+        rollup_upsert,
+    )
+
+    e = t(spark, SF_CORRECT, "events").select("ts", "user_id", "value")
+    src = str(tmp_path / "src")
+    half = e.filter(F.dayofmonth("ts") <= 15)
+    rest = e.filter(F.dayofmonth("ts") > 15)
+    half.write.mode("overwrite").parquet(src)
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    q = attach_rollup_stream(stream, rollup, ck)
+    q.awaitTermination(120)
+    rest.write.mode("append").parquet(src)
+    q2 = attach_rollup_stream(
+        spark.readStream.schema(e.schema).parquet(src), rollup, ck
+    )
+    q2.awaitTermination(120)
+
+    def estimates(path):
+        return {
+            r["day"]: r["d"]
+            for r in spark.read.parquet(path)
+            .select(
+                "day", F.hll_sketch_estimate("user_hll").cast("bigint").alias("d")
+            )
+            .collect()
+        }
+
+    streamed = estimates(rollup)
+    batch_dir = str(tmp_path / "batch")
+    rollup_upsert(spark, e, batch_dir)
+    assert streamed == estimates(batch_dir)
+
+    # replay: merging the first half AGAIN changes nothing
+    rollup_upsert(spark, half, rollup)
+    assert estimates(rollup) == streamed
