@@ -87,6 +87,101 @@ def learn_bpe(spark: SparkSession, docs: DataFrame, n_merges: int = 30,
     )
 
 
+def encode_word(word: str, ranks: dict) -> list[str]:
+    """Classic BPE encode: repeatedly merge the lowest-rank adjacent
+    pair until none applies. Pure function shared by the Arrow kernel
+    and the tests."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best, bi = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+    return syms
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[int, str, str, int]],
+              text_col: str = "text", carry: list[str] = ()) -> DataFrame:
+    """Distributed tokenization with a learned merge table — the HOT
+    path of the tokenizer story (train once on word freqs, encode the
+    whole 100 TB corpus). The merge table is O(merges) and ships in the
+    kernel closure (broadcast-by-serialization); the kernel is an
+    Arrow-batched map — zero shuffles, pure corpus scan. Returns
+    (doc_id, n_words, n_tokens)."""
+    import re
+
+    import pandas as pd
+
+    ranks = {(a, b): r for r, a, b, _ in merges}
+    split = re.compile(r"[^a-z]+")
+
+    def kernel(batches):
+        # Zipf memo: the encode is a pure function of the word, and a
+        # corpus partition repeats its vocabulary constantly — caching
+        # per-word token counts turns O(words) encodes into O(distinct
+        # words) per task
+        memo: dict = {}
+
+        def toks(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                v = len(encode_word(w, ranks))
+                memo[w] = v
+            return v
+
+        for pdf in batches:
+            n_words, n_tokens = [], []
+            for txt in pdf[text_col]:
+                words = [w for w in split.split((txt or "").lower()) if w]
+                n_words.append(len(words))
+                n_tokens.append(sum(toks(w) for w in words))
+            out = {"doc_id": pdf["doc_id"]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["n_words"] = n_words
+            out["n_tokens"] = n_tokens
+            yield pd.DataFrame(out)
+
+    carry_schema = "".join(f"{c} string, " for c in carry)
+    return docs.select("doc_id", *carry, text_col).mapInPandas(
+        kernel, schema=f"doc_id long, {carry_schema}n_words long, n_tokens long"
+    )
+
+
+@register(
+    "q80_bpe_encode",
+    None,  # deterministic but iterative-merge-derived — rows-only;
+    # kernel cross-checked against the pure encode_word in tests
+    doc="Corpus tokenization with the q79-learned merge table, reported "
+        "per language: total/avg BPE tokens and the compression ratio "
+        "vs raw symbols. Train-once-encode-everywhere: the merge table "
+        "(O(merges)) ships in an Arrow kernel closure, the encode pass "
+        "is a zero-shuffle corpus map (the 100 TB hot path), and one "
+        "O(langs) agg reports. Deterministic because the q79 trainer's "
+        "tie-breaks are.",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    wf = [(r["w"], int(r["freq"])) for r in word_freqs(docs, 10_000).collect()]
+    merges = learn_merges_from_freqs(wf, 30)
+    enc = apply_bpe(docs, merges, carry=["lang"])
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 4).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "q79_bpe_merges",
     None,  # iterative merge induction — not SQL-expressible; rows-only,

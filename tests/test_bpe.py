@@ -99,3 +99,42 @@ def test_word_freq_scan_prunes_columns(spark):
 
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "text" in m.group(1) and "doc_id" not in m.group(1), plan
+
+
+def test_encode_word_applies_merges_in_rank_order():
+    from goose_spark.operators.bpe import encode_word
+
+    merges = [(0, "l", "o"), (1, "lo", "w"), (2, "e", EOW)]
+    ranks = {(a, b): r for r, a, b in merges}
+    assert encode_word("low", ranks) == ["low", EOW]
+    assert encode_word("lowe", ranks) == ["low", "e" + EOW]
+    assert encode_word("xyz", ranks) == ["x", "y", "z", EOW]
+
+
+def test_apply_bpe_compresses_and_matches_pure_encoder(spark):
+    """The Arrow kernel must agree with the pure encode_word on every
+    sampled doc, and more merges must never produce MORE tokens."""
+    import re
+
+    from goose_spark.operators.bpe import (
+        apply_bpe,
+        encode_word,
+        learn_merges_from_freqs,
+        word_freqs,
+    )
+
+    docs = t(spark, SF_CORRECT, "documents").limit(500)
+    wf = [(r["w"], int(r["freq"])) for r in word_freqs(docs, 5_000).collect()]
+    merges = learn_merges_from_freqs(wf, 20)
+    enc = {r["doc_id"]: r for r in apply_bpe(docs, merges).collect()}
+    ranks = {(a, b): r for r, a, b, _ in merges}
+    split = re.compile(r"[^a-z]+")
+    for row in docs.select("doc_id", "text").limit(20).collect():
+        words = [w for w in split.split((row["text"] or "").lower()) if w]
+        want = sum(len(encode_word(w, ranks)) for w in words)
+        assert enc[row["doc_id"]]["n_tokens"] == want
+        assert enc[row["doc_id"]]["n_words"] == len(words)
+
+    none = apply_bpe(docs, []).agg({"n_tokens": "sum"}).collect()[0][0]
+    some = apply_bpe(docs, merges).agg({"n_tokens": "sum"}).collect()[0][0]
+    assert some < none  # merges strictly compress this corpus

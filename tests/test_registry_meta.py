@@ -22,6 +22,7 @@ def test_rows_only_entries_are_the_known_approximates():
         "q29_approx_aggregates",
         "q78_sketch_rollup",  # sketch estimates (error bound: test_sketches)
         "q79_bpe_merges",  # iterative induction (cross-impl check: test_bpe)
+        "q80_bpe_encode",  # merge-table-derived (kernel check: test_bpe)
         "ss2_ann_lsh", "ss3_ann_ivf",
         "ss5_ann_ivf_index",
     ]
