@@ -1,0 +1,181 @@
+"""Product quantization (PQ) — the ANN MEMORY-scale path (FAISS's
+IndexPQ): compress each embedding to M one-byte codes so the candidate
+scan touches M bytes per vector instead of dim×8.
+
+At 100 TB of embeddings the bottleneck isn't compute, it's keeping the
+scanned representation small: 64-dim float64 vectors are 512 B; with
+M=8 subspaces × 256 codes each, a vector is 8 B (64× smaller), and
+asymmetric-distance (ADC) lookups reconstruct distances from a
+per-query M×256 table without ever touching the original floats.
+
+Scalable decomposition, same shape discipline as IVF/BPE:
+- codebooks train on a BOUNDED sample collected to the driver (FAISS
+  practice; codebooks are k×dim floats total, sample is ≤4096 vectors
+  — documented driver traffic, like k-means' k×dim per iteration);
+- encoding is a zero-shuffle Arrow map over the corpus (the 100 TB
+  pass), emitting BinaryType codes;
+- queries scan codes with numpy table lookups, emitting per-partition
+  top-k only (partitions × queries × k rows to the final merge — the
+  classic partial top-k funnel, never the full distance matrix).
+
+Cosine correctness: vectors are L2-normalized before encoding, so
+ADC's L2² ranking is monotone with cosine (cos = 1 − L2²/2 on the unit
+sphere). Recall vs the exact top-k is pinned in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.operators.similarity import _DIM, _as_double, _embeddings, N_QUERIES, TOP_K
+from goose_spark.queries.base import register, t
+
+PQ_M = 8  # subspaces (codes per vector = bytes per vector)
+PQ_K = 256  # centroids per subspace (1-byte codes)
+PQ_SAMPLE = 4096  # codebook training sample (bounded driver traffic)
+PQ_ITERS = 10
+_SUB = _DIM // PQ_M
+
+
+def train_codebooks(v: DataFrame) -> "np.ndarray":  # noqa: F821
+    """Per-subspace k-means on a bounded normalized sample. Returns
+    (M, K, dim/M) codebooks. Deterministic: fixed sample order (by
+    vec_id), init from the first K distinct subvectors, fixed Lloyd
+    iteration count."""
+    import numpy as np
+
+    sample = (
+        v.orderBy("vec_id").limit(PQ_SAMPLE).select("emb").collect()
+    )
+    mat = np.asarray([r["emb"] for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    books = np.zeros((PQ_M, PQ_K, _SUB), dtype=np.float64)
+    for m in range(PQ_M):
+        sub = mat[:, m * _SUB : (m + 1) * _SUB]
+        cent = sub[np.unique(sub.round(9), axis=0, return_index=True)[1][:PQ_K]]
+        if len(cent) < PQ_K:  # tiny corpora: pad by wrapping
+            cent = np.resize(cent, (PQ_K, _SUB))
+        for _ in range(PQ_ITERS):
+            # argmin ||x-c||² == argmax (x·c - ||c||²/2): one matmul,
+            # not an (n,K,sub) broadcast tensor
+            a = (sub @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]).argmax(axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, sub)
+            counts = np.bincount(a, minlength=PQ_K)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
+        books[m] = cent
+    return books
+
+
+def encode_corpus(v: DataFrame, books) -> DataFrame:
+    """The 100 TB pass: zero-shuffle Arrow map normalizing each vector
+    and emitting its M-byte PQ code as BinaryType."""
+    import numpy as np
+
+    bk = np.asarray(books)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), PQ_M), dtype=np.uint8)
+            for m in range(PQ_M):
+                sub = mat[:, m * _SUB : (m + 1) * _SUB]
+                # argmin ||x - c||² == argmax (x·c - ||c||²/2)
+                scores = sub @ bk[m].T - 0.5 * (bk[m] * bk[m]).sum(axis=1)[None, :]
+                codes[:, m] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": [c.tobytes() for c in codes]}
+            )
+
+    return v.mapInPandas(kernel, schema="vec_id long, code binary")
+
+
+def adc_topk(codes: DataFrame, queries, books, topk: int = TOP_K) -> DataFrame:
+    """Asymmetric-distance top-k: per query, an M×K table of partial
+    L2² against the NORMALIZED query; each partition scans its codes
+    with numpy fancy-indexed lookups and emits only its local top-k per
+    query — the global WindowGroupLimit merges partitions × q × k rows."""
+    import numpy as np
+
+    bk = np.asarray(books)
+    qm = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = [int(q[0]) for q in queries]
+    # tables[q][m][k] = ||q_sub - c||² partial
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((qv[m * _SUB : (m + 1) * _SUB][None, :] - bk[m]) ** 2).sum(axis=1)
+                    for m in range(PQ_M)
+                ]
+            )
+            for qv in qm
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_all, codes_all = [], []
+        for pdf in batches:
+            ids_all.append(pdf["vec_id"].to_numpy())
+            codes_all.append(
+                np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, PQ_M)
+            )
+        if not ids_all:
+            return
+        ids = np.concatenate(ids_all)
+        cd = np.concatenate(codes_all)
+        out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+        for qi, qid in enumerate(qids):
+            dist = np.zeros(len(cd))
+            for m in range(PQ_M):
+                dist += tables[qi, m][cd[:, m]]
+            keep = ids != qid
+            d, i = dist[keep], ids[keep]
+            top = np.argsort(d, kind="stable")[:topk]
+            out["query_id"] += [qid] * len(top)
+            out["neighbor_id"] += [int(x) for x in i[top]]
+            out["adc_dist"] += [float(x) for x in d[top]]
+        yield pd.DataFrame(out)
+
+    local = codes.mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ss6_ann_pq",
+    None,  # approximate (quantized distances) — rows-only; recall +
+    # compression pinned in tests/test_pq.py
+    doc="Product-quantized ANN (FAISS IndexPQ shape): 64-dim float64 "
+        "vectors compress to 8 one-byte codes (64× smaller scan), "
+        "asymmetric-distance lookups rank candidates from per-query "
+        "M×256 tables, each partition emits only its local top-k "
+        "(partitions × q × k rows to the final merge — never a full "
+        "distance matrix). Codebooks train on a bounded 4096-vector "
+        "sample (FAISS practice; documented driver traffic). The "
+        "memory-scale complement to ss3/ss5's IVF partition pruning.",
+)
+def ss6(spark: SparkSession, sf: str) -> DataFrame:
+    v = _embeddings(spark, sf)
+    books = train_codebooks(v)
+    codes = encode_corpus(v, books)
+    queries = [
+        (r["vec_id"], r["emb"])
+        for r in v.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    return adc_topk(codes, queries, books)

@@ -28,6 +28,7 @@ def load_all() -> dict:
         layout,
         multimodal,
         pipeline,
+        pq,
         similarity,
         sketches,
         text,

@@ -1,0 +1,50 @@
+"""operators/pq.py — product-quantized ANN: recall floor, compression
+claim, and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goose_spark.queries import load_all
+from tests.conftest import SF_CORRECT
+
+REGISTRY = load_all()
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """ADC over 8-byte codes must recall most of the exact top-10 —
+    8 subspaces × 256 codes is a fine-grained quantizer, so the floor
+    is set well above the LSH path's 0.4."""
+    exact = REGISTRY["ss1_cosine_topk_bruteforce"].builder(spark, SF_CORRECT).collect()
+    approx = REGISTRY["ss6_ann_pq"].builder(spark, SF_CORRECT).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"PQ recall too low: {avg:.2f} ({recalls})"
+
+
+def test_pq_codes_are_8_bytes(spark):
+    from goose_spark.operators.pq import PQ_M, encode_corpus, train_codebooks
+    from goose_spark.operators.similarity import _DIM, _embeddings
+
+    v = _embeddings(spark, SF_CORRECT)
+    books = train_codebooks(v)
+    codes = encode_corpus(v, books)
+    stats = codes.agg(
+        F.count("*").alias("n"),
+        F.max(F.length("code")).alias("mx"),
+        F.min(F.length("code")).alias("mn"),
+    ).collect()[0]
+    assert stats["mx"] == stats["mn"] == PQ_M  # 64× smaller than dim*8 doubles
+    assert stats["n"] == v.count()
+    assert _DIM * 8 // PQ_M == 64  # 512 raw bytes -> 8 code bytes: 64x
+
+
+def test_pq_deterministic(spark):
+    a = [tuple(r) for r in REGISTRY["ss6_ann_pq"].builder(spark, SF_CORRECT).collect()]
+    b = [tuple(r) for r in REGISTRY["ss6_ann_pq"].builder(spark, SF_CORRECT).collect()]
+    assert a == b and len(a) > 0
