@@ -88,6 +88,139 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     return manifest
 
 
+def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
+    """IVF+PQ index (FAISS IndexIVFPQ shape): the IVF layout bounds
+    what a query READS (partition-pruned cells), the PQ codes bound
+    what the scan HOLDS (8 bytes/vector instead of 512). One combined
+    Arrow pass assigns each vector to its coarse cell AND encodes its
+    PQ code; assignments persist cluster-partitioned with BOTH the code
+    (the scan column) and the embedding (the refine column — column
+    pruning keeps it out of the ADC scan)."""
+    import numpy as np
+
+    from goose_spark.operators.pq import PQ_M, _SUB, train_codebooks
+
+    v = _embeddings(spark, sf)
+    centroids = _train_ivf(v)
+    k = len(centroids)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    books = train_codebooks(v)
+    spark.createDataFrame(
+        [(m, kk, books[m, kk].tolist()) for m in range(books.shape[0])
+         for kk in range(books.shape[1])],
+        "m int, k int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bk = np.asarray(books)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), PQ_M), dtype=np.uint8)
+            for m in range(PQ_M):
+                sub = unit[:, m * _SUB : (m + 1) * _SUB]
+                s = sub @ bk[m].T - 0.5 * (bk[m] * bk[m]).sum(axis=1)[None, :]
+                codes[:, m] = s.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster": scores.argmax(axis=1).astype("int32"),
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    (
+        v.mapInPandas(
+            kernel, schema="cluster int, vec_id long, emb array<double>, code binary"
+        )
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(index_dir, "assignments"))
+    )
+    manifest = {"k": k, "dim": _DIM, "pq_m": PQ_M,
+                "n": _count_index_rows(index_dir), "version": 1}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def ivfpq_query(spark: SparkSession, index_dir: str, queries: DataFrame,
+                nprobe: int = IVF_NPROBE, topk: int = TOP_K,
+                refine: int = 4) -> DataFrame:
+    """Query the IVF+PQ index: partition-pruned cell read (same static
+    IN filter as ivf_index_query), ADC over the cells' 8-byte codes
+    (column pruning keeps embeddings out of this scan), then exact
+    cosine RE-RANK of only the top ``topk×refine`` ADC candidates —
+    the standard IVFPQ+refine pipeline: quantized distances pick a
+    small candidate set cheaply, full-precision vectors order it."""
+    import numpy as np
+
+    from goose_spark.operators.pq import adc_topk
+
+    cent = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cmat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+    brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
+    mmax = max(r["m"] for r in brows) + 1
+    kmax = max(r["k"] for r in brows) + 1
+    books = np.zeros((mmax, kmax, len(brows[0]["centroid"])))
+    for r in brows:
+        books[r["m"], r["k"]] = r["centroid"]
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["qe"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            top = np.argsort(-scores, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                [(int(q), int(c)) for q, cl in zip(pdf["query_id"], top) for c in cl],
+                columns=["query_id", "cluster"],
+            )
+
+    q_probes = queries.mapInPandas(probe, schema="query_id long, cluster int")
+    probed = sorted({r["cluster"] for r in q_probes.select("cluster").distinct().collect()})
+    cells = spark.read.parquet(os.path.join(index_dir, "assignments")).filter(
+        F.col("cluster").isin(probed)
+    )
+    qlist = [(r["query_id"], r["qe"]) for r in queries.collect()]
+    cand = adc_topk(
+        cells.select("vec_id", "code"), qlist, books, topk=topk * refine
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    qe = queries.select(F.col("query_id"), F.col("qe"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    ))
+    cos = dot / (nrm(F.col("qe")) * nrm(F.col("ne")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        F.broadcast(cand.select("query_id", "neighbor_id"))
+        .join(
+            cells.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def _count_index_rows(index_dir: str) -> int:
     import glob as _glob
 

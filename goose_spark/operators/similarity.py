@@ -410,3 +410,38 @@ def ss5(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
     return ivf_index_query(spark, idx, q)
+
+
+_IVFPQ_INDEX_DIRS: dict = {}
+
+
+@register(
+    "ss7_ann_ivfpq",
+    None,  # approximate (quantized candidate ranking) — rows-only;
+    # recall floor pinned in tests/test_pq.py
+    doc="IVF+PQ index (operators/annindex.build_ivfpq_index): the two "
+        "scale levers composed — IVF partition pruning bounds what a "
+        "query READS (nprobe/k of the corpus, PartitionFilters-"
+        "verified), PQ codes bound what the scan HOLDS (8 bytes/vector, "
+        "64x; column pruning keeps embeddings out of the ADC scan), and "
+        "an exact cosine re-rank of the topk x 4 ADC candidates "
+        "restores full-precision ordering (the FAISS IVFPQ+refine "
+        "pipeline). Index cached per sf within the session.",
+    tags=("llm", "similarity"),
+)
+def ss7(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from goose_spark.operators.annindex import build_ivfpq_index, ivfpq_query
+
+    idx = _IVFPQ_INDEX_DIRS.get(sf)
+    if idx is None or not _os.path.exists(_os.path.join(idx, "manifest.json")):
+        idx = _tempfile.mkdtemp(prefix="goose-ivfpq-idx-")
+        build_ivfpq_index(spark, sf, idx)
+        _IVFPQ_INDEX_DIRS[sf] = idx
+    v = _embeddings(spark, sf)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    return ivfpq_query(spark, idx, q)

@@ -48,3 +48,44 @@ def test_pq_deterministic(spark):
     a = [tuple(r) for r in REGISTRY["ss6_ann_pq"].builder(spark, SF_CORRECT).collect()]
     b = [tuple(r) for r in REGISTRY["ss6_ann_pq"].builder(spark, SF_CORRECT).collect()]
     assert a == b and len(a) > 0
+
+
+def test_ivfpq_recall_and_pruned_scan(spark):
+    """IVF+PQ composition: recall clears the IVF floor (the exact
+    refine step restores ordering), the ADC scan's plan reads code but
+    NOT emb (column pruning), and the cell read is partition-pruned."""
+    import re
+
+    exact = REGISTRY["ss1_cosine_topk_bruteforce"].builder(spark, SF_CORRECT).collect()
+    approx = REGISTRY["ss7_ann_ivfpq"].builder(spark, SF_CORRECT).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"IVFPQ recall too low: {avg:.2f} ({recalls})"
+
+    from goose_spark.operators.similarity import _IVFPQ_INDEX_DIRS
+    from goose_spark.operators.pq import adc_topk, PQ_M
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    idx = _IVFPQ_INDEX_DIRS[SF_CORRECT]
+    brows = spark.read.parquet(f"{idx}/books").collect()
+    books = np.zeros((PQ_M, 256, len(brows[0]["centroid"])))
+    for r in brows:
+        books[r["m"], r["k"]] = r["centroid"]
+    cells = spark.read.parquet(f"{idx}/assignments").filter(
+        F2.col("cluster").isin([0, 1])
+    )
+    plan = (
+        adc_topk(cells.select("vec_id", "code"), [(0, [0.5] * 64)], books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "code" in m.group(1) and "emb" not in m.group(1), m.group(1)
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan), plan
