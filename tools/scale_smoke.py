@@ -42,6 +42,10 @@ OPS = [
     "ss4_label_centroids",
     "q55_waiting_suppliers",
     "q57_sliding_window",
+    "q74_banded_time_join",
+    "q76_peak_concurrency",
+    "q78_sketch_rollup",
+    "q80_bpe_encode",
 ]
 
 
@@ -118,9 +122,14 @@ def build_scaled(spark, n_copies: int) -> str:
     from goose_spark.queries.base import t as load_table
 
     ev = load_table(spark, SF, "events")
+    # per-copy TIMESTAMP shift (disjoint 40-day ranges): keeps temporal
+    # density constant, so banded joins / windows / sketch rollups scale
+    # by MORE time covered (the real growth axis), not by super-linear
+    # in-band densification
     evcopies = [
         ev.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
         .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 40} DAYS"))
         for i in range(n_copies)
     ]
     evbig = evcopies[0]
