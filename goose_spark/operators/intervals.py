@@ -74,6 +74,50 @@ def banded_join(left: DataFrame, right: DataFrame, band_sec: int,
     )
 
 
+def interval_overlap_join(a: DataFrame, b: DataFrame, bucket_sec: int,
+                          a_start: str = "start", a_end: str = "end",
+                          b_start: str = "start", b_end: str = "end") -> DataFrame:
+    """Inner-join every pair of OVERLAPPING intervals (inclusive:
+    ``a.start <= b.end AND b.start <= a.end``) — the interval×interval
+    big brother of :func:`banded_join` (which joins points).
+
+    Plan shape: each interval explodes over the ``bucket_sec``-wide
+    buckets it spans (explode factor = len/bucket + 1 — pick a bucket
+    near the typical interval length), the equi-join runs on the bucket
+    id, and the EXACTLY-ONCE guard keeps each overlapping pair in one
+    bucket only: the bucket containing ``max(a.start, b.start)``. Both
+    intervals provably span that bucket (overlap means
+    ``max(starts) <= min(ends)``), so no pair is lost, and no pair
+    duplicates across buckets — no distinct needed. This is the
+    standard blocked interval join (Flink interval join / Spark
+    stream-stream time-bound join use the same state-bucketing idea).
+    """
+    bus = bucket_sec * 1_000_000
+
+    def prep(df, s, e, tag):
+        sus, eus = F.unix_micros(F.col(s)), F.unix_micros(F.col(e))
+        return df.filter(F.col(s).isNotNull() & F.col(e).isNotNull()).select(
+            *[F.col(c).alias(f"{c}_{tag}") for c in df.columns],
+            sus.alias(f"_s_{tag}"),
+            eus.alias(f"_e_{tag}"),
+            F.explode(
+                F.sequence(F.floor(sus / bus), F.floor(eus / bus))
+            ).alias("_bkt"),
+        )
+
+    pa, pb = prep(a, a_start, a_end, "a"), prep(b, b_start, b_end, "b")
+    later_start = F.greatest(F.col("_s_a"), F.col("_s_b"))
+    return (
+        pa.join(pb, "_bkt")
+        .filter(
+            (F.col("_s_a") <= F.col("_e_b"))
+            & (F.col("_s_b") <= F.col("_e_a"))
+            & (F.col("_bkt") == F.floor(later_start / bus))
+        )
+        .drop("_bkt", "_s_a", "_e_a", "_s_b", "_e_b")
+    )
+
+
 def interval_concurrency(intervals: DataFrame, spark: SparkSession,
                          start_col: str = "start", end_col: str = "end",
                          bucket: str = "day") -> DataFrame:

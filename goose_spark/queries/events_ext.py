@@ -192,3 +192,89 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+ERR_WIN_MIN = 10  # half-width of the error impact window
+
+
+@register(
+    "q81_interval_overlap_join",
+    f"""WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - LAG(ts) OVER w > INTERVAL '{GAP_MIN}' MINUTE
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged),
+        iv AS (SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+               FROM sess GROUP BY user_id, sid),
+        w AS (SELECT ts - INTERVAL {ERR_WIN_MIN} MINUTE AS ws,
+                     ts + INTERVAL {ERR_WIN_MIN} MINUTE AS we
+              FROM events WHERE event_type = 'error'),
+        p AS (SELECT iv.user_id, iv.sid, COUNT(*) AS np
+              FROM iv JOIN w ON iv.s <= w.we AND w.ws <= iv.e
+              GROUP BY iv.user_id, iv.sid)
+       SELECT iv.user_id,
+              COUNT(*) AS n_sessions,
+              SUM(CASE WHEN p.np IS NOT NULL THEN 1 ELSE 0 END)
+                AS overlapped_sessions,
+              CAST(COALESCE(SUM(p.np), 0) AS BIGINT) AS overlap_pairs
+       FROM iv LEFT JOIN p ON iv.user_id = p.user_id AND iv.sid = p.sid
+       GROUP BY iv.user_id ORDER BY iv.user_id""",
+    doc="Interval×interval overlap join: per-user sessions (q76's "
+        "gaps-and-islands intervals) against ±10-minute error impact "
+        "windows — how many of each user's sessions overlapped an "
+        "error window, and how many windows each hit. The oracle's raw "
+        "inequality join is the O(|A|·|B|) nested loop; the Spark side "
+        "runs operators/intervals.interval_overlap_join — both sides "
+        "explode over spanned time buckets, equi-join on the bucket, "
+        "and the max-start-bucket guard keeps every overlapping pair "
+        "in EXACTLY one bucket (no distinct, no lost pairs). The "
+        "interval big brother of q74's point-banded join.",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.intervals import interval_overlap_join
+
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    ns = F.when(
+        lag_us.isNull()
+        | ((F.unix_micros(F.col("ts")) - lag_us) > GAP_MIN * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    iv = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("ns", ns)
+        .withColumn("sid", F.sum("ns").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+    errw = e.filter(F.col("event_type") == "error").select(
+        (F.col("ts") - F.expr(f"INTERVAL {ERR_WIN_MIN} MINUTES")).alias("ws"),
+        (F.col("ts") + F.expr(f"INTERVAL {ERR_WIN_MIN} MINUTES")).alias("we"),
+    )
+    pairs = interval_overlap_join(
+        iv, errw, bucket_sec=GAP_MIN * 60, b_start="ws", b_end="we"
+    )
+    per_sess = pairs.groupBy(
+        F.col("user_id_a").alias("user_id"), F.col("sid_a").alias("sid")
+    ).agg(F.count("*").alias("np"))
+    return (
+        iv.join(per_sess, ["user_id", "sid"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("np").isNotNull(), 1).otherwise(0)).alias(
+                "overlapped_sessions"
+            ),
+            F.coalesce(F.sum("np"), F.lit(0)).cast("bigint").alias("overlap_pairs"),
+        )
+        .orderBy("user_id")
+    )

@@ -172,3 +172,38 @@ def test_concurrency_no_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "partitionBy" not in line:
             assert "_bkt" in line, f"global window found: {line}"
+
+
+def test_overlap_join_matches_naive_exactly_once(spark):
+    """Every overlapping pair appears EXACTLY once — including pairs
+    spanning many buckets (the max-start-bucket guard's whole point),
+    exact-touch boundaries, and long intervals."""
+    b = _ts("2024-03-01 00:00:00")
+    from goose_spark.operators.intervals import interval_overlap_join
+
+    def iv(i, s, e):
+        return (i, b + dt.timedelta(minutes=s), b + dt.timedelta(minutes=e))
+
+    a = spark.createDataFrame(
+        [iv(i, 7 * i, 7 * i + 5 + (i % 11) * 13) for i in range(30)],
+        "aid int, start timestamp, end timestamp",
+    )
+    c = spark.createDataFrame(
+        [iv(100 + i, 11 * i + 3, 11 * i + 9 + (i % 5) * 40) for i in range(30)]
+        + [iv(999, 35, 35)],  # degenerate point interval
+        "bid int, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r["aid_a"], r["bid_b"])
+        for r in interval_overlap_join(a, c, bucket_sec=600).collect()
+    )
+    arows = a.collect()
+    crows = c.collect()
+    want = sorted(
+        (x["aid"], y["bid"])
+        for x in arows
+        for y in crows
+        if x["start"] <= y["end"] and y["start"] <= x["end"]
+    )
+    assert got == want
+    assert len(got) == len(set(got)), "duplicate pair across buckets"
