@@ -40,3 +40,17 @@ def test_retrieval_pipeline_end_to_end(spark):
     scores = [s for _, s in stats["top"]]
     assert scores == sorted(scores, reverse=True)
     assert all(-1.0001 <= s <= 1.0001 for s in scores)  # unit-vector cosines
+
+
+def test_temporal_analytics_end_to_end(spark):
+    """Sessionize → as-of → banded/overlap error joins → concurrency →
+    sketch rollup → z-order layout, chained on one small corpus."""
+    import temporal_analytics
+
+    stats = temporal_analytics.main(SF_SMOKE, spark=spark)
+    assert stats["sessions"] > 0 and stats["events"] > stats["sessions"]
+    assert 0 <= stats["purchases_with_view"] <= stats["events"]
+    assert stats["sessions_touching_errors"] <= stats["sessions"]
+    assert stats["peak_concurrency"] >= 1
+    assert stats["weeks"] >= 1 and stats["est_users_week1"] > 0
+    assert stats["fact_files"] >= 1
