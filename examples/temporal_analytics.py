@@ -36,7 +36,6 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 GAP_MIN = 30
 
@@ -47,6 +46,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         banded_join,
         interval_concurrency,
         interval_overlap_join,
+        sessionize_intervals,
     )
     from goose_spark.operators.layout import cluster_by_zorder
     from goose_spark.operators.sketches import daily_sketch_table, range_rollup
@@ -62,23 +62,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     e = t(spark, sf_dir, "events")
     stats: dict = {"events": e.count()}
 
-    # 1. sessionize → interval table
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_us = F.unix_micros(F.lag("ts").over(w))
-    ns = F.when(
-        lag_us.isNull()
-        | ((F.unix_micros(F.col("ts")) - lag_us) > GAP_MIN * 60 * 1_000_000),
-        1,
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    iv = (
-        e.select("user_id", "ts", "event_id")
-        .withColumn("sid", F.sum(ns).over(run))
-        .groupBy("user_id", "sid")
-        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
-    )
+    # 1. sessionize → interval table (the shared q76/q81 primitive)
+    iv = sessionize_intervals(e, GAP_MIN)
     stats["sessions"] = iv.count()
 
     # 2. as-of enrichment: purchase ← latest preceding view

@@ -88,6 +88,27 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     return manifest
 
 
+def _probe_kernel(cmat, nprobe: int):
+    """Factory for the nearest-nprobe-centroid probe kernel — the ONE
+    probe implementation shared by ivf_index_query and ivfpq_query
+    (cloudpickle ships cmat by value into the closure)."""
+    import numpy as np
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["qe"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            top = np.argsort(-scores, axis=1)[:, :nprobe]
+            rows = [
+                (int(qid), int(c))
+                for qid, cl in zip(pdf["query_id"], top)
+                for c in cl
+            ]
+            yield pd.DataFrame(rows, columns=["query_id", "cluster"])
+
+    return probe
+
+
 def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     """IVF+PQ index (FAISS IndexIVFPQ shape): the IVF layout bounds
     what a query READS (partition-pruned cells), the PQ codes bound
@@ -98,7 +119,7 @@ def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     pruning keeps it out of the ADC scan)."""
     import numpy as np
 
-    from goose_spark.operators.pq import PQ_M, _SUB, train_codebooks
+    from goose_spark.operators.pq import PQ_M, pq_encode, train_codebooks
 
     v = _embeddings(spark, sf)
     centroids = _train_ivf(v)
@@ -117,21 +138,17 @@ def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     bk = np.asarray(books)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fused assign+encode: one Arrow pass, both the cell argmax and
+        # pq.pq_encode (the shared encode routine) over the same batch
         for pdf in batches:
             mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
             scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
-            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            codes = np.empty((len(mat), PQ_M), dtype=np.uint8)
-            for m in range(PQ_M):
-                sub = unit[:, m * _SUB : (m + 1) * _SUB]
-                s = sub @ bk[m].T - 0.5 * (bk[m] * bk[m]).sum(axis=1)[None, :]
-                codes[:, m] = s.argmax(axis=1)
             yield pd.DataFrame(
                 {
                     "cluster": scores.argmax(axis=1).astype("int32"),
                     "vec_id": pdf["vec_id"],
                     "emb": pdf["emb"],
-                    "code": [c.tobytes() for c in codes],
+                    "code": [c.tobytes() for c in pq_encode(mat, bk)],
                 }
             )
 
@@ -177,24 +194,25 @@ def ivfpq_query(spark: SparkSession, index_dir: str, queries: DataFrame,
     for r in brows:
         books[r["m"], r["k"]] = r["centroid"]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mat = np.asarray(list(pdf["qe"]), dtype=np.float64)
-            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
-            top = np.argsort(-scores, axis=1)[:, :nprobe]
-            yield pd.DataFrame(
-                [(int(q), int(c)) for q, cl in zip(pdf["query_id"], top) for c in cl],
-                columns=["query_id", "cluster"],
-            )
-
-    q_probes = queries.mapInPandas(probe, schema="query_id long, cluster int")
-    probed = sorted({r["cluster"] for r in q_probes.select("cluster").distinct().collect()})
+    q_probes = queries.mapInPandas(
+        _probe_kernel(cmat, nprobe), schema="query_id long, cluster int"
+    )
+    # ONE collect serves both the static IN partition filter (union of
+    # cells — what the SCAN reads) and the per-query probe map (what
+    # each query SCORES: its own nprobe cells only, so per-query ADC
+    # work stays O(nprobe cells) and is independent of batch makeup)
+    probe_rows = q_probes.collect()
+    probes: dict = {}
+    for r in probe_rows:
+        probes.setdefault(int(r["query_id"]), set()).add(int(r["cluster"]))
+    probed = sorted({int(r["cluster"]) for r in probe_rows})
     cells = spark.read.parquet(os.path.join(index_dir, "assignments")).filter(
         F.col("cluster").isin(probed)
     )
     qlist = [(r["query_id"], r["qe"]) for r in queries.collect()]
     cand = adc_topk(
-        cells.select("vec_id", "code"), qlist, books, topk=topk * refine
+        cells.select("cluster", "vec_id", "code"), qlist, books,
+        topk=topk * refine, probes=probes,
     ).filter(F.col("neighbor_id") != F.col("query_id"))
 
     qe = queries.select(F.col("query_id"), F.col("qe"))
@@ -282,23 +300,13 @@ def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
     )
     cmat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mat = np.asarray(list(pdf["qe"]), dtype=np.float64)
-            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
-            top = np.argsort(-scores, axis=1)[:, :nprobe]
-            rows = [
-                (int(qid), int(c))
-                for qid, cl in zip(pdf["query_id"], top)
-                for c in cl
-            ]
-            yield pd.DataFrame(rows, columns=["query_id", "cluster"])
-
     # computed twice (cell-set collect + candidate join) — deliberately
     # NOT persisted: a .persist() here would pin an entry in the JVM
     # CacheManager per query call (cached plans are not GC-reclaimed),
     # and the kernel is one matmul per Arrow batch — cheaper to redo
-    q_probes = queries.mapInPandas(probe, schema="query_id long, cluster int")
+    q_probes = queries.mapInPandas(
+        _probe_kernel(cmat, nprobe), schema="query_id long, cluster int"
+    )
     # the probed-cell set is bounded by k (the index's cluster count),
     # so collecting it is O(k) — the static IN filter it produces is
     # what guarantees partition pruning at ANY query volume

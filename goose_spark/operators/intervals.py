@@ -28,6 +28,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def sessionize_intervals(events: DataFrame, gap_min: int,
+                         key: str = "user_id", ts: str = "ts",
+                         tiebreak: str = "event_id") -> DataFrame:
+    """Gaps-and-islands sessionization to an INTERVAL table: one row
+    per (key, session) with ``start``/``end`` timestamps. Exact-µs gap
+    comparison (``unix_micros``), deterministic tie-break on
+    ``tiebreak`` — the ONE sessionize-to-intervals implementation
+    shared by q76/q81/the temporal example (q30 keeps its own
+    per-session value aggregation on the same CTE silhouette)."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    lag_us = F.unix_micros(F.lag(ts).over(w))
+    new_sess = F.when(
+        lag_us.isNull()
+        | ((F.unix_micros(F.col(ts)) - lag_us) > gap_min * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(key).orderBy(ts, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.select(key, ts, tiebreak)
+        .withColumn("sid", F.sum(new_sess).over(run))
+        .groupBy(key, "sid")
+        .agg(F.min(ts).alias("start"), F.max(ts).alias("end"))
+    )
+
+
 def banded_join(left: DataFrame, right: DataFrame, band_sec: int,
                 left_ts: str = "ts", right_ts: str = "ts") -> DataFrame:
     """Inner-join every left row to every right row with
@@ -143,6 +170,12 @@ def interval_concurrency(intervals: DataFrame, spark: SparkSession,
     MAX/MIN per period, the daily peak — is deterministic and
     engine-portable even though Spark's intra-tie row order is not.
     """
+    # same NULL contract as banded_join/interval_overlap_join: a row
+    # missing either endpoint is no interval — and a NULL bucket would
+    # crash the driver-side offset sort
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     starts = intervals.select(
         F.col(start_col).alias("ts"), F.lit(1).alias("delta")
     )

@@ -32,8 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from goose_spark.operators.similarity import _DIM, _as_double, _embeddings, N_QUERIES, TOP_K
-from goose_spark.queries.base import register, t
+from goose_spark.operators.similarity import _DIM, _embeddings, N_QUERIES, TOP_K
+from goose_spark.queries.base import register
 
 PQ_M = 8  # subspaces (codes per vector = bytes per vector)
 PQ_K = 256  # centroids per subspace (1-byte codes)
@@ -73,6 +73,23 @@ def train_codebooks(v: DataFrame) -> "np.ndarray":  # noqa: F821
     return books
 
 
+def pq_encode(mat, bk):
+    """Encode a raw (n, dim) float batch to (n, M) uint8 PQ codes:
+    L2-normalize, then per-subspace nearest-centroid
+    (argmin ||x−c||² == argmax (x·c − ||c||²/2)). The ONE encode
+    routine — corpus encoding and the fused IVF+PQ build kernel both
+    call it, so a change (e.g. a zero-norm guard) cannot diverge."""
+    import numpy as np
+
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    codes = np.empty((len(unit), PQ_M), dtype=np.uint8)
+    for m in range(PQ_M):
+        sub = unit[:, m * _SUB : (m + 1) * _SUB]
+        scores = sub @ bk[m].T - 0.5 * (bk[m] * bk[m]).sum(axis=1)[None, :]
+        codes[:, m] = scores.argmax(axis=1)
+    return codes
+
+
 def encode_corpus(v: DataFrame, books) -> DataFrame:
     """The 100 TB pass: zero-shuffle Arrow map normalizing each vector
     and emitting its M-byte PQ code as BinaryType."""
@@ -83,25 +100,28 @@ def encode_corpus(v: DataFrame, books) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            codes = np.empty((len(mat), PQ_M), dtype=np.uint8)
-            for m in range(PQ_M):
-                sub = mat[:, m * _SUB : (m + 1) * _SUB]
-                # argmin ||x - c||² == argmax (x·c - ||c||²/2)
-                scores = sub @ bk[m].T - 0.5 * (bk[m] * bk[m]).sum(axis=1)[None, :]
-                codes[:, m] = scores.argmax(axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "code": [c.tobytes() for c in codes]}
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": [c.tobytes() for c in pq_encode(mat, bk)],
+                }
             )
 
     return v.mapInPandas(kernel, schema="vec_id long, code binary")
 
 
-def adc_topk(codes: DataFrame, queries, books, topk: int = TOP_K) -> DataFrame:
+def adc_topk(codes: DataFrame, queries, books, topk: int = TOP_K,
+             probes: dict | None = None) -> DataFrame:
     """Asymmetric-distance top-k: per query, an M×K table of partial
     L2² against the NORMALIZED query; each partition scans its codes
     with numpy fancy-indexed lookups and emits only its local top-k per
-    query — the global WindowGroupLimit merges partitions × q × k rows."""
+    query — the global WindowGroupLimit merges partitions × q × k rows.
+
+    ``probes`` (optional): ``{query_id: set(cluster_ids)}`` restricting
+    each query's candidates to its OWN probed cells; requires a
+    ``cluster`` column on ``codes``. Without it, an IVF caller passing
+    the union of all queries' cells would score every query against the
+    whole union — per-query compute must stay O(query's nprobe cells)."""
     import numpy as np
 
     bk = np.asarray(books)
@@ -122,27 +142,40 @@ def adc_topk(codes: DataFrame, queries, books, topk: int = TOP_K) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_all, codes_all = [], []
+        ids_all, codes_all, cl_all = [], [], []
         for pdf in batches:
             ids_all.append(pdf["vec_id"].to_numpy())
             codes_all.append(
                 np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, PQ_M)
             )
+            if probes is not None:
+                cl_all.append(pdf["cluster"].to_numpy())
         if not ids_all:
             return
         ids = np.concatenate(ids_all)
         cd = np.concatenate(codes_all)
+        cl = np.concatenate(cl_all) if probes is not None else None
         out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
         for qi, qid in enumerate(qids):
-            dist = np.zeros(len(cd))
+            if probes is not None:
+                mask = np.isin(cl, list(probes.get(qid, ()))) & (ids != qid)
+            else:
+                mask = ids != qid
+            i = ids[mask]
+            if len(i) == 0:
+                continue
+            sub_cd = cd[mask]
+            dist = np.zeros(len(sub_cd))
             for m in range(PQ_M):
-                dist += tables[qi, m][cd[:, m]]
-            keep = ids != qid
-            d, i = dist[keep], ids[keep]
-            top = np.argsort(d, kind="stable")[:topk]
+                dist += tables[qi, m][sub_cd[:, m]]
+            # local cut tie-break matches the global window's
+            # (adc_dist, neighbor_id) order — reproducible under ANY
+            # partitioning (equal-code ties are common: the code alone
+            # determines adc_dist)
+            top = np.lexsort((i, dist))[:topk]
             out["query_id"] += [qid] * len(top)
             out["neighbor_id"] += [int(x) for x in i[top]]
-            out["adc_dist"] += [float(x) for x in d[top]]
+            out["adc_dist"] += [float(x) for x in dist[top]]
         yield pd.DataFrame(out)
 
     local = codes.mapInPandas(

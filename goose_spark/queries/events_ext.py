@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from goose_spark.queries.base import register, t
 
@@ -162,27 +161,12 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         "exactly (see the operator docstring for the argument).",
 )
 def q76(spark: SparkSession, sf: str) -> DataFrame:
-    from goose_spark.operators.intervals import interval_concurrency
+    from goose_spark.operators.intervals import (
+        interval_concurrency,
+        sessionize_intervals,
+    )
 
-    e = t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_us = F.unix_micros(F.lag("ts").over(w))
-    ns = F.when(
-        lag_us.isNull()
-        | ((F.unix_micros(F.col("ts")) - lag_us) > GAP_MIN * 60 * 1_000_000),
-        1,
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sess = (
-        e.select("user_id", "ts", "event_id")
-        .withColumn("ns", ns)
-        .withColumn("sid", F.sum("ns").over(run))
-    )
-    iv = sess.groupBy("user_id", "sid").agg(
-        F.min("ts").alias("start"), F.max("ts").alias("end")
-    )
+    iv = sessionize_intervals(t(spark, sf, "events"), GAP_MIN)
     lv = interval_concurrency(iv, spark, "start", "end", bucket="day")
     return (
         lv.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
@@ -236,26 +220,13 @@ ERR_WIN_MIN = 10  # half-width of the error impact window
         "interval big brother of q74's point-banded join.",
 )
 def q81(spark: SparkSession, sf: str) -> DataFrame:
-    from goose_spark.operators.intervals import interval_overlap_join
+    from goose_spark.operators.intervals import (
+        interval_overlap_join,
+        sessionize_intervals,
+    )
 
     e = t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_us = F.unix_micros(F.lag("ts").over(w))
-    ns = F.when(
-        lag_us.isNull()
-        | ((F.unix_micros(F.col("ts")) - lag_us) > GAP_MIN * 60 * 1_000_000),
-        1,
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    iv = (
-        e.select("user_id", "ts", "event_id")
-        .withColumn("ns", ns)
-        .withColumn("sid", F.sum("ns").over(run))
-        .groupBy("user_id", "sid")
-        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
-    )
+    iv = sessionize_intervals(e, GAP_MIN)
     errw = e.filter(F.col("event_type") == "error").select(
         (F.col("ts") - F.expr(f"INTERVAL {ERR_WIN_MIN} MINUTES")).alias("ws"),
         (F.col("ts") + F.expr(f"INTERVAL {ERR_WIN_MIN} MINUTES")).alias("we"),

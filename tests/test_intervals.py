@@ -207,3 +207,15 @@ def test_overlap_join_matches_naive_exactly_once(spark):
     )
     assert got == want
     assert len(got) == len(set(got)), "duplicate pair across buckets"
+
+
+def test_concurrency_ignores_null_endpoints(spark):
+    """An open interval (NULL end) is no interval: filtered, not a
+    driver crash in the bucket-offset sort."""
+    b = _ts("2024-03-01 00:00:00")
+    df = spark.createDataFrame(
+        [(b, b + dt.timedelta(hours=1)), (b, None), (None, b)],
+        "start timestamp, end timestamp",
+    )
+    out = interval_concurrency(df, spark).collect()
+    assert [r["level"] for r in sorted(out, key=lambda r: (r["ts"], -r["delta"]))] == [1, 0]

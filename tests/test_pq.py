@@ -89,3 +89,37 @@ def test_ivfpq_recall_and_pruned_scan(spark):
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "code" in m.group(1) and "emb" not in m.group(1), m.group(1)
     assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan), plan
+
+
+def test_adc_probes_restrict_candidates_per_query(spark):
+    """The per-query probe map keeps each query's candidates inside its
+    OWN probed cells — results must not depend on which other queries
+    share the batch (the IVF contract ivfpq_query relies on)."""
+    import numpy as np
+
+    from goose_spark.operators.pq import PQ_M, adc_topk, pq_encode, train_codebooks
+    from goose_spark.operators.similarity import _embeddings
+
+    v = _embeddings(spark, SF_CORRECT)
+    books = train_codebooks(v)
+    bk = np.asarray(books)
+    rows = v.limit(40).collect()
+    data = [
+        (int(r["vec_id"]), i % 2,
+         pq_encode(np.asarray([r["emb"]]), bk)[0].tobytes())
+        for i, r in enumerate(rows)
+    ]
+    codes = spark.createDataFrame(data, "vec_id long, cluster int, code binary")
+    q = [(9_999_999, rows[0]["emb"])]
+    only0 = adc_topk(codes, q, books, topk=50, probes={9_999_999: {0}}).collect()
+    in0 = {d[0] for d in data if d[1] == 0}
+    assert only0 and all(r["neighbor_id"] in in0 for r in only0)
+    # a second query in the batch probing cluster 1 must not change
+    # query 1's neighbor set
+    both = adc_topk(
+        codes, q + [(8_888_888, rows[1]["emb"])], books, topk=50,
+        probes={9_999_999: {0}, 8_888_888: {1}},
+    ).collect()
+    assert sorted(
+        (r["neighbor_id"], r["rank"]) for r in both if r["query_id"] == 9_999_999
+    ) == sorted((r["neighbor_id"], r["rank"]) for r in only0)
