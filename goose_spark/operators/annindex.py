@@ -27,7 +27,8 @@ from pyspark.sql.window import Window
 from goose_spark.operators.similarity import (
     _DIM,
     _embeddings,
-    _train_ivf,
+    _train_ivf,  # noqa: F401 — re-exported for cold-build tests
+    trained_ivf,
     IVF_NPROBE,
     TOP_K,
 )
@@ -61,9 +62,12 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     """Train the coarse quantizer and materialize the index:
     ``centroids/`` (k rows) + ``assignments/`` parquet partitioned by
     ``cluster`` (id + embedding co-located per cell) + ``manifest.json``.
-    Returns the manifest."""
+    Returns the manifest. The coarse quantizer comes from the session
+    cache (``similarity.trained_ivf`` — ONE deterministic k-means per
+    (session, sf) shared with ss3/ss7) and is persisted alongside the
+    index, so later opens never retrain."""
     v = _embeddings(spark, sf)
-    centroids = _train_ivf(v)
+    centroids = trained_ivf(spark, sf)
     k = len(centroids)
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
@@ -119,16 +123,16 @@ def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     pruning keeps it out of the ADC scan)."""
     import numpy as np
 
-    from goose_spark.operators.pq import PQ_M, pq_encode, train_codebooks
+    from goose_spark.operators.pq import PQ_M, pq_encode, trained_codebooks
 
     v = _embeddings(spark, sf)
-    centroids = _train_ivf(v)
+    centroids = trained_ivf(spark, sf)  # shared session k-means (ss3/ss5/ss7)
     k = len(centroids)
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    books = train_codebooks(v)
+    books = trained_codebooks(spark, sf)  # shared with ss6's inline PQ
     spark.createDataFrame(
         [(m, kk, books[m, kk].tolist()) for m in range(books.shape[0])
          for kk in range(books.shape[1])],

@@ -68,7 +68,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     )
     u = l.unionByName(r.select(*l.columns))
 
-    w = Window.partitionBy(*keys).orderBy("_ats", "_side")
+    # deterministic tie-break: multiple right rows sharing (key, ts)
+    # would otherwise be carried by whichever last() sees last — a
+    # partitioning-dependent choice. Hash the packed right payload so
+    # the carried row is a pure function of the data (left rows hash
+    # null → a constant, which never competes: only right packs are
+    # candidates for last/first(ignorenulls)).
+    u = u.withColumn("_tie", F.xxhash64("_rpack"))
+    w = Window.partitionBy(*keys).orderBy("_ats", "_side", "_tie")
     if direction == "backward":
         carried = F.last("_rpack", ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -42,12 +42,30 @@ def get_or_persist(cache: dict, spark: SparkSession, extra_key,
     return df
 
 
+def get_or_compute(cache: dict, spark: SparkSession, extra_key, build: Callable):
+    """Session-scoped cache for plain (non-DataFrame) values — trained
+    IVF centroids, PQ codebooks. Same keying/eviction contract as
+    get_or_persist, minus the persist/unpersist (nothing pins JVM
+    storage). Lets ss3/ss5/ss7 share ONE k-means per (session, sf)
+    instead of re-training per query."""
+    if not any(c is cache for c in _ALL_CACHES):
+        _ALL_CACHES.append(cache)
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app]:
+        cache.pop(k)
+    key = (app, extra_key)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 def clear_caches() -> None:
     """Unpersist and drop every cached intermediate (all sessions)."""
     for cache in _ALL_CACHES:
         for df in cache.values():
             try:
-                df.unpersist()
+                if hasattr(df, "unpersist"):
+                    df.unpersist()
             except Exception:  # noqa: BLE001
                 pass
         cache.clear()

@@ -53,7 +53,7 @@ def train_codebooks(v: DataFrame) -> "np.ndarray":  # noqa: F821
         v.orderBy("vec_id").limit(PQ_SAMPLE).select("emb").collect()
     )
     mat = np.asarray([r["emb"] for r in sample], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     books = np.zeros((PQ_M, PQ_K, _SUB), dtype=np.float64)
     for m in range(PQ_M):
         sub = mat[:, m * _SUB : (m + 1) * _SUB]
@@ -73,6 +73,22 @@ def train_codebooks(v: DataFrame) -> "np.ndarray":  # noqa: F821
     return books
 
 
+#: session-scoped trained codebooks — ss6 (inline PQ) and ss7 (IVF+PQ
+#: build) train the same deterministic per-subspace k-means on the same
+#: bounded sample; once per (session, sf) suffices. Cold-train tests
+#: call train_codebooks directly.
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def trained_codebooks(spark: SparkSession, sf: str):
+    from goose_spark.operators.cache import get_or_compute
+
+    return get_or_compute(
+        _PQ_BOOKS_CACHE, spark, sf,
+        lambda: train_codebooks(_embeddings(spark, sf)),
+    )
+
+
 def pq_encode(mat, bk):
     """Encode a raw (n, dim) float batch to (n, M) uint8 PQ codes:
     L2-normalize, then per-subspace nearest-centroid
@@ -81,7 +97,9 @@ def pq_encode(mat, bk):
     call it, so a change (e.g. a zero-norm guard) cannot diverge."""
     import numpy as np
 
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # zero-norm guard: an all-zero embedding would otherwise yield NaN
+    # codes that silently corrupt every ADC distance it appears in
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     codes = np.empty((len(unit), PQ_M), dtype=np.uint8)
     for m in range(PQ_M):
         sub = unit[:, m * _SUB : (m + 1) * _SUB]
@@ -126,7 +144,7 @@ def adc_topk(codes: DataFrame, queries, books, topk: int = TOP_K,
 
     bk = np.asarray(books)
     qm = np.asarray([q[1] for q in queries], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     qids = [int(q[0]) for q in queries]
     # tables[q][m][k] = ||q_sub - c||² partial
     tables = np.stack(
@@ -205,7 +223,7 @@ def adc_topk(codes: DataFrame, queries, books, topk: int = TOP_K,
 )
 def ss6(spark: SparkSession, sf: str) -> DataFrame:
     v = _embeddings(spark, sf)
-    books = train_codebooks(v)
+    books = trained_codebooks(spark, sf)
     codes = encode_corpus(v, books)
     queries = [
         (r["vec_id"], r["emb"])

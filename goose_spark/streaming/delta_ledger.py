@@ -33,6 +33,7 @@ Delta.
 from __future__ import annotations
 
 import importlib.util
+import os
 
 from goose_spark.streaming.ledger import Ledger
 

@@ -172,6 +172,50 @@ def test_ivf_index_lifecycle(spark, tmp_path):
                for f, m in mtimes.items())  # index untouched
 
 
+def test_shared_quantizer_trains_once(spark, tmp_path, monkeypatch):
+    """ss3 (inline IVF), ss5 (IVF index build) and ss7 (IVF+PQ build)
+    share ONE trained coarse quantizer per (session, sf) — the round-7
+    sweep ran three identical k-means. Count actual _train_ivf calls
+    across all three paths; codebooks likewise train once across
+    ss6 + the IVF+PQ build."""
+    from goose_spark.operators import annindex, pq, similarity
+
+    similarity._IVF_CENTROIDS_CACHE.clear()
+    pq._PQ_BOOKS_CACHE.clear()
+    train_calls, book_calls = [], []
+    real_train, real_books = similarity._train_ivf, pq.train_codebooks
+    monkeypatch.setattr(
+        similarity, "_train_ivf",
+        lambda v: (train_calls.append(1), real_train(v))[1],
+    )
+    monkeypatch.setattr(
+        pq, "train_codebooks",
+        lambda v: (book_calls.append(1), real_books(v))[1],
+    )
+
+    REGISTRY["ss3_ann_ivf"].builder(spark, SF_CORRECT).collect()
+    annindex.build_ivf_index(spark, SF_CORRECT, str(tmp_path / "i1"))
+    annindex.build_ivfpq_index(spark, SF_CORRECT, str(tmp_path / "i2"))
+    REGISTRY["ss6_ann_pq"].builder(spark, SF_CORRECT).collect()
+    assert len(train_calls) == 1, f"k-means ran {len(train_calls)}× (want 1)"
+    assert len(book_calls) == 1, f"codebooks trained {len(book_calls)}× (want 1)"
+
+
+def test_cold_train_matches_cached_quantizer(spark):
+    """A COLD _train_ivf (no cache) reproduces the session-cached
+    quantizer bit-for-bit — the determinism the sharing relies on, and
+    the cold build path's standing coverage."""
+    import numpy as np
+
+    from goose_spark.operators.similarity import (
+        _embeddings, _train_ivf, trained_ivf,
+    )
+
+    cached = trained_ivf(spark, SF_CORRECT)
+    cold = _train_ivf(_embeddings(spark, SF_CORRECT))
+    assert np.array_equal(np.asarray(cached), np.asarray(cold))
+
+
 def test_ivf_index_incremental_append(spark, tmp_path):
     """append_to_ivf_index absorbs new vectors without retraining:
     manifest n/version advance, old cells' files are untouched, and a
