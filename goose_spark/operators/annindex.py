@@ -210,9 +210,7 @@ def ivfpq_query(spark: SparkSession, index_dir: str, queries: DataFrame,
     for r in probe_rows:
         probes.setdefault(int(r["query_id"]), set()).add(int(r["cluster"]))
     probed = sorted({int(r["cluster"]) for r in probe_rows})
-    cells = spark.read.parquet(os.path.join(index_dir, "assignments")).filter(
-        F.col("cluster").isin(probed)
-    )
+    cells = _live_cells(spark, index_dir, probed)
     qlist = [(r["query_id"], r["qe"]) for r in queries.collect()]
     cand = adc_topk(
         cells.select("cluster", "vec_id", "code"), qlist, books,
@@ -252,6 +250,129 @@ def _count_index_rows(index_dir: str) -> int:
         _pq.ParquetFile(f).metadata.num_rows
         for f in _glob.glob(os.path.join(index_dir, "assignments", "*", "*.parquet"))
     )
+
+
+# ---------------------------------------------------------------------------
+# delete / compact — the index absorbs removals (the dead-jobs purge
+# analog: /root/reference/src/goose/brokers/redis/api/dead_jobs.clj:49-57
+# pops members out of the persisted set; here removal is a tombstone so
+# the 100 TB assignments table is never rewritten on the delete path,
+# only on an explicit cell-scoped compact)
+# ---------------------------------------------------------------------------
+
+def _tombstones_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def _live_cells(spark: SparkSession, index_dir: str, probed: list) -> DataFrame:
+    """Probed-cell scan minus tombstoned ids — the ONE read path both
+    query forms use, so a delete is visible to IVF and IVF+PQ serves
+    alike. The tombstone side is pre-pruned to the probed cells and
+    broadcast (O(deletes-in-probed-cells), small by design — compaction
+    is the pressure valve)."""
+    cells = spark.read.parquet(os.path.join(index_dir, "assignments")).filter(
+        F.col("cluster").isin(probed)
+    )
+    tdir = _tombstones_dir(index_dir)
+    import glob as _glob
+
+    if _glob.glob(os.path.join(tdir, "*.parquet")):
+        tomb = (
+            spark.read.parquet(tdir)
+            .filter(F.col("cluster").isin(probed))
+            .select("vec_id")
+        )
+        cells = cells.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return cells
+
+
+def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> dict:
+    """Tombstone deletion: record (vec_id, cluster) for each removed
+    vector — one column-pruned scan (vec_id + the partition column, no
+    embeddings/codes) maps ids to their cells so compaction can later
+    rewrite ONLY affected cells. No assignment file is touched here.
+    Contract: a tombstoned id stays invisible (even if re-appended)
+    until ``compact_ivf_index`` drains the tombstones. Returns the
+    manifest with ``n`` = live rows and ``deleted`` = pending tombstones."""
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    if isinstance(vec_ids, DataFrame):
+        doomed = vec_ids.select("vec_id")
+    else:
+        doomed = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id long"
+        )
+    hits = (
+        spark.read.parquet(os.path.join(index_dir, "assignments"))
+        .select("vec_id", "cluster")
+        .join(F.broadcast(doomed), "vec_id")
+        .distinct()  # an id appended twice pre-delete tombstones once
+    )
+    hits.coalesce(1).write.mode("append").parquet(_tombstones_dir(index_dir))
+    n_tomb = spark.read.parquet(_tombstones_dir(index_dir)).select(
+        "vec_id"
+    ).distinct().count()
+    manifest["n"] = _count_index_rows(index_dir) - n_tomb
+    manifest["deleted"] = n_tomb
+    manifest["version"] = int(manifest["version"]) + 1
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> dict:
+    """Physically drop tombstoned rows by rewriting ONLY the cells that
+    contain them (dynamic partition overwrite — untouched cells' files
+    are not relisted, not rewritten). A cell left empty is removed
+    outright (dynamic overwrite can't emit an empty partition). Drains
+    the tombstone set; ``n`` is re-derived from the rewritten footers."""
+    import glob as _glob
+    import shutil as _shutil
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    tdir = _tombstones_dir(index_dir)
+    if not _glob.glob(os.path.join(tdir, "*.parquet")):
+        return manifest  # nothing pending
+    tomb = spark.read.parquet(tdir)
+    # O(affected cells) ≤ k driver rows: which cells to rewrite, and
+    # which of them still hold live rows after the anti-join
+    affected = sorted(
+        r["cluster"] for r in tomb.select("cluster").distinct().collect()
+    )
+    assignments_dir = os.path.join(index_dir, "assignments")
+    survivors = (
+        spark.read.parquet(assignments_dir)
+        .filter(F.col("cluster").isin(affected))
+        .join(F.broadcast(tomb.select("vec_id")), "vec_id", "left_anti")
+    )
+    live_cells = {
+        r["cluster"]
+        for r in survivors.select("cluster").distinct().collect()
+    }
+    emptied = [c for c in affected if c not in live_cells]
+    if live_cells:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.select("cluster", *[c for c in survivors.columns if c != "cluster"])
+                .repartition("cluster")
+                .write.mode("overwrite")
+                .partitionBy("cluster")
+                .parquet(assignments_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for c in emptied:
+        _shutil.rmtree(os.path.join(assignments_dir, f"cluster={c}"), ignore_errors=True)
+    _shutil.rmtree(tdir, ignore_errors=True)
+    manifest["n"] = _count_index_rows(index_dir)
+    manifest["deleted"] = 0
+    manifest["version"] = int(manifest["version"]) + 1
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
 
 
 def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
@@ -315,10 +436,7 @@ def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
     # so collecting it is O(k) — the static IN filter it produces is
     # what guarantees partition pruning at ANY query volume
     probed = sorted({r["cluster"] for r in q_probes.select("cluster").distinct().collect()})
-    cells = (
-        spark.read.parquet(os.path.join(index_dir, "assignments"))
-        .filter(F.col("cluster").isin(probed))
-    )
+    cells = _live_cells(spark, index_dir, probed)
     cand = (
         F.broadcast(q_probes)
         .join(cells, "cluster")
