@@ -65,10 +65,44 @@ def main() -> None:
         "sf": sf_dir,
         "n_queries": len(timings),
         "failed": sorted(k for k, v in timings.items() if v < 0),
+        "vs_duckdb": vs_duckdb(timings, sf_dir),
         "jobs_throughput": jobs_throughput(spark),
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def vs_duckdb(timings: dict, sf_dir: str) -> dict | None:
+    """Per-query ratio against the recorded single-node DuckDB baseline
+    (BASELINE_QUERIES.json, tools/gen_duckdb_baseline.py) — the 2× gate
+    BASELINE.md's jobs metric couldn't cover. None when no baseline was
+    recorded for this sf (ratios across scale factors are meaningless)."""
+    import math
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_QUERIES.json")
+    if not os.path.exists(path):
+        return None
+    base = json.load(open(path))
+    if os.path.normpath(base.get("sf_dir", "")) != os.path.normpath(sf_dir):
+        return None
+    ratios = {
+        name: round(timings[name] / dsec, 2)
+        for name, dsec in base["queries"].items()
+        if timings.get(name, -1) >= 0 and dsec > 0
+    }
+    vals = sorted(ratios.values())
+    if not vals:
+        return None
+    return {
+        "baseline": base.get("engine"),
+        "n_compared": len(vals),
+        "median_ratio": vals[len(vals) // 2],
+        "geomean_ratio": round(
+            math.exp(sum(math.log(v) for v in vals) / len(vals)), 2
+        ),
+        "over_2x": {k: v for k, v in sorted(ratios.items()) if v > 2.0},
+    }
 
 
 def jobs_throughput(spark, n_jobs: int = 100_000, failure_rate: float = 0.01) -> dict:

@@ -117,6 +117,25 @@ def always_fail(*args):
     raise RuntimeError("this job always fails")
 
 
+@job_fn("effect-once-append")
+def effect_once_append(table_root: str, out_path: str, effect_id: str,
+                       payload: str):
+    """A deliberately NON-idempotent side effect (append a line) wrapped
+    in the effect-once dedup table (streaming/effects.py): replayed
+    micro-batches re-execute the job (at-least-once, SURVEY §7.4.3) but
+    the appended line lands exactly once. The specimen job for the
+    crash-replay effect-once test."""
+    from goose_spark.streaming.effects import EffectOnceTable
+
+    table = EffectOnceTable(table_root)
+
+    def eff():
+        with open(out_path, "a") as fh:
+            fh.write(payload + "\n")
+
+    return "applied" if table.run_once(effect_id, eff) else "skipped"
+
+
 # --- recording handlers (test/bench support, like `flaky` above) ----------
 # Handler fns must live in module code so executor Python workers resolve
 # them (FN_REGISTRY is per-process; decorators in a test body only exist

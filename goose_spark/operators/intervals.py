@@ -103,7 +103,8 @@ def banded_join(left: DataFrame, right: DataFrame, band_sec: int,
 
 def interval_overlap_join(a: DataFrame, b: DataFrame, bucket_sec: int,
                           a_start: str = "start", a_end: str = "end",
-                          b_start: str = "start", b_end: str = "end") -> DataFrame:
+                          b_start: str = "start", b_end: str = "end",
+                          salt: int = 1) -> DataFrame:
     """Inner-join every pair of OVERLAPPING intervals (inclusive:
     ``a.start <= b.end AND b.start <= a.end``) — the interval×interval
     big brother of :func:`banded_join` (which joins points).
@@ -118,6 +119,18 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, bucket_sec: int,
     duplicates across buckets — no distinct needed. This is the
     standard blocked interval join (Flink interval join / Spark
     stream-stream time-bound join use the same state-bucketing idea).
+
+    ``salt`` — degenerate-skew guard (same family as the LSH
+    ``max_bucket`` cap in operators/dedup.py, but EXACT: salting
+    re-shards, never drops). A hot bucket (mass-concurrent intervals)
+    concentrates its bucket² candidate pairs in one join task; with
+    ``salt = S`` the ``a`` side spreads each bucket across S sub-shards
+    (per-row ``monotonically_increasing_id % S`` — even for identical
+    rows, the worst skew) and the ``b`` side replicates into all S, so
+    the hot task shrinks ×S at the cost of S× shuffle volume on ``b``.
+    Pass the bigger/hotter side as ``a``. Default 1 = off (AQE's
+    skew-join split already re-balances moderate skew); the pair set is
+    identical at any salt.
     """
     bus = bucket_sec * 1_000_000
 
@@ -133,15 +146,26 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, bucket_sec: int,
         )
 
     pa, pb = prep(a, a_start, a_end, "a"), prep(b, b_start, b_end, "b")
+    keys = ["_bkt"]
+    if salt > 1:
+        # row-level shard id: stable within an execution (partition id +
+        # row position), spreads even bit-identical rows; correctness
+        # never depends on WHICH shard a row lands in — each a-row owns
+        # exactly one, and every b-row visits all S
+        pa = pa.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), salt))
+        pb = pb.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+        )
+        keys = ["_bkt", "_salt"]
     later_start = F.greatest(F.col("_s_a"), F.col("_s_b"))
     return (
-        pa.join(pb, "_bkt")
+        pa.join(pb, keys)
         .filter(
             (F.col("_s_a") <= F.col("_e_b"))
             & (F.col("_s_b") <= F.col("_e_a"))
             & (F.col("_bkt") == F.floor(later_start / bus))
         )
-        .drop("_bkt", "_s_a", "_e_a", "_s_b", "_e_b")
+        .drop(*keys, "_s_a", "_e_a", "_s_b", "_e_b")
     )
 
 

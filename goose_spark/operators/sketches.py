@@ -134,7 +134,10 @@ def rollup_upsert(spark: SparkSession, batch_events: DataFrame,
             )
         )
     (
-        new.repartition(1)
+        # repartition ON the partition column: same one-file-per-day
+        # layout, but the touched days write in PARALLEL — repartition(1)
+        # was a single-task funnel once a batch spans many days
+        new.repartition("day")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")

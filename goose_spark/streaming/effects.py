@@ -1,0 +1,72 @@
+"""Effect-once dedup table — SURVEY §7.4.3's promise made concrete.
+
+The engine (like goose) is AT-LEAST-ONCE: a crash between a
+micro-batch's execution and its checkpoint commit replays the batch
+(reference ADR ``architecture-decisions/pages/reliability.md`` — jobs
+must be idempotent; orphan replay
+``src/goose/brokers/redis/orphan_checker.clj:9-25`` re-runs in-progress
+jobs the same way). For side effects that are NOT naturally idempotent,
+this table turns the replayed execution into a no-op: every applied
+effect leaves a completion marker keyed by a caller-chosen effect id —
+the job id for per-job effects, the ``batch_id`` for batch callbacks —
+and a replay sees the marker and skips.
+
+Protocol (markers record COMPLETION, never intent):
+
+1. marker exists → skip (the replay path);
+2. run the effect;
+3. write the marker atomically (temp file + ``os.replace``).
+
+A crash INSIDE steps 2–3 re-runs the effect on replay — the unavoidable
+window of any non-transactional sink (Spark's own foreachBatch docs
+prescribe exactly this batch-id-dedup pattern). Close it where it
+matters by making the effect atomic WITH the marker (emit the effect's
+output and the marker under one rename) or by using a transactional
+sink.
+
+The table is a plain directory, shared by executor processes through
+the same filesystem the ledger uses (at cluster scale: the DFS). Marker
+names are sha256(effect_id), so any string — job ids, composite
+``batch_id/phase`` keys — is safe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+
+class EffectOnceTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _marker(self, effect_id: str) -> str:
+        return os.path.join(
+            self.root, hashlib.sha256(effect_id.encode()).hexdigest()
+        )
+
+    def applied(self, effect_id: str) -> bool:
+        return os.path.exists(self._marker(effect_id))
+
+    def mark(self, effect_id: str, payload: str = "") -> None:
+        """Atomic completion record: a concurrent reader sees the marker
+        fully written or not at all (temp + rename, the ledger's own
+        commit idiom)."""
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".tmp-")
+        try:
+            os.write(fd, payload.encode())
+        finally:
+            os.close(fd)
+        os.replace(tmp, self._marker(effect_id))
+
+    def run_once(self, effect_id: str, thunk) -> bool:
+        """Run ``thunk`` unless ``effect_id`` already completed. Returns
+        True when the effect ran, False when the marker short-circuited
+        it (the replay path)."""
+        if self.applied(effect_id):
+            return False
+        thunk()
+        self.mark(effect_id)
+        return True

@@ -853,10 +853,22 @@ class Worker:
         path = self.ledger.cron_path
         if not os.path.exists(path):
             return
-        entries = pq.read_table(path).to_pylist()
-        if not entries:
+        tbl = pq.read_table(path)
+        if tbl.num_rows == 0:
             return
         now = _now()
+        # vectorized due-scan: the common tick (nothing due) costs one
+        # Arrow compare over the registry, NOT a Python loop — the
+        # per-entry Python below runs only over entries actually firing
+        import pyarrow.compute as pc
+
+        due_mask = pc.and_kleene(
+            pc.is_valid(tbl["next_run_at"]),
+            pc.less_equal(tbl["next_run_at"], pa.scalar(now, type=pa.timestamp("us"))),
+        )
+        if pc.sum(due_mask).as_py() in (0, None):
+            return
+        entries = tbl.to_pylist()
         changed = False
         import uuid as _uuid
 

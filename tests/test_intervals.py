@@ -209,6 +209,56 @@ def test_overlap_join_matches_naive_exactly_once(spark):
     assert len(got) == len(set(got)), "duplicate pair across buckets"
 
 
+def test_overlap_join_salt_guard_degenerate_skew(spark):
+    """Degenerate skew: one bucket holds nearly ALL intervals (800
+    identical spans — the mass-concurrent worst case that concentrates
+    bucket² pairs in one join task). With salt=8 the pair set is still
+    EXACTLY the naive enumeration (salting re-shards, never drops), the
+    join's shuffle key includes the salt (the plan splits the hot
+    bucket), and the sharding math spreads the hot side ~evenly."""
+    from goose_spark.operators.intervals import interval_overlap_join
+
+    b = _ts("2024-03-01 00:00:00")
+
+    def iv(i, s_min, e_min):
+        return (i, b + dt.timedelta(minutes=s_min), b + dt.timedelta(minutes=e_min))
+
+    # hot bucket: 800 identical 2-minute intervals (bucket_sec=3600 → all
+    # in bucket 0) + a handful of normal intervals elsewhere
+    hot = [iv(i, 10, 12) for i in range(800)]
+    cool = [iv(1000 + i, 70 * i + 65, 70 * i + 80) for i in range(5)]
+    a = spark.createDataFrame(hot + cool, "aid int, start timestamp, end timestamp")
+    c = spark.createDataFrame(
+        [iv(5000 + i, 11, 13) for i in range(10)]  # overlap every hot row
+        + [iv(6000, 75, 78)],
+        "bid int, start timestamp, end timestamp",
+    )
+
+    salted = interval_overlap_join(a, c, bucket_sec=3600, salt=8)
+    got = sorted((r["aid_a"], r["bid_b"]) for r in salted.collect())
+    want = sorted(
+        (x["aid"], y["bid"])
+        for x in a.collect()
+        for y in c.collect()
+        if x["start"] <= y["end"] and y["start"] <= x["end"]
+    )
+    assert got == want and len(got) == len(set(got))
+    assert len(got) >= 8000  # the hot bucket really is degenerate
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "salt column absent from the physical join"
+
+    # sharding math: per-partition-consecutive ids mod S cycle evenly, so
+    # even 800 BIT-IDENTICAL rows spread across all 8 shards
+    from pyspark.sql import functions as FF
+    shards = (
+        a.withColumn("_salt", FF.pmod(FF.monotonically_increasing_id(), 8))
+        .groupBy("_salt").count().collect()
+    )
+    assert len(shards) == 8
+    assert max(r["count"] for r in shards) <= (805 / 8) * 1.5
+
+
 def test_concurrency_ignores_null_endpoints(spark):
     """An open interval (NULL end) is no interval: filtered, not a
     driver crash in the bucket-offset sort."""

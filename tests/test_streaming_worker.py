@@ -392,6 +392,56 @@ def test_crash_replay_at_least_once_state_converges(spark, ledger, tmp_path):
     assert ledger.log(spark).filter("status = 'success'").count() == 20
 
 
+def test_effect_once_under_crash_replay(spark, ledger, tmp_path):
+    """SURVEY §7.4.3's effect-once proof (round-8): kill between execute
+    and commit (checkpoint rolled back after a processed batch), the
+    micro-batch REPLAYS — executions double (at-least-once, the goose
+    contract) — but a deliberately non-idempotent side effect routed
+    through the dedup table (streaming/effects.py) lands exactly once."""
+    import shutil
+
+    table = str(tmp_path / "effects")
+    out = str(tmp_path / "out.log")
+    client = JobClient(ledger)
+    for i in range(5):
+        client.perform_async("effect-once-append", table, out, f"eff-{i}", f"payload-{i}")
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+
+    snapshot = str(tmp_path / "ck-snapshot")
+    shutil.copytree(ledger.checkpoint_dir, snapshot)
+    worker.process_available()
+    assert worker.executions == 5
+
+    # crash between execute and commit: the checkpoint never advanced
+    shutil.rmtree(ledger.checkpoint_dir)
+    shutil.copytree(snapshot, ledger.checkpoint_dir)
+    worker.process_available()
+
+    assert worker.executions == 10  # the batch really did replay…
+    with open(out) as fh:
+        lines = sorted(fh.read().splitlines())
+    assert lines == [f"payload-{i}" for i in range(5)]  # …the effect did not
+    assert counts(spark, ledger) == {"success": 5}
+
+
+def test_effect_once_table_protocol(tmp_path):
+    """Unit contract: run_once runs-and-marks, a second call
+    short-circuits, and mark() is atomic (no partial marker names)."""
+    import os
+
+    from goose_spark.streaming.effects import EffectOnceTable
+
+    t = EffectOnceTable(str(tmp_path / "eff"))
+    ran = []
+    assert t.run_once("e1", lambda: ran.append(1)) is True
+    assert t.run_once("e1", lambda: ran.append(1)) is False
+    assert ran == [1]
+    assert t.applied("e1") and not t.applied("e2")
+    # ids of any shape are path-safe (hashed markers)
+    assert t.run_once("batch/σ weird: id\n", lambda: None) is True
+    assert not any(f.startswith(".tmp-") for f in os.listdir(t.root))
+
+
 def test_ledger_compaction(spark, ledger):
     client = JobClient(ledger)
     for i in range(20):
