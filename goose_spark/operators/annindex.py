@@ -72,7 +72,7 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     assigned = _assign_with_emb(v, centroids)
     (
         assigned.select("cluster", "vec_id", "emb")
@@ -131,13 +131,13 @@ def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     books = trained_codebooks(spark, sf)  # shared with ss6's inline PQ
     spark.createDataFrame(
         [(m, kk, books[m, kk].tolist()) for m in range(books.shape[0])
          for kk in range(books.shape[1])],
         "m int, k int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
     cmat = np.asarray(centroids, dtype=np.float64)
     bk = np.asarray(books)
 
@@ -308,7 +308,7 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> dict:
         .join(F.broadcast(doomed), "vec_id")
         .distinct()  # an id appended twice pre-delete tombstones once
     )
-    hits.coalesce(1).write.mode("append").parquet(_tombstones_dir(index_dir))
+    hits.repartition(1).write.mode("append").parquet(_tombstones_dir(index_dir))
     n_tomb = spark.read.parquet(_tombstones_dir(index_dir)).select(
         "vec_id"
     ).distinct().count()

@@ -46,6 +46,12 @@ def get_spark(app_name: str = "gosling", cpus: int | None = None) -> SparkSessio
         .master(f"local[{n}]")
         # -- optimizer / runtime ------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
+        # local mode has ONE locality domain — any nonzero locality wait
+        # is a pure stall (measured: a 16-row parallelized count pays the
+        # full 3 s default). On a real cluster restore a small value via
+        # SPARK_GRAFT_LOCALITY_WAIT to keep HDFS-local scan scheduling.
+        .config("spark.locality.wait",
+                os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -11,21 +11,37 @@ drain, then read every success row's commit-time (its ns-clock ``seq``)
 minus ``enqueued_at`` from the ledger log. availableNow instead
 pre-loads the same total and drains it in one pass (bench.py's shape).
 
+Isolation: each config runs in its OWN subprocess (fresh JVM + fresh
+SparkSession + its own warm-up) — round-7's in-study availableNow figure
+was depressed by accumulated session state after three continuous runs
+(BASELINE.md footnote ¹, now retired); per-config fresh sessions measure
+the config, not the session history. Run on an idle host.
+
 Usage: python3 tools/trigger_latency.py [feed_sec] [rate]
 Prints a markdown table; paste into BASELINE.md § engine.
+(Internal: --one <0.25|0.5|1.0|availableNow> runs a single config in
+this process and prints one JSON line.)
 """
 
 from __future__ import annotations
 
+import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FEED_SEC = float(sys.argv[1]) if len(sys.argv) > 1 else 12.0
-ENQ_RATE = int(sys.argv[2]) if len(sys.argv) > 2 else 1000  # jobs/sec offered
+ONE = None
+argv = sys.argv[1:]
+if "--one" in argv:
+    i = argv.index("--one")
+    ONE = argv[i + 1]
+    del argv[i : i + 2]
+FEED_SEC = float(argv[0]) if len(argv) > 0 else 12.0
+ENQ_RATE = int(argv[1]) if len(argv) > 1 else 1000  # jobs/sec offered
 CHUNK = 100  # jobs per atomic append file
 
 
@@ -133,22 +149,37 @@ def run_available_now(spark) -> dict:
     }
 
 
-def main() -> None:
+def run_one(config: str) -> None:
+    """Single config in THIS process: fresh session, own warm-up, one
+    JSON result line on stdout (everything else goes to stderr)."""
     from goose_spark.session import get_spark
 
-    spark = get_spark("gosling-trigger-latency")
+    spark = get_spark(f"gosling-trigger-{config}")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the streaming machinery once (untimed, small)
-    global FEED_SEC, ENQ_RATE
-    feed, rate = FEED_SEC, ENQ_RATE
-    FEED_SEC, ENQ_RATE = 1.0, 200
+    # criterium-parity warm-up (perf/goose/core.clj:39-53 runs untimed
+    # iterations of the SAME workload): one full-size availableNow drain
+    # — a 200-job warm leaves ~3 s of first-big-batch spin-up (staged
+    # write path, codegen) billed to the measurement
     run_available_now(spark)
-    FEED_SEC, ENQ_RATE = feed, rate
+    if config == "availableNow":
+        row = run_available_now(spark)
+    else:
+        row = run_continuous(spark, float(config))
+    print(json.dumps(row))
+    spark.stop()
+
+
+def main() -> None:
     rows = []
-    rows.append(run_continuous(spark, 0.25))
-    rows.append(run_continuous(spark, 0.5))
-    rows.append(run_continuous(spark, 1.0))
-    rows.append(run_available_now(spark))
+    for config in ("0.25", "0.5", "1.0", "availableNow"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--one", config, str(FEED_SEC), str(ENQ_RATE)],
+            capture_output=True, text=True, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        rows.append(json.loads(line))
+        print(f"done: {config}", file=sys.stderr)
     print("| trigger | jobs | jobs/sec | p50 s | p95 s | p99 s | max s |")
     print("|---|---|---|---|---|---|---|")
     for r in rows:
@@ -159,4 +190,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if ONE:
+        run_one(ONE)
+    else:
+        main()
