@@ -25,10 +25,12 @@ def load_all() -> dict:
         clusters,
         curation,
         dedup,
+        heavyhitters,
         layout,
         multimodal,
         pipeline,
         pq,
+        semdedup,
         similarity,
         sketches,
         text,

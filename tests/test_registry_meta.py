@@ -27,6 +27,7 @@ def test_rows_only_entries_are_the_known_approximates():
         "ss5_ann_ivf_index",
         "ss6_ann_pq",  # quantized distances (recall floor: test_pq)
         "ss7_ann_ivfpq",  # quantized candidates (recall floor: test_pq)
+        "ss8_semdedup",  # cluster-blocked (recall floor: test_semdedup)
     ]
 
 
