@@ -14,6 +14,9 @@ operator primitives:
       → train/val/test split (sp1 md5-prefix buckets)
       → sequence packing     (sp4 two-pass token chunking, 2048-token
                               budget) over the surviving train split
+      → vocabulary report    (tx13 Misra-Gries + exact recount: the
+                              frequent-token statistics a BPE train
+                              starts from, no full-token shuffle)
 
 Every stage is DataFrame algebra or an Arrow kernel — the same code
 paths the oracle-checked registry queries run — and each stage hands the
@@ -175,6 +178,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         chunks = token_chunks_two_pass(spark, stage_dir)
         stats["train_chunks"] = chunks.select("chunk").distinct().count()
         stats["train_tokens"] = chunks.agg(F.sum("n_tokens")).collect()[0][0]
+
+        # 7. vocabulary report over the surviving train split (tx13
+        #    kernel): exact frequent tokens via per-partition
+        #    Misra-Gries candidates + recount — the corpus statistics a
+        #    tokenizer-training run (q79 BPE) starts from, computed
+        #    WITHOUT shuffling the full Zipf-skewed token stream
+        from goose_spark.operators.heavyhitters import heavy_hitters
+
+        train = spark.read.parquet(os.path.join(stage_dir, "documents.parquet"))
+        hh = heavy_hitters(train, spark, phi=0.005).collect()
+        stats["vocab_heavy_hitters"] = len(hh)
+        stats["vocab_top"] = [(r["token"], r["cnt"]) for r in hh[:5]]
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return stats

@@ -26,6 +26,10 @@ def test_pipeline_end_to_end(spark):
     assert sum(stats["splits"].values()) == stats["after_mixture"]
     assert stats["train_chunks"] > 0
     assert stats["train_tokens"] > 0
+    # vocabulary report (tx13 kernel) over the train split
+    assert stats["vocab_heavy_hitters"] == len(stats["vocab_top"]) or \
+        stats["vocab_heavy_hitters"] > 5
+    assert all(cnt > 0 for _, cnt in stats["vocab_top"])
 
 
 def test_retrieval_pipeline_end_to_end(spark):
