@@ -113,6 +113,23 @@ JUSTIFICATIONS: dict[str, str] = {
         "inverted-index join; per-row compute dominates and "
         "distributes linearly."
     ),
+    "q37_shipping_priority": _MULTI_STAGE,
+    "q23_json_extraction": (
+        "per-row JVM get_json_object parse over the full events scan "
+        "plus one partial-agg exchange; DuckDB parses JSON in native "
+        "C in-process. The parse is embarrassingly parallel (the query "
+        "doc already prescribes promoting hot JSON keys to columns at "
+        "ingest for the 100 TB path); wall-clock here is scan floor + "
+        "parse, not a structural scale risk."
+    ),
+    "sp7_mixture_sample": (
+        "deliberate O(langs) driver round-trip (collect the 5-row "
+        "per-lang count table, literal-broadcast the rate table) "
+        "replacing Catalyst's nested-branch plan that re-scanned the "
+        "source 8×; two Spark jobs ⇒ 2× the fixed floor at sf0.1, one "
+        "scan + one tiny shuffle at any scale — document bodies never "
+        "shuffle."
+    ),
 }
 
 
