@@ -5,7 +5,9 @@ well under Nx at this size, since fixed overhead dominates the 1x run —
 are the evidence that the pipeline stages are data-parallel, not
 driver-bound.
 
-Usage: python3 tools/scale_smoke.py [N_COPIES]
+Usage: python3 tools/scale_smoke.py [N_COPIES] [OP_NAME ...]
+(op names restrict the run to a subset — e.g. to extend SCALE.md's
+table with newly added operators without re-timing the whole sweep)
 """
 
 from __future__ import annotations
@@ -46,6 +48,8 @@ OPS = [
     "q76_peak_concurrency",
     "q78_sketch_rollup",
     "q80_bpe_encode",
+    "tx13_heavy_hitters",
+    "ss8_semdedup",
 ]
 
 
@@ -146,6 +150,7 @@ def build_scaled(spark, n_copies: int) -> str:
 
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    only = sys.argv[2:]
     from goose_spark.queries import load_all
     from goose_spark.session import get_spark
 
@@ -167,8 +172,10 @@ def main() -> None:
         big = time.perf_counter() - t0
         print(f"| {name} | {base:.2f} | {big:.2f} | {big / base:.1f}x |", flush=True)
 
-    for name in OPS:
+    for name in (only or OPS):
         run(name, registry[name])
+    if only:
+        return
     # dd6's iterative min-label path (the >2M-edge plan), forced
     from goose_spark.operators import clusters
 
