@@ -84,10 +84,14 @@ def vs_duckdb(timings: dict, sf_dir: str) -> dict | None:
     if not os.path.exists(path):
         return None
     base = json.load(open(path))
-    if os.path.normpath(base.get("sf_dir", "")) != os.path.normpath(sf_dir):
+    # abspath before compare: `python3 bench.py` run with a relative
+    # SPARK_GRAFT_SF_DIR must still match the recorded absolute sf_dir
+    if os.path.abspath(base.get("sf_dir", "")) != os.path.abspath(sf_dir):
         return None
+    # raw ratios for every comparison/gate; round only at display time —
+    # a 2.004× query must not round itself under the 2.0 gate
     ratios = {
-        name: round(timings[name] / dsec, 2)
+        name: timings[name] / dsec
         for name, dsec in base["queries"].items()
         if timings.get(name, -1) >= 0 and dsec > 0
     }
@@ -97,11 +101,11 @@ def vs_duckdb(timings: dict, sf_dir: str) -> dict | None:
     return {
         "baseline": base.get("engine"),
         "n_compared": len(vals),
-        "median_ratio": vals[len(vals) // 2],
+        "median_ratio": round(vals[len(vals) // 2], 2),
         "geomean_ratio": round(
             math.exp(sum(math.log(v) for v in vals) / len(vals)), 2
         ),
-        "over_2x": {k: v for k, v in sorted(ratios.items()) if v > 2.0},
+        "over_2x": {k: round(v, 2) for k, v in sorted(ratios.items()) if v > 2.0},
     }
 
 

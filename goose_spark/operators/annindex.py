@@ -34,28 +34,39 @@ from goose_spark.operators.similarity import (
 )
 
 
-def _assign_with_emb(v: DataFrame, centroids) -> DataFrame:
+def _assign_with_emb(v: DataFrame, centroids, books=None) -> DataFrame:
     """Nearest-centroid assignment carrying the embedding through — one
     matmul per Arrow batch, no shuffle join back to the corpus (cf.
     similarity._assign, which returns ids only and would need the
-    join). Shared by the initial build and incremental append."""
+    join). With ``books`` (PQ codebooks) the same Arrow pass also
+    encodes each vector's PQ code — the fused assign+encode every
+    IVFPQ write path (build AND append) must use, so appended rows can
+    never land code-less in a coded assignments table. Shared by the
+    initial build and incremental append."""
     import numpy as np
 
     cmat = np.asarray(centroids, dtype=np.float64)
+    bk = None if books is None else np.asarray(books)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_spark.operators.pq import pq_encode
+
         for pdf in batches:
             mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
             scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
-            yield pd.DataFrame(
-                {
-                    "cluster": scores.argmax(axis=1).astype("int32"),
-                    "vec_id": pdf["vec_id"],
-                    "emb": pdf["emb"],
-                }
-            )
+            cols = {
+                "cluster": scores.argmax(axis=1).astype("int32"),
+                "vec_id": pdf["vec_id"],
+                "emb": pdf["emb"],
+            }
+            if bk is not None:
+                cols["code"] = [c.tobytes() for c in pq_encode(mat, bk)]
+            yield pd.DataFrame(cols)
 
-    return v.mapInPandas(kernel, schema="cluster int, vec_id long, emb array<double>")
+    schema = "cluster int, vec_id long, emb array<double>"
+    if books is not None:
+        schema += ", code binary"
+    return v.mapInPandas(kernel, schema=schema)
 
 
 def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
@@ -121,9 +132,7 @@ def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     PQ code; assignments persist cluster-partitioned with BOTH the code
     (the scan column) and the embedding (the refine column — column
     pruning keeps it out of the ADC scan)."""
-    import numpy as np
-
-    from goose_spark.operators.pq import PQ_M, pq_encode, trained_codebooks
+    from goose_spark.operators.pq import PQ_M, trained_codebooks
 
     v = _embeddings(spark, sf)
     centroids = trained_ivf(spark, sf)  # shared session k-means (ss3/ss5/ss7)
@@ -138,28 +147,10 @@ def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
          for kk in range(books.shape[1])],
         "m int, k int, centroid array<double>",
     ).repartition(1).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
-    cmat = np.asarray(centroids, dtype=np.float64)
-    bk = np.asarray(books)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    (
         # fused assign+encode: one Arrow pass, both the cell argmax and
         # pq.pq_encode (the shared encode routine) over the same batch
-        for pdf in batches:
-            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
-            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
-            yield pd.DataFrame(
-                {
-                    "cluster": scores.argmax(axis=1).astype("int32"),
-                    "vec_id": pdf["vec_id"],
-                    "emb": pdf["emb"],
-                    "code": [c.tobytes() for c in pq_encode(mat, bk)],
-                }
-            )
-
-    (
-        v.mapInPandas(
-            kernel, schema="cluster int, vec_id long, emb array<double>, code binary"
-        )
+        _assign_with_emb(v, centroids, books=books)
         .repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
@@ -191,12 +182,7 @@ def ivfpq_query(spark: SparkSession, index_dir: str, queries: DataFrame,
         .collect()
     )
     cmat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
-    brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
-    mmax = max(r["m"] for r in brows) + 1
-    kmax = max(r["k"] for r in brows) + 1
-    books = np.zeros((mmax, kmax, len(brows[0]["centroid"])))
-    for r in brows:
-        books[r["m"], r["k"]] = r["centroid"]
+    books = _load_books(spark, index_dir)
 
     q_probes = queries.mapInPandas(
         _probe_kernel(cmat, nprobe), schema="query_id long, cluster int"
@@ -232,6 +218,8 @@ def ivfpq_query(spark: SparkSession, index_dir: str, queries: DataFrame,
             cells.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")),
             "neighbor_id",
         )
+        .distinct()  # duplicate assignment rows for one id must not
+        # consume extra top-k rank slots (the ivf_index_query guard)
         .join(F.broadcast(qe), "query_id")
         .select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
@@ -239,6 +227,20 @@ def ivfpq_query(spark: SparkSession, index_dir: str, queries: DataFrame,
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
         .orderBy("query_id", "rank")
     )
+
+
+def _load_books(spark: SparkSession, index_dir: str):
+    """The persisted PQ codebooks as the (m, k, sub) ndarray every code
+    producer/consumer shares — O(m×k) rows."""
+    import numpy as np
+
+    brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
+    mmax = max(r["m"] for r in brows) + 1
+    kmax = max(r["k"] for r in brows) + 1
+    books = np.zeros((mmax, kmax, len(brows[0]["centroid"])))
+    for r in brows:
+        books[r["m"], r["k"]] = r["centroid"]
+    return books
 
 
 def _count_index_rows(index_dir: str) -> int:
@@ -262,6 +264,27 @@ def _count_index_rows(index_dir: str) -> int:
 
 def _tombstones_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
+
+
+def _live_rows(spark: SparkSession, index_dir: str) -> int:
+    """Rows a query can actually see: physical footer rows minus EVERY
+    assignment row of a tombstoned id (an id appended twice pre-delete
+    has two rows, both hidden by ``_live_cells``). The one ``n``
+    definition every manifest writer uses."""
+    import glob as _glob
+
+    total = _count_index_rows(index_dir)
+    tdir = _tombstones_dir(index_dir)
+    if not _glob.glob(os.path.join(tdir, "*.parquet")):
+        return total
+    tomb_ids = spark.read.parquet(tdir).select("vec_id").distinct()
+    hidden = (
+        spark.read.parquet(os.path.join(index_dir, "assignments"))
+        .select("vec_id")
+        .join(F.broadcast(tomb_ids), "vec_id")
+        .count()
+    )
+    return total - hidden
 
 
 def _live_cells(spark: SparkSession, index_dir: str, probed: list) -> DataFrame:
@@ -312,7 +335,7 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> dict:
     n_tomb = spark.read.parquet(_tombstones_dir(index_dir)).select(
         "vec_id"
     ).distinct().count()
-    manifest["n"] = _count_index_rows(index_dir) - n_tomb
+    manifest["n"] = _live_rows(spark, index_dir)
     manifest["deleted"] = n_tomb
     manifest["version"] = int(manifest["version"]) + 1
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
@@ -386,7 +409,8 @@ def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
     decision), the append touches only the cells the new vectors land
     in, and readers see the new rows on their next scan because
     partition listing is per-query. Returns the updated manifest
-    (``version`` bumped, ``n`` re-derived from footers)."""
+    (``version`` bumped, ``n`` = live rows — footer rows minus any
+    rows still hidden by pending tombstones)."""
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     cent = (
@@ -394,14 +418,17 @@ def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
         .orderBy("cluster")
         .collect()
     )
+    # IVFPQ index: appendees must carry PQ codes from the FROZEN
+    # codebooks, or the ADC scan would hit NULL codes
+    books = _load_books(spark, index_dir) if manifest.get("pq_m") else None
     (
-        _assign_with_emb(new_vectors, [r["centroid"] for r in cent])
+        _assign_with_emb(new_vectors, [r["centroid"] for r in cent], books=books)
         .repartition("cluster")
         .write.mode("append")
         .partitionBy("cluster")
         .parquet(os.path.join(index_dir, "assignments"))
     )
-    manifest["n"] = _count_index_rows(index_dir)
+    manifest["n"] = _live_rows(spark, index_dir)
     manifest["version"] = int(manifest["version"]) + 1
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)

@@ -58,9 +58,11 @@ def semdedup(v: DataFrame, spark: SparkSession, centroids,
     quantizer (list of k dim-vectors)."""
     import numpy as np
 
-    from goose_spark.operators.similarity import _assign
+    from goose_spark.operators.annindex import _assign_with_emb
 
-    assigned = _assign(v, centroids).join(v, "vec_id")
+    # carries emb through the assignment kernel — no shuffle join back
+    # to the corpus (the same reason the index build uses it)
+    assigned = _assign_with_emb(v, centroids).select("vec_id", "cluster", "emb")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -89,12 +91,12 @@ def semdedup(v: DataFrame, spark: SparkSession, centroids,
 
     # sub-block oversized cells by a deterministic id hash; normal cells
     # get sub=0 so the group key stays (cluster, 0) == the whole cell
-    counts = assigned.groupBy("cluster").count()
-    big = {r["cluster"] for r in counts.filter(F.col("count") > max_cell).collect()}
+    count_rows = assigned.groupBy("cluster").count().collect()  # one job
+    big = {r["cluster"] for r in count_rows if r["count"] > max_cell}
     if big:
         n_splits = {
             r["cluster"]: -(-r["count"] // max_cell)
-            for r in counts.collect() if r["cluster"] in big
+            for r in count_rows if r["cluster"] in big
         }
         split_expr = F.lit(1)
         for c, s in n_splits.items():

@@ -64,9 +64,26 @@ class EffectOnceTable:
     def run_once(self, effect_id: str, thunk) -> bool:
         """Run ``thunk`` unless ``effect_id`` already completed. Returns
         True when the effect ran, False when the marker short-circuited
-        it (the replay path)."""
+        it (the replay path).
+
+        Concurrent racers (e.g. an orphan re-run overlapping a slow live
+        worker) are serialized with an exclusive ``flock`` on a per-effect
+        lock file, double-checking the marker inside the lock — so two
+        overlapping executors cannot both run the thunk. A crash while
+        holding the lock releases it at the kernel (no deadlock) and
+        leaves no marker, so replay legitimately re-runs. The lock is
+        advisory and per-filesystem: at cluster scale the marker dir must
+        live on a filesystem with POSIX lock semantics (or this table is
+        swapped for a transactional store — the same placement decision
+        goose delegates to Redis's single-writer atomicity)."""
         if self.applied(effect_id):
             return False
-        thunk()
-        self.mark(effect_id)
+        import fcntl
+
+        with open(self._marker(effect_id) + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if self.applied(effect_id):  # raced: the other holder won
+                return False
+            thunk()
+            self.mark(effect_id)
         return True

@@ -78,8 +78,8 @@ def test_append_after_delete_round_trip(spark, tmp_path):
         "vec_id long, emb array<double>",
     )
     man2 = append_to_ivf_index(spark, new, idx)
-    # physical rows grew by 2; manifest n from append is footer-derived
-    assert man2["n"] == man0["n"] + 2
+    # n is LIVE rows everywhere: +2 appended, id 42 still tombstoned
+    assert man2["n"] == man0["n"] + 2 - 1
 
     qdf = spark.createDataFrame([(0, base)], "query_id long, qe array<double>")
     got = [r["neighbor_id"] for r in ivf_index_query(spark, idx, qdf, topk=3).collect()]
@@ -131,3 +131,52 @@ def test_compact_noop_without_tombstones(spark, tmp_path):
     man0 = build_ivf_index(spark, SF_CORRECT, idx)
     man1 = compact_ivf_index(spark, idx)
     assert man1 == {**man0}  # version untouched — nothing pending
+
+
+def test_duplicate_append_then_delete_counts_hidden_rows(spark, tmp_path):
+    """An id appended twice has two assignment rows; deleting it hides
+    BOTH (_live_cells anti-joins on vec_id), so manifest n must drop by
+    the hidden ROW count, not by one-per-distinct-id — and compaction
+    must land on the same number."""
+    idx = str(tmp_path / "ivf")
+    man0 = build_ivf_index(spark, SF_CORRECT, idx)
+    v = _embeddings(spark, SF_CORRECT)
+    base = v.filter(F.col("vec_id") == 42).collect()[0]["emb"]
+
+    dup = spark.createDataFrame([(42, base)], "vec_id long, emb array<double>")
+    man1 = append_to_ivf_index(spark, dup, idx)
+    assert man1["n"] == man0["n"] + 1  # two rows for id 42 now
+
+    man2 = delete_from_ivf_index(spark, idx, [42])
+    assert man2["deleted"] == 1  # one pending id...
+    assert man2["n"] == man0["n"] - 1  # ...but BOTH its rows are hidden
+
+    qdf = spark.createDataFrame([(0, base)], "query_id long, qe array<double>")
+    got = {r["neighbor_id"] for r in ivf_index_query(spark, idx, qdf).collect()}
+    assert 42 not in got
+
+    man3 = compact_ivf_index(spark, idx)
+    assert man3["n"] == man2["n"]  # physical now equals live
+
+
+def test_ivfpq_duplicate_rows_do_not_eat_rank_slots(spark, tmp_path):
+    """Duplicate assignment rows for one vec_id (append of an existing
+    id) must yield ONE candidate in the exact re-rank, not two rows
+    occupying consecutive ranks."""
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, SF_CORRECT, idx)
+    v = _embeddings(spark, SF_CORRECT)
+    some = v.filter(F.col("vec_id").isin([7, 8, 9])).collect()
+    dup = spark.createDataFrame(
+        [(int(r["vec_id"]), r["emb"]) for r in some],
+        "vec_id long, emb array<double>",
+    )
+    append_to_ivf_index(spark, dup, idx)
+
+    q = _queries(spark)
+    out = ivfpq_query(spark, idx, q).collect()
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, neigh in per_q.items():
+        assert len(neigh) == len(set(neigh)), f"dup neighbor for query {qid}"

@@ -442,6 +442,39 @@ def test_effect_once_table_protocol(tmp_path):
     assert not any(f.startswith(".tmp-") for f in os.listdir(t.root))
 
 
+def test_effect_once_concurrent_racers_run_exactly_once(tmp_path):
+    """Check-then-act hole closed: two overlapping executors (an orphan
+    re-run racing a slow live worker) must not both run the thunk — the
+    flock serializes them and the loser re-checks the marker inside the
+    lock. A slow thunk maximizes the overlap window."""
+    import threading
+    import time
+
+    from goose_spark.streaming.effects import EffectOnceTable
+
+    t = EffectOnceTable(str(tmp_path / "eff"))
+    runs = []
+
+    def slow_effect():
+        runs.append(threading.get_ident())
+        time.sleep(0.3)  # hold the lock across the racer's arrival
+
+    results = [None, None]
+
+    def racer(i):
+        results[i] = t.run_once("contended", slow_effect)
+
+    a = threading.Thread(target=racer, args=(0,))
+    b = threading.Thread(target=racer, args=(1,))
+    a.start()
+    time.sleep(0.05)  # ensure a is inside the thunk when b arrives
+    b.start()
+    a.join()
+    b.join()
+    assert len(runs) == 1  # the effect body ran once, ever
+    assert sorted(results) == [False, True]
+
+
 def test_ledger_compaction(spark, ledger):
     client = JobClient(ledger)
     for i in range(20):

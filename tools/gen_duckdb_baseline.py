@@ -170,12 +170,15 @@ def render_table(base: dict, bench: dict) -> tuple[str, list[str]]:
     rows, unjustified = [], []
     over: list[tuple[str, float, float, float, str]] = []
     ratios = []
+    spark_total = duck_total = 0.0  # over the SAME compared pairs
     for name, dsec in sorted(base["queries"].items()):
         ssec = spark_q.get(name)
         if ssec is None or ssec < 0 or dsec <= 0:
             continue
         ratio = ssec / dsec
         ratios.append(ratio)
+        spark_total += ssec
+        duck_total += dsec
         if ratio > 2.0:
             if ssec <= SPARK_FLOOR_SEC:
                 just = "floor-dominated (sub-second absolute; fixed plan/scheduling cost, not per-row work)"
@@ -203,8 +206,8 @@ def render_table(base: dict, bench: dict) -> tuple[str, list[str]]:
         f"median ratio **{med:.1f}×**, geometric mean **{geo:.1f}×** "
         f"(Spark/DuckDB wall-clock; <1 = Spark faster). "
         f"Aggregate over the compared set: Spark "
-        f"**{sum(spark_q[n] for n in base['queries'] if spark_q.get(n, -1) >= 0):.0f} s** "
-        f"vs DuckDB **{sum(d for d in base['queries'].values()):.0f} s** — the "
+        f"**{spark_total:.0f} s** "
+        f"vs DuckDB **{duck_total:.0f} s** — the "
         f"per-query median is fixed-cost skew on tiny inputs; where per-row "
         f"work exists (dd2/dd4/dd6/dd7 blocked dedup joins), Spark's "
         f"partitioned plans win by 20-80×.",

@@ -154,9 +154,12 @@ def main() -> None:
     from goose_spark.queries import load_all
     from goose_spark.session import get_spark
 
+    registry = load_all()
+    unknown = [n for n in only if n not in registry]
+    if unknown:  # fail in ms, not after the 16x dataset build
+        raise SystemExit(f"unknown operator(s): {unknown}")
     spark = get_spark("gosling-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
-    registry = load_all()
     scaled = build_scaled(spark, n_copies)
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
