@@ -290,9 +290,14 @@ def _live_rows(spark: SparkSession, index_dir: str) -> int:
 def _live_cells(spark: SparkSession, index_dir: str, probed: list) -> DataFrame:
     """Probed-cell scan minus tombstoned ids — the ONE read path both
     query forms use, so a delete is visible to IVF and IVF+PQ serves
-    alike. The tombstone side is pre-pruned to the probed cells and
-    broadcast (O(deletes-in-probed-cells), small by design — compaction
-    is the pressure valve)."""
+    alike. The tombstone anti-join is on vec_id over the WHOLE pending
+    set (O(pending deletes), broadcast — compaction is the pressure
+    valve), deliberately NOT pruned to the probed cells: a tombstoned
+    id re-appended with a changed embedding can land in a different
+    cell than the tombstone recorded, and the delete contract ('stays
+    invisible even if re-appended, until compact') must hold wherever
+    the row landed. The per-cell column in the tombstone table exists
+    for compaction targeting only."""
     cells = spark.read.parquet(os.path.join(index_dir, "assignments")).filter(
         F.col("cluster").isin(probed)
     )
@@ -300,11 +305,7 @@ def _live_cells(spark: SparkSession, index_dir: str, probed: list) -> DataFrame:
     import glob as _glob
 
     if _glob.glob(os.path.join(tdir, "*.parquet")):
-        tomb = (
-            spark.read.parquet(tdir)
-            .filter(F.col("cluster").isin(probed))
-            .select("vec_id")
-        )
+        tomb = spark.read.parquet(tdir).select("vec_id").distinct()
         cells = cells.join(F.broadcast(tomb), "vec_id", "left_anti")
     return cells
 
@@ -357,17 +358,35 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     tdir = _tombstones_dir(index_dir)
     if not _glob.glob(os.path.join(tdir, "*.parquet")):
         return manifest  # nothing pending
-    tomb = spark.read.parquet(tdir)
-    # O(affected cells) ≤ k driver rows: which cells to rewrite, and
-    # which of them still hold live rows after the anti-join
-    affected = sorted(
-        r["cluster"] for r in tomb.select("cluster").distinct().collect()
-    )
+    tomb_ids = spark.read.parquet(tdir).select("vec_id").distinct()
     assignments_dir = os.path.join(index_dir, "assignments")
+    # O(affected cells) ≤ k driver rows: which cells to rewrite, and
+    # which of them still hold live rows after the anti-join. Affected
+    # cells come from where tombstoned rows ACTUALLY live (one
+    # column-pruned vec_id+partition scan), not from the cell the
+    # tombstone recorded — a tombstoned id re-appended into a different
+    # cell must be drained from THAT cell, or it would resurface once
+    # the tombstones are dropped.
+    affected = sorted(
+        r["cluster"]
+        for r in spark.read.parquet(assignments_dir)
+        .select("vec_id", "cluster")
+        .join(F.broadcast(tomb_ids), "vec_id")
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    if not affected:  # every pending id already gone from the table
+        _shutil.rmtree(tdir, ignore_errors=True)
+        manifest["deleted"] = 0
+        manifest["version"] = int(manifest["version"]) + 1
+        with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        return manifest
     survivors = (
         spark.read.parquet(assignments_dir)
         .filter(F.col("cluster").isin(affected))
-        .join(F.broadcast(tomb.select("vec_id")), "vec_id", "left_anti")
+        .join(F.broadcast(tomb_ids), "vec_id", "left_anti")
     )
     live_cells = {
         r["cluster"]
@@ -410,7 +429,17 @@ def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
     in, and readers see the new rows on their next scan because
     partition listing is per-query. Returns the updated manifest
     (``version`` bumped, ``n`` = live rows — footer rows minus any
-    rows still hidden by pending tombstones)."""
+    rows still hidden by pending tombstones).
+
+    Id contract: ``vec_id`` is the unique key. Re-appending an id that
+    is LIVE with a byte-identical embedding is a tolerated replay — the
+    duplicate rows are collapsed by the query-side ``distinct`` guard
+    (they do consume ADC candidate-slot headroom on the PQ path until a
+    ``compact_ivf_index``; effect-once enqueue or a post-replay compact
+    is the clean pattern). Re-appending a live id with a DIFFERENT
+    embedding is undefined (which row a query returns is unspecified) —
+    updates go through delete + append, whose invisibility-until-compact
+    semantics hold wherever the new row lands."""
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     cent = (
@@ -428,7 +457,23 @@ def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
         .partitionBy("cluster")
         .parquet(os.path.join(index_dir, "assignments"))
     )
-    manifest["n"] = _live_rows(spark, index_dir)
+    # incremental live count — O(batch), never a full-table scan on the
+    # hot append path: prior n is live-correct (every manifest writer
+    # maintains it), so live grows by the batch minus any appendees that
+    # are still tombstone-hidden
+    import glob as _glob
+
+    batch_rows = new_vectors.count()
+    hidden = 0
+    tdir = _tombstones_dir(index_dir)
+    if _glob.glob(os.path.join(tdir, "*.parquet")):
+        tomb_ids = spark.read.parquet(tdir).select("vec_id").distinct()
+        hidden = (
+            new_vectors.select("vec_id")
+            .join(F.broadcast(tomb_ids), "vec_id")
+            .count()
+        )
+    manifest["n"] = int(manifest["n"]) + batch_rows - hidden
     manifest["version"] = int(manifest["version"]) + 1
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)

@@ -78,12 +78,21 @@ class EffectOnceTable:
         goose delegates to Redis's single-writer atomicity)."""
         if self.applied(effect_id):
             return False
+        import contextlib
         import fcntl
 
-        with open(self._marker(effect_id) + ".lock", "w") as lk:
+        lock_path = self._marker(effect_id) + ".lock"
+        with open(lock_path, "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             if self.applied(effect_id):  # raced: the other holder won
                 return False
             thunk()
             self.mark(effect_id)
+            # scratch cleanup (the marker is the durable record). Safe
+            # despite the classic unlink-race: a racer locking a fresh
+            # inode can only proceed past its marker re-check if the
+            # marker is absent, and the unlink happens strictly after
+            # mark() — so no two holders ever both pass the re-check.
+            with contextlib.suppress(OSError):
+                os.unlink(lock_path)
         return True

@@ -180,3 +180,40 @@ def test_ivfpq_duplicate_rows_do_not_eat_rank_slots(spark, tmp_path):
         per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     for qid, neigh in per_q.items():
         assert len(neigh) == len(set(neigh)), f"dup neighbor for query {qid}"
+
+
+def test_reappended_id_stays_invisible_across_cells(spark, tmp_path):
+    """The delete contract ('invisible even if re-appended, until
+    compact') must hold when the re-appended embedding lands in a
+    DIFFERENT cell than the tombstone recorded — both on the read path
+    (tombstone anti-join is corpus-wide on vec_id, not pruned to the
+    recorded cell) and through compaction (affected cells come from
+    where tombstoned rows actually live, so the foreign-cell row cannot
+    resurface once tombstones drain)."""
+    idx = str(tmp_path / "ivf")
+    man0 = build_ivf_index(spark, SF_CORRECT, idx)
+    rows = spark.read.parquet(os.path.join(idx, "assignments")).select(
+        "vec_id", "cluster"
+    ).collect()
+    cell_of = {r["vec_id"]: r["cluster"] for r in rows}
+    v = _embeddings(spark, SF_CORRECT)
+    # a donor vector from a different cell: its embedding re-assigns 42
+    # away from the tombstone's recorded cell
+    donor = next(i for i in cell_of if cell_of[i] != cell_of[42])
+    demb = v.filter(F.col("vec_id") == donor).collect()[0]["emb"]
+
+    man1 = delete_from_ivf_index(spark, idx, [42])
+    assert man1["n"] == man0["n"] - 1
+    reapp = spark.createDataFrame([(42, demb)], "vec_id long, emb array<double>")
+    man2 = append_to_ivf_index(spark, reapp, idx)
+    assert man2["n"] == man0["n"] - 1  # +1 appended, but still hidden
+
+    qdf = spark.createDataFrame([(0, demb)], "query_id long, qe array<double>")
+    got = {r["neighbor_id"] for r in ivf_index_query(spark, idx, qdf).collect()}
+    assert 42 not in got  # read path: hidden in the foreign cell too
+
+    man3 = compact_ivf_index(spark, idx)
+    assert man3["deleted"] == 0
+    assert man3["n"] == man0["n"] - 1  # both 42 rows physically gone
+    got2 = {r["neighbor_id"] for r in ivf_index_query(spark, idx, qdf).collect()}
+    assert 42 not in got2  # compaction did not resurrect it

@@ -440,6 +440,8 @@ def test_effect_once_table_protocol(tmp_path):
     # ids of any shape are path-safe (hashed markers)
     assert t.run_once("batch/σ weird: id\n", lambda: None) is True
     assert not any(f.startswith(".tmp-") for f in os.listdir(t.root))
+    # locks are scratch — only durable markers accumulate
+    assert not any(f.endswith(".lock") for f in os.listdir(t.root))
 
 
 def test_effect_once_concurrent_racers_run_exactly_once(tmp_path):

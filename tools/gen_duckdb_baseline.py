@@ -258,7 +258,9 @@ def main() -> int:
 
     if bench_path and os.path.exists(BASELINE_JSON):
         base = json.load(open(BASELINE_JSON))
-        if base.get("sf_dir") != sf_dir:
+        # abspath compare, same as bench.vs_duckdb: a relative spelling
+        # of the recorded sf must reuse, not retime, the baseline
+        if os.path.abspath(base.get("sf_dir", "")) != os.path.abspath(sf_dir):
             base = time_duckdb(sf_dir)
             json.dump(base, open(BASELINE_JSON, "w"), indent=1)
     else:
