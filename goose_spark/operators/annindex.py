@@ -480,6 +480,47 @@ def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
     return manifest
 
 
+def attach_index_stream(stream: DataFrame, index_dir: str, checkpoint: str,
+                        effects_dir: str | None = None):
+    """Streaming index maintenance: every micro-batch of new vectors
+    (``vec_id``, ``emb``) appends to the persisted index — the
+    continuous form of the nightly ``append_to_ivf_index``, completing
+    the lifecycle (train → build → serve → append → delete → compact →
+    **streaming append**). Unlike the sketch rollup
+    (``sketches.attach_rollup_stream``), whose union is idempotent and
+    absorbs replay for free, an index append is NOT idempotent — so each
+    batch runs under an effect-once marker (``streaming/effects.py``,
+    the same contract the worker's side-effect path uses): a crash that
+    loses the in-flight checkpoint commit replays the micro-batch and
+    the marker short-circuits the duplicate append (the query-side
+    ``distinct`` guard remains belt-and-braces behind it).
+
+    The marker key is the micro-batch id, unique per checkpoint —
+    ``effects_dir`` (default ``<checkpoint>_effects``) therefore shares
+    the checkpoint's lifecycle: retire or reset the two TOGETHER. (A
+    deliberate full reprocess with a fresh checkpoint but a stale
+    effects dir would wrongly suppress the restarted batch ids.)
+    Returns the started query."""
+    from goose_spark.streaming.effects import EffectOnceTable
+
+    effects = EffectOnceTable(effects_dir or checkpoint.rstrip("/") + "_effects")
+
+    def upsert(bdf: DataFrame, bid: int) -> None:
+        if bdf.isEmpty():
+            return
+        effects.run_once(
+            f"ivf-append:{bid}",
+            lambda: append_to_ivf_index(bdf.sparkSession, bdf, index_dir),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
                     nprobe: int = IVF_NPROBE, topk: int = TOP_K) -> DataFrame:
     """Top-k cosine neighbors for ``queries`` (``query_id``, ``qe``)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from goose_spark.operators.annindex import (
     append_to_ivf_index,
+    attach_index_stream,
     build_ivf_index,
     build_ivfpq_index,
     compact_ivf_index,
@@ -217,3 +218,52 @@ def test_reappended_id_stays_invisible_across_cells(spark, tmp_path):
     assert man3["n"] == man0["n"] - 1  # both 42 rows physically gone
     got2 = {r["neighbor_id"] for r in ivf_index_query(spark, idx, qdf).collect()}
     assert 42 not in got2  # compaction did not resurrect it
+
+
+def test_streaming_index_maintenance_is_effect_once(spark, tmp_path):
+    """attach_index_stream: new vectors flow into the index per
+    micro-batch; a crash-replay (checkpoint commit removed, batch
+    re-runs) does NOT double-append because the batch runs under an
+    effect-once marker; later genuinely-new batches still land."""
+    import shutil
+
+    idx = str(tmp_path / "ivf")
+    man0 = build_ivf_index(spark, SF_CORRECT, idx)
+    v = _embeddings(spark, SF_CORRECT)
+    base = v.filter(F.col("vec_id") == 42).collect()[0]["emb"]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = "vec_id long, emb array<double>"
+    batch1 = spark.createDataFrame(
+        [(30_000_000 + i, [x * (1 + 0.001 * i) for x in base]) for i in range(3)],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    attach_index_stream(stream, idx, ck).awaitTermination()
+    with open(os.path.join(idx, "manifest.json")) as fh:
+        assert json.load(fh)["n"] == man0["n"] + 3
+
+    # crash between append and checkpoint commit: drop the commit
+    # marker, restart — Spark replays the batch, the marker suppresses
+    shutil.rmtree(os.path.join(ck, "commits"))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    attach_index_stream(stream, idx, ck).awaitTermination()
+    with open(os.path.join(idx, "manifest.json")) as fh:
+        assert json.load(fh)["n"] == man0["n"] + 3  # no double-append
+
+    # a genuinely new batch still lands (next batch id, fresh marker)
+    spark.createDataFrame(
+        [(30_000_100, [x * 1.01 for x in base])], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    attach_index_stream(stream, idx, ck).awaitTermination()
+    with open(os.path.join(idx, "manifest.json")) as fh:
+        assert json.load(fh)["n"] == man0["n"] + 4
+
+    qdf = spark.createDataFrame([(0, base)], "query_id long, qe array<double>")
+    got = {r["neighbor_id"] for r in ivf_index_query(spark, idx, qdf, topk=5).collect()}
+    assert got & {30_000_000, 30_000_001, 30_000_002, 30_000_100}
