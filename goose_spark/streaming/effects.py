@@ -61,6 +61,31 @@ class EffectOnceTable:
             os.close(fd)
         os.replace(tmp, self._marker(effect_id))
 
+    def sweep_older_than(self, max_age_sec: float) -> int:
+        """Retention for completed markers (the dead-set/ledger
+        retention analog — goose prunes its dead set the same way a
+        marker table must prune, or a long-lived deployment accumulates
+        one file per effect forever). Safe bound: a marker only protects
+        against REPLAY of its batch, and replay reaches at most the
+        checkpoint's un-committed tail — so any ``max_age_sec``
+        comfortably beyond the worst replay/recovery horizon (hours,
+        not the default trigger seconds) cannot re-open an effect.
+        Returns the number of markers removed; scratch ``.lock``/
+        ``.tmp-`` files past the horizon are swept too."""
+        import contextlib
+        import time
+
+        cutoff = time.time() - max_age_sec
+        removed = 0
+        for f in os.listdir(self.root):
+            p = os.path.join(self.root, f)
+            with contextlib.suppress(OSError):  # racing sweeper/marker
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+                    if not (f.endswith(".lock") or f.startswith(".tmp-")):
+                        removed += 1
+        return removed
+
     def run_once(self, effect_id: str, thunk) -> bool:
         """Run ``thunk`` unless ``effect_id`` already completed. Returns
         True when the effect ran, False when the marker short-circuited

@@ -444,6 +444,29 @@ def test_effect_once_table_protocol(tmp_path):
     assert not any(f.endswith(".lock") for f in os.listdir(t.root))
 
 
+def test_effect_once_retention_sweep(tmp_path):
+    """Markers past the replay horizon are reclaimable; younger markers
+    keep protecting their effects."""
+    import os
+    import time
+
+    from goose_spark.streaming.effects import EffectOnceTable
+
+    t = EffectOnceTable(str(tmp_path / "eff"))
+    t.run_once("old-effect", lambda: None)
+    old = t._marker("old-effect")
+    past = time.time() - 3600
+    os.utime(old, (past, past))  # age it beyond the horizon
+    t.run_once("fresh-effect", lambda: None)
+
+    assert t.sweep_older_than(600) == 1
+    assert not t.applied("old-effect")  # reclaimed…
+    assert t.applied("fresh-effect")  # …fresh marker still protects
+    ran = []
+    assert t.run_once("fresh-effect", lambda: ran.append(1)) is False
+    assert ran == []
+
+
 def test_effect_once_concurrent_racers_run_exactly_once(tmp_path):
     """Check-then-act hole closed: two overlapping executors (an orphan
     re-run racing a slow live worker) must not both run the thunk — the
