@@ -49,6 +49,28 @@ MIN_CHARS = 100
 JACCARD_T = 0.5
 
 
+def anti_join_history(batch: DataFrame, history: DataFrame, keys) -> DataFrame:
+    """Drop batch rows whose key already exists in history, WITHOUT ever
+    shuffling (or hash-building) the history side.
+
+    A naive ``batch.join(history, keys, "left_anti")`` makes history the
+    join's build side: Spark shuffles/hashes the FULL index every batch —
+    at 100 TB of accumulated fingerprints that is the whole pipeline's
+    cost. Inverted form: broadcast the (bounded, micro-batch-sized)
+    batch key set, semi-scan history once to find the ≤|batch| colliding
+    keys, then anti-join the batch against that tiny hit set. History is
+    read exactly once, map-side only — no exchange on the index.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    probe = batch.select(*keys).distinct()
+    hits = (
+        history.select(*keys)
+        .join(F.broadcast(probe), keys, "left_semi")
+        .distinct()
+    )
+    return batch.join(F.broadcast(hits), keys, "left_anti")
+
+
 class _AtomicPublisher:
     """Multi-directory staged publish under ONE commit manifest — the
     corpus row append and both index appends land together or not at
@@ -235,7 +257,7 @@ class CorpusIngest:
             fp = fp.withColumn("_rn", w_first).filter(F.col("_rn") == 1).drop("_rn")
             idx = self._read(spark, "fingerprints")
             if idx is not None:
-                fp = fp.join(idx.select("fp").distinct(), "fp", "left_anti")
+                fp = anti_join_history(fp, idx, "fp")
             fp = fp.persist()
             pinned.append(fp)
             exact_survivors = fp.count()
@@ -277,18 +299,29 @@ class CorpusIngest:
             #     index, Jaccard-verified against corpus text
             bands_idx = self._read(spark, "bands")
             if bands_idx is not None:
+                # Broadcast the batch's bands: the band index (rows ∝
+                # accepted corpus) is scanned map-side, never shuffled —
+                # the same inversion as anti_join_history.
                 cand = (
-                    new_bands.join(bands_idx, ["band", "bkey"])
+                    bands_idx.join(F.broadcast(new_bands), ["band", "bkey"])
                     .select(
                         new_bands.doc_id.alias("new_id"),
                         bands_idx.doc_id.alias("old_id"),
                     )
                     .distinct()
                 )
+                # Candidate old-ids are bounded by band collisions —
+                # broadcast them so the corpus text scan stays map-side.
                 corpus_sh = with_shingles(
                     self.corpus(spark)
                     .select("doc_id", "text")
-                    .join(cand.select(F.col("old_id").alias("doc_id")).distinct(), "doc_id")
+                    .join(
+                        F.broadcast(
+                            cand.select(F.col("old_id").alias("doc_id")).distinct()
+                        ),
+                        "doc_id",
+                        "left_semi",
+                    )
                 ).select(F.col("doc_id").alias("old_id"), F.col("sh").alias("so"))
                 q_sh = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sn"))
                 inter = F.size(F.array_intersect("sn", "so"))

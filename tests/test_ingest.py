@@ -154,3 +154,32 @@ def test_ingest_scrub_and_decontaminate(spark, store):
     assert len(stored) == 1
     assert "<EMAIL>" in stored[0]["text"] and "<PHONE>" in stored[0]["text"]
     assert "alice@example.com" not in stored[0]["text"]
+
+
+def test_anti_join_history_inversion_no_history_shuffle(spark):
+    """The against-history exact check must equal the naive left-anti
+    result while keeping history map-side only: broadcast-semi finds
+    the colliding keys, broadcast-anti removes them — the index is
+    scanned once and never shuffled (the 100 TB contract)."""
+    from pyspark.sql import functions as F
+
+    from goose_spark.operators.ingest import anti_join_history
+
+    batch = spark.createDataFrame(
+        [(i, f"fp{i % 7}") for i in range(20)], "doc_id long, fp string"
+    )
+    history = spark.createDataFrame([(f"fp{i}",) for i in (1, 3, 5, 9)], "fp string")
+
+    out = anti_join_history(batch, history, "fp")
+    naive = batch.join(history.select("fp").distinct(), "fp", "left_anti")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in naive.collect()
+    )
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # history must never be a shuffle-join participant: both joins are
+    # broadcast (the only remaining exchanges are the tiny batch-probe
+    # distincts). A SortMergeJoin/ShuffledHashJoin would mean the index
+    # got shuffled.
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
