@@ -2,20 +2,25 @@
 MinHash-LSH candidate graph, yielding the kept/dropped decision an LLM
 data pipeline actually applies.
 
-Algorithm: iterative min-label propagation to fixpoint — each doc's
-cluster label starts as its own id; every pass each node adopts the
-minimum label in its neighborhood. Converges in O(graph diameter)
-passes; near-dup clusters are small and dense, so 3–5 passes close
-virtually all of them and the loop exits on the first unchanged pass.
+Scale algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — each round
+rewires every node toward the minimum id in its neighborhood, and the
+alternation provably converges in O(log² n) rounds REGARDLESS of graph
+diameter. (The previous min-label propagation needed O(diameter)
+passes: a chain of drifting near-dups A~B~C~… — diameter ∝ cluster
+size — would exhaust the pass budget and silently mislabel. LS/SS
+closes a million-node path in ~20 rounds; non-convergence now raises
+instead of returning wrong clusters.)
 
-This is the canonical Spark iterative-algorithm shape (Pregel-lite):
-a driver loop over DataFrame joins, each pass one shuffle keyed by
-doc_id. At 100 TB the edge list (LSH pairs) is orders of magnitude
-smaller than the corpus, so passes run over edges only; checkpointing
-every ~5 passes truncates the lineage.
+Each round is two groupBy-min + broadcast-free joins over the EDGE
+list only — at 100 TB the LSH pair list is orders of magnitude
+smaller than the corpus; per-round localCheckpoint truncates lineage.
+No per-node collect_list anywhere: high-degree hubs stay row-shaped
+(the emit is a join against the per-node min, and large-star itself
+shrinks hub degrees — the paper's skew argument).
 
-Oracle: the same fixpoint via DuckDB's WITH RECURSIVE (min-label
-transitive closure) — identical clusters, engine-independently.
+Oracle: min-label transitive closure via DuckDB's WITH RECURSIVE —
+identical clusters (cluster id = min member id), engine-independently.
 """
 
 from __future__ import annotations
@@ -26,7 +31,11 @@ from pyspark.sql import functions as F
 from goose_spark.operators.dedup import _DD2_ORACLE
 from goose_spark.queries.base import register, t
 
-MAX_PASSES = 20  # safety bound; fixpoint exit is the normal path
+#: Round budget for large-star/small-star. Convergence is O(log² n)
+#: rounds, so 40 covers graphs far beyond any physical corpus (2^20
+#: diameter ≈ 10^6-node chain closes in ~20). Exhausting it raises —
+#: wrong cluster labels are worse than a failed job.
+MAX_ROUNDS = 40
 
 #: Below this edge count the component computation runs as ONE executor
 #: task (union-find over the whole edge list via mapInPandas) instead of
@@ -74,6 +83,94 @@ def _union_find_components(batches):
         dtype="int64",
     )
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects each STRICTLY LARGER
+    neighbor to min(Γ(u) ∪ {u}). Emitted via groupBy-min + join — no
+    per-node neighbor list is ever materialized."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", "u").alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges toward the smaller endpoint,
+    then every node connects its smaller neighbors (and itself) to the
+    minimum among them."""
+    ed = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = ed.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        ed.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return rewired.union(self_edges).distinct()
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """Distributed connected components over an (a_id, b_id) edge list —
+    alternating large-star/small-star to fixpoint. Returns
+    (doc_id, cluster_id) for every node appearing in ``pairs``, with
+    cluster_id = min member id (the keeper rule every caller shares).
+
+    O(log² n) rounds on any graph shape; each round shuffles only the
+    edge list. Raises RuntimeError if ``max_rounds`` is exhausted
+    (cannot happen below ~2^sqrt(max_rounds)-node diameters — the guard
+    exists so a bug fails loudly instead of mislabeling)."""
+    nodes = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .union(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    e = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _round in range(max_rounds):
+        # localCheckpoint per round: the plan would otherwise deepen by
+        # ~6 joins/round and analyzer time dominates long before data
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixpoint test: edge sets equal ⇔ both directional diffs empty;
+        # counts are equal at fixpoint so one exceptAll probe suffices
+        if e2.exceptAll(e).limit(1).count() == 0 and e2.count() == e.count():
+            e = e2
+            converged = True
+            break
+        e = e2
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edge set is a star forest: (member, root) with root = min
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    out = (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return out
+
+
 # oracle: reuse dd2's verified pair list as the edge set, then a
 # recursive min-label closure over the undirected graph
 _DD6_ORACLE = f"""
@@ -99,11 +196,12 @@ FROM reach GROUP BY node ORDER BY doc_id"""
 @register(
     "dd6_dedup_clusters",
     _DD6_ORACLE,
-    doc="Connected components over the MinHash-LSH near-dup graph via "
-        "iterative min-label propagation (driver loop, one doc_id-keyed "
-        "shuffle per pass, fixpoint exit). Output: (doc_id, cluster_id, "
-        "is_keeper) — keeper = smallest doc_id in the cluster, the row a "
-        "dedup pipeline retains.",
+    doc="Connected components over the MinHash-LSH near-dup graph: "
+        "single-task union-find below FAST_PATH_MAX_EDGES, alternating "
+        "large-star/small-star (O(log² n) rounds, diameter-independent) "
+        "above it. Output: (doc_id, cluster_id, is_keeper) — keeper = "
+        "smallest doc_id in the cluster, the row a dedup pipeline "
+        "retains.",
     tags=("llm", "dedup"),
 )
 def dd6(spark: SparkSession, sf: str) -> DataFrame:
@@ -114,62 +212,10 @@ def dd6(spark: SparkSession, sf: str) -> DataFrame:
         labels = pairs.coalesce(1).mapInPandas(
             _union_find_components, schema="doc_id long, cluster_id long"
         )
-        out = labels.select(
-            "doc_id",
-            "cluster_id",
-            (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
-        ).orderBy("doc_id")
-        return out
-    edges = pairs.unionAll(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
-    edges = edges.persist()
-
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
-
-    for _pass in range(MAX_PASSES):
-        # each node adopts min(own label, min neighbor label)
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-        )
-        if (_pass + 1) % 5 == 0:
-            # truncate lineage: persist alone keeps the logical plan
-            # growing one join deeper per pass, and analyzer time blows
-            # up before the data does on long chains. Superseded
-            # checkpoint blocks cannot be freed explicitly (unpersist is
-            # a no-op on them); dropping the Python reference when
-            # `labels` is rebound below lets the JVM ContextCleaner
-            # reclaim them — GC-driven, at most a handful of label
-            # tables outstanding between GC cycles.
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-
-    out = labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("node")).alias("is_keeper"),
+    else:
+        labels = connected_components(pairs)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
     ).orderBy("doc_id")
-    edges.unpersist()
-    return out

@@ -79,7 +79,7 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
 
 
 def test_dd6_iterative_path_matches_fast_path(spark, monkeypatch):
-    """The at-scale min-label propagation loop must produce exactly the
+    """The at-scale large-star/small-star path must produce exactly the
     clusters the single-task union-find fast path does (sf0.01 corpus);
     the fast path is what tests normally exercise, so force the loop."""
     import goose_spark.operators.clusters as clusters
@@ -184,3 +184,64 @@ def test_two_pass_quantile_buckets_match_and_balance(spark, tmp_path):
     )
     qcounts = [r["n"] for r in docs.groupBy(qpid.alias("p")).agg(F.count("*").alias("n")).collect()]
     assert max(qcounts) <= 400 / 16 * 3  # no quantile bucket hogs the corpus
+
+
+def _uf_reference(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((n, find(n)) for n in parent)
+
+
+def test_connected_components_diameter_independent(spark):
+    """Large-star/small-star must label a LONG CHAIN correctly — the
+    adversarial shape for label propagation (diameter ∝ cluster size;
+    the retired min-label loop silently mislabeled past its pass
+    budget). Graph: a 301-node path with shuffled ids + a 20-clique +
+    isolated pairs; reference is driver-side union-find."""
+    import random
+
+    from goose_spark.operators.clusters import connected_components
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1000 + 301))
+    rng.shuffle(ids)
+    edges = list(zip(ids, ids[1:]))                      # path, diameter 300
+    clique = list(range(5000, 5020))
+    edges += [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    edges += [(9001, 9002), (9003, 9004)]                # tiny components
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(df).collect()
+    )
+    assert got == _uf_reference(edges)
+
+
+def test_connected_components_random_graph(spark):
+    import random
+
+    from goose_spark.operators.clusters import connected_components
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(400), rng.randrange(400)) for _ in range(250)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(df).collect()
+    )
+    assert got == _uf_reference(edges)
