@@ -1,0 +1,117 @@
+"""Containment near-dup detection — finds documents mostly CONTAINED in
+another (near-supersets: quotations, boilerplate-wrapped reposts,
+pages embedding an earlier page). Symmetric Jaccard misses these: a
+500-word doc pasted into a 5000-word page has Jaccard ≈ 0.1 but
+containment ≈ 1.0, and corpus-dedup practice (e.g. the CCNet /
+RefinedWeb lineage) removes the contained copy.
+
+    containment(A → B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+
+Blocking — the 100 TB design: MinHash approximates JACCARD, so LSH
+bands cannot block for containment (the small doc's signature is
+dominated by the big doc's extra shingles). Instead each doc probes
+the inverted shingle index with its K globally-RAREST shingles
+(prefix-filtering principle, PPJoin lineage): if A is τ-contained in
+B, each of A's shingles — rare ones included — appears in B with
+probability ≥ τ, so K probes miss with probability ≤ (1-τ)^K (≈0.8%
+at τ=0.8, K=3 under independence). Probing RARE shingles bounds the
+join fan-out: a probe's candidate list is exactly that shingle's
+posting list, and the probes are chosen to be the shortest lists the
+doc can offer. Cost: one corpus shingle scan for the frequency table
+(tx5's shape), one doc_id-window for probe selection, then a join
+whose right side is only the probed postings — never doc × doc.
+
+``max_posting`` caps degenerate corpora (every shingle common —
+boilerplate-only docs): probes with posting lists longer than the cap
+are dropped from candidacy, the same frequency-cap rationale as the
+LSH hot-bucket guard (dedup._build_pairs). Default None = exact parity
+with the oracle.
+
+No reference analog (nilenso/goose is a job library); extends the
+LLM-pipeline dedup family (SURVEY §2.5 north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.operators.dedup import _SHINGLES_SQL, shingled_docs
+from goose_spark.queries.base import register
+
+#: Rarest shingles each doc probes the inverted index with.
+K_PROBE = 3
+#: Containment threshold (fraction of the inner doc inside the outer).
+CONTAIN_T = 0.8
+
+_TX14_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+freq AS (SELECT g, COUNT(*) AS f FROM ex GROUP BY g),
+probe AS (SELECT doc_id, g FROM (
+   SELECT e.doc_id, e.g,
+          ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY f.f, e.g) AS rn
+   FROM ex e JOIN freq f USING (g)) WHERE rn <= {K_PROBE}),
+cand AS (SELECT DISTINCT p.doc_id AS inner_id, e.doc_id AS outer_id
+         FROM probe p JOIN ex e USING (g) WHERE p.doc_id <> e.doc_id)
+SELECT c.inner_id, c.outer_id,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(a.s), 6) AS containment
+FROM cand c JOIN sh a ON a.doc_id = c.inner_id
+            JOIN sh b ON b.doc_id = c.outer_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= {CONTAIN_T}
+ORDER BY inner_id, outer_id"""
+
+
+def containment_pairs(docs_shingled: DataFrame, k_probe: int = K_PROBE,
+                      threshold: float = CONTAIN_T,
+                      max_posting: int | None = None) -> DataFrame:
+    """(doc_id, sh) → (inner_id, outer_id, containment) for every
+    ordered pair with containment(inner → outer) ≥ threshold among
+    rare-shingle-blocked candidates. See module docstring for the
+    blocking recall/cost argument."""
+    sh = docs_shingled.select("doc_id", "sh")
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "g")
+    probe = (
+        ex.join(freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_probe)
+        .select("doc_id", "g", "f")
+    )
+    if max_posting is not None:
+        probe = probe.filter(F.col("f") <= max_posting)
+    cand = (
+        probe.select(F.col("doc_id").alias("inner_id"), "g")
+        .join(ex.select(F.col("doc_id").alias("outer_id"), "g"), "g")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("inner_id"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("outer_id"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    cont = inter / F.size("sa")
+    return (
+        cand.join(a, "inner_id")
+        .join(b, "outer_id")
+        .filter(cont >= threshold)
+        .select("inner_id", "outer_id", F.round(cont, 6).alias("containment"))
+        .orderBy("inner_id", "outer_id")
+    )
+
+
+@register(
+    "tx14_containment",
+    _TX14_ORACLE,
+    doc="Containment near-dup pairs (inner τ-contained in outer, τ=0.8): "
+        "rare-shingle probes against the inverted shingle index "
+        "(prefix-filtering blocking — miss prob ≤ (1-τ)^K), exact "
+        "containment verify on candidates only. Catches near-supersets "
+        "symmetric Jaccard (dd2) misses.",
+    tags=("llm", "dedup", "text"),
+)
+def tx14(spark: SparkSession, sf: str) -> DataFrame:
+    return containment_pairs(shingled_docs(spark, sf))

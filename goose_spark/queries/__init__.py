@@ -23,6 +23,7 @@ def load_all() -> dict:
     from goose_spark.operators import (  # noqa: F401
         bpe,
         clusters,
+        containment,
         curation,
         dedup,
         heavyhitters,
