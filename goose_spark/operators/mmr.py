@@ -1,0 +1,145 @@
+"""MMR diversified retrieval (ss9) — Maximal Marginal Relevance
+re-ranking (Carbonell & Goldstein, SIGIR'98) over a candidate pool:
+
+    mmr(d) = λ · cos(q, d) − (1 − λ) · max_{s ∈ selected} cos(d, s)
+
+Pure top-k retrieval over a deduplicated-but-still-redundant corpus
+returns near-identical passages; RAG/eval harnesses re-rank with MMR
+so the k results cover the neighborhood instead of repeating it. This
+is the retrieval-side twin of SemDeDup (ss8): ss8 removes redundancy
+from the CORPUS, MMR removes it from each RESULT SET.
+
+Scale shape: the expensive stage is candidate generation, which
+reuses the existing retrieval plans (exact ss1 shape here; the
+partition-pruned IVF index serves the same rows at 100 TB). The MMR
+kernel itself is per-query greedy selection over C candidates — an
+O(C²·dim) dense problem on ≤ C rows, run as one Arrow batch per query
+via applyInPandas, queries distributed across executors. Nothing
+grows with corpus size: C is a constant (default 3× top-k).
+
+Determinism: relevance and pairwise cosines are computed with the
+same float64 numpy ops inside the kernel; ties broken by neighbor_id.
+Rows-only for the driver (greedy selection is not SQL-expressible);
+pinned by an independent pure-Python reimplementation in
+tests/test_mmr.py plus λ=1 ≡ relevance-ranking and cluster-coverage
+properties.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    _dot,
+    _embeddings,
+)
+from goose_spark.queries.base import register
+
+#: Candidate pool size per query (3× the returned k).
+CAND_K = 3 * TOP_K
+#: Relevance/diversity trade-off (1.0 = pure relevance).
+MMR_LAMBDA = 0.7
+
+_OUT_SCHEMA = (
+    "query_id long, neighbor_id long, rank int, relevance double, "
+    "mmr_score double"
+)
+
+
+def _mmr_kernel(lam: float, top_k: int):
+    """Per-query greedy MMR over one Arrow batch of candidates."""
+
+    def go(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = np.asarray(pdf["qe"].iloc[0], dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        mat = np.asarray(list(pdf["emb"]), dtype=np.float64)  # (C, dim)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        unit = mat / norms[:, None]
+        rel = unit @ qn                       # cos(q, d)
+        sim = unit @ unit.T                   # cos(d, d')
+        # deterministic candidate order: by id (ties in scores then
+        # resolve to the smaller neighbor_id via argmin over (-score, id))
+        order = np.argsort(ids, kind="stable")
+        ids, rel, sim, unit = ids[order], rel[order], sim[order][:, order], unit[order]
+        n = len(ids)
+        selected: list[int] = []
+        rows = []
+        remaining = list(range(n))
+        for rank in range(1, min(top_k, n) + 1):
+            if not selected:
+                scores = lam * rel
+            else:
+                red = sim[:, selected].max(axis=1)
+                scores = lam * rel - (1.0 - lam) * red
+            best = min(remaining, key=lambda i: (-scores[i], ids[i]))
+            selected.append(best)
+            remaining.remove(best)
+            rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    int(ids[best]),
+                    rank,
+                    round(float(rel[best]), 6),
+                    round(float(scores[best]), 6),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "neighbor_id", "rank", "relevance", "mmr_score"],
+        )
+
+    return go
+
+
+def mmr_rerank(emb: DataFrame, queries: DataFrame, top_k: int = TOP_K,
+               cand_k: int = CAND_K, lam: float = MMR_LAMBDA) -> DataFrame:
+    """``emb``: (vec_id, emb array<double>); ``queries``: (query_id, qe).
+    Exact-cosine candidate stage (rank ≤ cand_k, WindowGroupLimit keeps
+    the per-partition top below the shuffle), then the per-query MMR
+    kernel. Swap the candidate stage for the IVF index serve path at
+    corpus scale — the kernel is unchanged."""
+    cos = _dot(F.col("qe"), F.col("emb")) / F.sqrt(
+        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    cand = (
+        F.broadcast(queries)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"),
+                "emb", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cand_k)
+        .drop("rank", "cos")
+    )
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(_mmr_kernel(lam, top_k), schema=_OUT_SCHEMA)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ss9_mmr_rerank",
+    None,  # greedy selection — rows-only; pinned by test_mmr cross-impl
+    doc="MMR diversified top-k (λ=0.7, pool 3k): exact-cosine candidate "
+        "stage + per-query greedy re-rank kernel (O(C²·dim) on constant "
+        "C via applyInPandas). Result sets cover the neighborhood "
+        "instead of repeating it — the retrieval twin of SemDeDup.",
+    tags=("llm", "similarity"),
+)
+def ss9(spark: SparkSession, sf: str) -> DataFrame:
+    v = _embeddings(spark, sf)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    return mmr_rerank(v, q)

@@ -28,6 +28,7 @@ def load_all() -> dict:
         dedup,
         heavyhitters,
         layout,
+        mmr,
         multimodal,
         pipeline,
         pq,

@@ -28,6 +28,7 @@ def test_rows_only_entries_are_the_known_approximates():
         "ss6_ann_pq",  # quantized distances (recall floor: test_pq)
         "ss7_ann_ivfpq",  # quantized candidates (recall floor: test_pq)
         "ss8_semdedup",  # cluster-blocked (recall floor: test_semdedup)
+        "ss9_mmr_rerank",  # greedy selection (cross-impl check: test_mmr)
     ]
 
 
