@@ -463,3 +463,78 @@ def sp9(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id", "chunk_idx")
         .limit(300)
     )
+
+
+# ---------------------------------------------------------------------------
+# tx15 — bigram-LM cross-entropy scoring
+# ---------------------------------------------------------------------------
+
+#: Add-α smoothing mass for unseen bigrams.
+LM_ALPHA = 0.5
+
+_TX15_ORACLE = f"""
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+                     generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS pos
+              FROM documents),
+ bg0 AS (SELECT doc_id, tok AS a,
+                LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         FROM toks),
+ bg AS (SELECT doc_id, a, b FROM bg0
+        WHERE a <> '' AND b IS NOT NULL AND b <> ''),
+ cb AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+ ca AS (SELECT a, COUNT(*) AS can FROM bg GROUP BY a),
+ v  AS (SELECT COUNT(DISTINCT tok) AS vsz FROM toks WHERE tok <> '')
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-ln((cab + {LM_ALPHA}) / (can + {LM_ALPHA} * vsz))), 6)
+         AS cross_entropy
+FROM bg JOIN cb USING (a, b) JOIN ca USING (a) CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id LIMIT 500"""
+
+
+@register(
+    "tx15_bigram_lm",
+    _TX15_ORACLE,
+    doc="Bigram language-model cross-entropy per document (add-α "
+        "smoothed, context counts from the bigram table so the model "
+        "normalizes) — the CCNet/KenLM-style quality signal one order "
+        "up from tx9's unigram: word-salad with plausible unigrams "
+        "scores high here. Plan: bigrams formed by ONE doc_id-keyed "
+        "lead() window (no self-join), count tables are O(observed "
+        "bigrams), the score join is tokens⋈counts — at 100 TB the "
+        "count tables broadcast as top-K with an OOV floor, or stay "
+        "exact via shuffle join (same trade as tx9).",
+    tags=("llm", "text"),
+)
+def tx15(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf, "documents")
+    tk = d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "tok")
+    )
+    lead = F.lead("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bg = (
+        tk.select("doc_id", F.col("tok").alias("a"), lead.alias("b"))
+        .filter((F.col("a") != "") & F.col("b").isNotNull() & (F.col("b") != ""))
+    )
+    cb = bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ca = bg.groupBy("a").agg(F.count("*").alias("can"))
+    v = (
+        tk.filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("vsz"))
+    )
+    p = (F.col("cab") + LM_ALPHA) / (F.col("can") + LM_ALPHA * F.col("vsz"))
+    return (
+        bg.join(cb, ["a", "b"])
+        .join(ca, "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )

@@ -249,3 +249,66 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q82_ohlc_downsample",
+    """WITH b AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                   ORDER BY ts, event_id) AS rn_a,
+                ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM events)
+       SELECT CAST(EXTRACT(YEAR FROM bucket) AS BIGINT) AS y,
+              CAST(EXTRACT(MONTH FROM bucket) AS BIGINT) AS m,
+              CAST(EXTRACT(DAY FROM bucket) AS BIGINT) AS d,
+              CAST(EXTRACT(HOUR FROM bucket) AS BIGINT) AS h,
+              event_type,
+              MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+              MAX(value) AS high, MIN(value) AS low,
+              MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+       FROM b GROUP BY 1,2,3,4,5 ORDER BY y, m, d, h, event_type""",
+    doc="OHLC time-bucket downsampling (hourly, per event type): "
+        "open/close via deterministic (ts, event_id)-ordered row_number "
+        "windows, high/low/total as plain aggregates. One shuffle on the "
+        "(type, bucket) key serves both windows AND the groupBy — the "
+        "canonical metrics-rollup silhouette for a timeseries store.",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf, "events").withColumn("bucket", F.date_trunc("hour", "ts"))
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    # group on the SAME (event_type, bucket) key the windows partition
+    # by — the one exchange serves both windows and the aggregate;
+    # y/m/d/h are derived after the agg (grouping on derived columns
+    # would force a second shuffle)
+    return (
+        e.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.year("bucket").cast("long").alias("y"),
+            F.month("bucket").cast("long").alias("m"),
+            F.dayofmonth("bucket").cast("long").alias("d"),
+            F.hour("bucket").cast("long").alias("h"),
+            "event_type", "open", "high", "low", "close", "n", "total",
+        )
+        .orderBy("y", "m", "d", "h", "event_type")
+    )
