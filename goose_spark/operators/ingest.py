@@ -95,11 +95,19 @@ class _AtomicPublisher:
                     manifest = _json.load(fh)
             except (OSError, ValueError):
                 continue
-            if any(
+            staged = any(
                 os.path.isdir(os.path.join(self.root, s))
                 for s in manifest.get("stagings", [])
                 if s.startswith(".staging-")
-            ):
+            )
+            # a compaction manifest may have finished its renames but
+            # died mid-delete: removed filenames are uuid-unique, so
+            # "remove target still present" always means pending work
+            pending_removes = any(
+                os.path.exists(os.path.join(self.root, r["dest"], r["file"]))
+                for r in manifest.get("removes", [])
+            )
+            if staged or pending_removes:
                 self._apply(manifest)
 
     def _apply(self, manifest: dict) -> int:
@@ -115,14 +123,24 @@ class _AtomicPublisher:
             if os.path.exists(src):
                 os.replace(src, dst)
                 rows += e["rows"]
+        # deletes AFTER all adds: a crash in between leaves both old and
+        # new files visible (duplicate rows momentarily) — recover()
+        # finishes the deletes; readers between commit and recovery must
+        # tolerate the union, same contract as Ledger.compact
+        for r in manifest.get("removes", []):
+            p = os.path.join(self.root, r["dest"], r["file"])
+            if os.path.exists(p):
+                os.remove(p)
         for s in manifest.get("stagings", []):
             if s.startswith(".staging-"):
                 shutil.rmtree(os.path.join(self.root, s), ignore_errors=True)
         return rows
 
-    def publish(self, items: list[tuple[DataFrame, str]]) -> int:
-        """Stage every (df, dest_subdir), then commit all renames under
-        one manifest. Returns total rows published."""
+    def publish(self, items: list[tuple[DataFrame, str]],
+                removes: list[dict] | None = None) -> int:
+        """Stage every (df, dest_subdir), then commit all renames —
+        plus optional ``removes`` ([{dest, file}], the compaction
+        delete-set) — under one manifest. Returns total rows published."""
         import json as _json
         import time as _time
 
@@ -154,8 +172,9 @@ class _AtomicPublisher:
                 "seq": _time.time_ns(),
                 "stagings": [os.path.basename(s) for s in stagings],
                 "entries": entries,
+                "removes": removes or [],
             }
-            if not entries:
+            if not entries and not removes:
                 return 0
             path = os.path.join(self.commits_dir, f"{manifest['seq']}.json")
             tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -195,6 +214,43 @@ class CorpusIngest:
 
     def corpus(self, spark: SparkSession) -> DataFrame | None:
         return self._read(spark, "corpus")
+
+    def compact(self, spark: SparkSession, target_files: int = 4) -> dict:
+        """OPTIMIZE analog for the corpus store: every ingest batch
+        appends a few files to each of corpus/fingerprints/bands, and a
+        long-running pipeline ends up scanning thousands of tiny files
+        (the metadata cost dominates the read at scale). Rewrite each
+        directory above ``target_files`` into ``target_files`` files
+        and delete the originals — all three directories under ONE
+        manifest, so a crash anywhere leaves a recoverable state
+        (recover() finishes renames AND deletes; removed filenames are
+        uuid-unique so replay is idempotent).
+
+        ``coalesce`` not ``repartition``: compaction merges scan
+        partitions read-side — zero shuffle. Single-writer contract,
+        same as ``ingest_batch``. Returns per-dir file counts."""
+        import glob as _glob
+
+        stats: dict = {}
+        items: list = []
+        removes: list = []
+        for name in ("corpus", "fingerprints", "bands"):
+            files = sorted(_glob.glob(os.path.join(self.root, name, "*.parquet")))
+            stats[name] = {"before": len(files)}
+            if len(files) <= target_files:
+                continue
+            df = spark.read.parquet(*files).coalesce(target_files)
+            items.append((df, name))
+            removes.extend(
+                {"dest": name, "file": os.path.basename(f)} for f in files
+            )
+        if items:
+            self._publisher.publish(items, removes=removes)
+        for name in stats:
+            stats[name]["after"] = len(
+                _glob.glob(os.path.join(self.root, name, "*.parquet"))
+            )
+        return stats
 
     # ------------------------------------------------------------------
 
