@@ -312,3 +312,80 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("y", "m", "d", "h", "event_type")
     )
+
+
+@register(
+    "q83_rate_anomaly",
+    """WITH hourly AS (
+         SELECT event_type,
+                CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type, hour_idx, n,
+                SUM(n)     OVER w AS s1,
+                SUM(n * n) OVER w AS s2,
+                COUNT(n)   OVER w AS c
+         FROM hourly
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, hour_idx, n,
+              ROUND(CAST(s1 AS DOUBLE) / c, 6) AS mean_n,
+              ROUND((n - CAST(s1 AS DOUBLE) / c)
+                    / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1)), 6) AS z,
+              CAST(ABS((n - CAST(s1 AS DOUBLE) / c)
+                   / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1))) >= 3.0
+                   AS BOOLEAN) AS is_anomaly
+       FROM stats
+       WHERE c = 24 AND (s2 - CAST(s1 AS DOUBLE) * s1 / c) > 0
+       ORDER BY event_type, hour_idx""",
+    doc="Event-rate anomaly flags: hourly counts per type, z-score vs "
+        "the trailing 24 observed buckets. Mean/variance are derived "
+        "from exact BIGINT sums (s1, s2, c) so both engines evaluate "
+        "bit-identical doubles — no stddev_samp implementation "
+        "divergence. Plan: one (type, hour) pre-agg shrinks the stream "
+        "to O(types × hours) rows, then a per-type ordered window — "
+        "the monitoring silhouette over any metric stream.",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-24, -1)
+    )
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    c = F.count("n").over(w)
+    stats = hourly.select(
+        "event_type", "hour_idx", "n",
+        s1.alias("s1"), s2.alias("s2"), c.alias("c"),
+    )
+    mean = F.col("s1").cast("double") / F.col("c")
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("c")) / (
+        F.col("c") - 1
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        stats.filter(
+            (F.col("c") == 24)
+            & ((F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("c")) > 0)
+        )
+        .select(
+            "event_type", "hour_idx", "n",
+            F.round(mean, 6).alias("mean_n"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) >= 3.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
