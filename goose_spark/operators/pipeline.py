@@ -421,3 +421,53 @@ def sp5(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("quality_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# sp10 — exact-k weighted sample without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+SP10_K = 100
+
+_SP10_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             + 0.5) / 4294967296.0)
+           / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS es_key
+  FROM documents)
+SELECT doc_id, n_chars, ROUND(es_key, 8) AS es_key
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT {SP10_K}"""
+
+
+@register(
+    "sp10_weighted_sample",
+    _SP10_ORACLE,
+    doc="Exact-k weighted sample WITHOUT replacement (Efraimidis–"
+        "Spirakis, k=100, weight = n_chars): every doc draws a "
+        "deterministic md5-derived coin u and the k largest u^(1/w) — "
+        "ordered as ln(u)/w — win. One pass, no shuffle of bodies: "
+        "ORDER BY+LIMIT plans as TakeOrderedAndProject (per-partition "
+        "top-k, driver merges k×partitions rows), the distributed "
+        "weighted-reservoir shape. Unlike sp5's per-bucket Bernoulli "
+        "rates, the sample size is exact and the inclusion probability "
+        "is proportional to weight — the 'sample 10M docs by quality "
+        "mass' primitive, reproducible across engines and cluster "
+        "sizes.",
+    tags=("llm", "pipeline"),
+)
+def sp10(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10,
+    ).cast("double")
+    u = (v + 0.5) / 4294967296.0
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    key = F.log(u) / w
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(SP10_K)
+        .select("doc_id", "n_chars", F.round("es_key", 8).alias("es_key"))
+    )
