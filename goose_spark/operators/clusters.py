@@ -219,3 +219,76 @@ def dd6(spark: SparkSession, sf: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q84 — PageRank over the near-dup graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 10
+PR_DAMPING = 0.85
+
+
+def pagerank(pairs: DataFrame, iters: int = PR_ITERS,
+             damping: float = PR_DAMPING) -> DataFrame:
+    """Power-iteration PageRank over an undirected (a_id, b_id) edge
+    list (each edge walked both ways). Fixed ``iters`` rounds, each one
+    edge-keyed join + one dst-keyed partial-agg shuffle over the EDGE
+    list only — the canonical iterative-DataFrame shape, same lineage
+    discipline as connected_components (localCheckpoint every 3 rounds).
+    The symmetric closure has no dangling nodes, so no dangling-mass
+    redistribution term is needed.
+
+    Float contract: per-round sums are double; executor summation order
+    can differ between runs/partitionings in the last ulp, so outputs
+    are compared at tolerance (tests) and rounded for display — the
+    standard contract for distributed floating-point iteration."""
+    e = pairs.filter(F.col("a_id") != F.col("b_id")).distinct()
+    edges = e.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
+        e.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges.join(deg, "src").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"), F.lit(0.0).alias("pr")
+        )
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + damping * F.col("s")).alias("r"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select(
+        F.col("node").alias("doc_id"), F.round("r", 6).alias("pr")
+    ).orderBy(F.col("pr").desc(), "doc_id")
+    return out
+
+
+@register(
+    "q84_pagerank",
+    None,  # iterative float fixpoint — rows-only; numpy cross-check in tests
+    doc="PageRank (10 power iterations, d=0.85) over the verified "
+        "near-dup pair graph: centrality picks the canonical document "
+        "per duplicate neighborhood (the web-scale corpus-curation "
+        "authority signal). Each round shuffles only the edge list; "
+        "lineage truncated every 3 rounds.",
+    tags=("llm", "graph"),
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.dedup import lsh_pairs
+
+    return pagerank(lsh_pairs(spark, sf).select("a_id", "b_id"))
