@@ -538,3 +538,86 @@ def tx15(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# tx16 — per-source distribution drift (PSI)
+# ---------------------------------------------------------------------------
+
+#: Fixed n_chars bucket edges (log-ish widths) and Laplace smoothing.
+PSI_EDGES = (100, 200, 400, 800, 1600)
+PSI_SMOOTH = 0.5
+_N_BUCKETS = len(PSI_EDGES) + 1
+
+
+def _bucket_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(PSI_EDGES)
+    )
+    return f"CASE {whens} ELSE {len(PSI_EDGES)} END"
+
+
+_TX16_ORACLE = f"""
+WITH d AS (SELECT source, {_bucket_case_sql('n_chars')} AS b FROM documents),
+ csb AS (SELECT source, b, COUNT(*) AS c FROM d GROUP BY source, b),
+ cb  AS (SELECT b, COUNT(*) AS cb FROM d GROUP BY b),
+ ts  AS (SELECT source, COUNT(*) AS t FROM d GROUP BY source),
+ tot AS (SELECT COUNT(*) AS n FROM d),
+ grid AS (SELECT s.source, g.b FROM (SELECT DISTINCT source FROM d) s
+          CROSS JOIN (SELECT unnest(generate_series(0, {_N_BUCKETS - 1})) AS b) g),
+ terms AS (
+   SELECT grid.source,
+          (COALESCE(csb.c, 0) + {PSI_SMOOTH})
+            / (ts.t + {PSI_SMOOTH} * {_N_BUCKETS}) AS p,
+          (cb.cb - COALESCE(csb.c, 0) + {PSI_SMOOTH})
+            / (tot.n - ts.t + {PSI_SMOOTH} * {_N_BUCKETS}) AS q
+   FROM grid
+   LEFT JOIN csb ON csb.source = grid.source AND csb.b = grid.b
+   JOIN cb ON cb.b = grid.b
+   JOIN ts ON ts.source = grid.source
+   CROSS JOIN tot)
+SELECT source, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+FROM terms GROUP BY source ORDER BY source"""
+
+
+@register(
+    "tx16_distribution_drift",
+    _TX16_ORACLE,
+    doc="Per-source distribution drift: population stability index of "
+        "the n_chars distribution, each source vs the rest of the "
+        "corpus (fixed log-width buckets, Laplace-smoothed so empty "
+        "buckets stay defined). The mix-monitoring signal a corpus "
+        "pipeline alarms on when one feed's length profile shifts. All "
+        "shares derive from exact BIGINT counts over a (source × 6) "
+        "grid, so both engines evaluate identical doubles; the corpus "
+        "scan reduces to O(sources × buckets) rows before any math.",
+    tags=("llm", "text"),
+)
+def tx16(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    b = F.when(F.col("n_chars") < PSI_EDGES[0], 0)
+    for i, e in enumerate(PSI_EDGES[1:], start=1):
+        b = b.when(F.col("n_chars") < e, i)
+    b = b.otherwise(len(PSI_EDGES))
+    d = d.select("source", b.alias("b"))
+    csb = d.groupBy("source", "b").agg(F.count("*").alias("c"))
+    cb = d.groupBy("b").agg(F.count("*").alias("cb"))
+    ts = d.groupBy("source").agg(F.count("*").alias("t"))
+    tot = d.agg(F.count("*").alias("n"))
+    buckets = spark.range(_N_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    grid = ts.select("source").crossJoin(F.broadcast(buckets))
+    k = float(_N_BUCKETS)
+    p = (F.coalesce("c", F.lit(0)) + PSI_SMOOTH) / (F.col("t") + PSI_SMOOTH * k)
+    q = (F.col("cb") - F.coalesce("c", F.lit(0)) + PSI_SMOOTH) / (
+        F.col("n") - F.col("t") + PSI_SMOOTH * k
+    )
+    return (
+        grid.join(csb, ["source", "b"], "left")
+        .join(F.broadcast(cb), "b")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .orderBy("source")
+    )
