@@ -79,6 +79,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     stats["near_dup_pairs"] = pairs.count()
     stats["after_near_dedup"] = docs.count()
 
+    # 2b. containment dedup (tx14 kernel): a doc ≥80% contained in a
+    #     surviving LARGER doc is a near-superset casualty Jaccard
+    #     missed — drop the contained copy, keep the superset
+    from goose_spark.operators.containment import containment_pairs
+    from goose_spark.operators.textlib import with_shingles
+
+    cont = containment_pairs(with_shingles(docs.select("doc_id", "text")))
+    # keeper rule: one-way containment drops the contained doc; MUTUAL
+    # containment (near-identical non-exact pair) keeps the smaller id
+    # — otherwise both sides of a mutual pair would be dropped
+    rev = cont.select(
+        F.col("inner_id").alias("outer_id"), F.col("outer_id").alias("inner_id")
+    )
+    oneway = cont.join(rev, ["inner_id", "outer_id"], "left_anti")
+    mutual = cont.join(rev, ["inner_id", "outer_id"], "left_semi")
+    contained = (
+        oneway.select("inner_id")
+        .union(mutual.filter(F.col("inner_id") > F.col("outer_id")).select("inner_id"))
+        .select(F.col("inner_id").alias("doc_id"))
+        .distinct()
+    )
+    docs = docs.join(contained, "doc_id", "left_anti")
+    stats["after_containment_dedup"] = docs.count()
+
     # 3. quality filter: repetition verdict (tx6 thresholds) on top of
     #    the tx3 quality bucket; drop highly repetitive docs
     w = F.split(F.lower("text"), r"\s+")
@@ -190,6 +214,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         hh = heavy_hitters(train, spark, phi=0.005).collect()
         stats["vocab_heavy_hitters"] = len(hh)
         stats["vocab_top"] = [(r["token"], r["cnt"]) for r in hh[:5]]
+
+        # 8. mix monitoring (tx16 kernel): PSI of each source's length
+        #    profile vs the rest of the surviving train split — the
+        #    alarm a production pipeline fires when one feed drifts
+        from goose_spark.operators.curation import PSI_EDGES, PSI_SMOOTH  # noqa: F401
+
+        from goose_spark.queries import load_all
+
+        # run the registry form over the staged train split by pointing
+        # it at the stage dir (same table name contract)
+        drift = load_all()["tx16_distribution_drift"].builder(spark, stage_dir)
+        worst = drift.orderBy(F.col("psi").desc()).limit(3).collect()
+        stats["drift_worst_sources"] = [(r["source"], r["psi"]) for r in worst]
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return stats
