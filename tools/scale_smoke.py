@@ -50,6 +50,13 @@ OPS = [
     "q80_bpe_encode",
     "tx13_heavy_hitters",
     "ss8_semdedup",
+    "tx14_containment",
+    "tx15_bigram_lm",
+    "tx16_distribution_drift",
+    "q82_ohlc_downsample",
+    "q83_rate_anomaly",
+    "sp10_weighted_sample",
+    "ss9_mmr_rerank",
 ]
 
 
