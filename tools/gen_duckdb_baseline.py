@@ -83,6 +83,11 @@ JUSTIFICATIONS: dict[str, str] = {
         "floor dominates at 600k rows. " + _MULTI_STAGE
     ),
     "q76_peak_concurrency": _PREFIX_SUM,
+    "tx15_bigram_lm": (
+        "token posexplode → doc-keyed lead() window → two count-table "
+        "shuffles → score join: 4 exchanges over a ~1 MB token stream, "
+        "so stages×floor dominates (1.1 s absolute). " + _MULTI_STAGE
+    ),
     "sp3_token_chunking": _PREFIX_SUM,
     "dd1_exact_dedup": (
         "full-corpus sha2+xxhash fingerprint shuffle over the documents "
