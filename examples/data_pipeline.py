@@ -218,8 +218,6 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         # 8. mix monitoring (tx16 kernel): PSI of each source's length
         #    profile vs the rest of the surviving train split — the
         #    alarm a production pipeline fires when one feed drifts
-        from goose_spark.operators.curation import PSI_EDGES, PSI_SMOOTH  # noqa: F401
-
         from goose_spark.queries import load_all
 
         # run the registry form over the staged train split by pointing

@@ -135,7 +135,6 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         pairs.select(F.col("a_id").alias("doc_id"))
         .union(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
-        .persist()
     )
     e = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
@@ -144,17 +143,22 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         .localCheckpoint(eager=True)
     )
     converged = False
+    prev_count = e.count()
     for _round in range(max_rounds):
         # localCheckpoint per round: the plan would otherwise deepen by
         # ~6 joins/round and analyzer time dominates long before data
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # fixpoint test: edge sets equal ⇔ both directional diffs empty;
-        # counts are equal at fixpoint so one exceptAll probe suffices
-        if e2.exceptAll(e).limit(1).count() == 0 and e2.count() == e.count():
+        # fixpoint test, cheap probe first: unequal edge COUNTS (the
+        # common mid-run case, a scan of two eager checkpoints) disprove
+        # convergence without paying the exceptAll shuffle; the
+        # exceptAll then certifies set equality (e2 ⊆ e ∧ |e2| = |e|)
+        cnt = e2.count()
+        if cnt == prev_count and e2.exceptAll(e).limit(1).count() == 0:
             e = e2
             converged = True
             break
         e = e2
+        prev_count = cnt
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
@@ -249,29 +253,37 @@ def pagerank(pairs: DataFrame, iters: int = PR_ITERS,
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     edges = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    n = nodes.count()
-    if n == 0:
-        return nodes.select(
-            F.col("node").alias("doc_id"), F.lit(0.0).alias("pr")
-        )
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
-    for i in range(iters):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
-        )
-        ranks = (
-            contribs.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(base) + damping * F.col("s")).alias("r"),
+    try:
+        nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                F.col("node").alias("doc_id"), F.lit(0.0).alias("pr")
             )
-        )
-        if (i + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+        ranks = nodes.withColumn("r", F.lit(1.0 / n))
+        base = (1.0 - damping) / n
+        for i in range(iters):
+            contribs = (
+                edges.join(ranks, edges.src == ranks.node)
+                .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            )
+            ranks = (
+                contribs.groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.lit(base) + damping * F.col("s")).alias("r"),
+                )
+            )
+            if (i + 1) % 3 == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        # sever the result's lineage from the cached inputs so both can
+        # be unpersisted (the 144-query sweep shares one JVM — leaked
+        # cache blocks would crowd out the hot shingle/pair caches)
+        ranks = ranks.localCheckpoint(eager=True)
+        nodes.unpersist()
+    finally:
+        edges.unpersist()
     out = ranks.select(
         F.col("node").alias("doc_id"), F.round("r", 6).alias("pr")
     ).orderBy(F.col("pr").desc(), "doc_id")

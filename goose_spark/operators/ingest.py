@@ -123,10 +123,17 @@ class _AtomicPublisher:
             if os.path.exists(src):
                 os.replace(src, dst)
                 rows += e["rows"]
-        # deletes AFTER all adds: a crash in between leaves both old and
-        # new files visible (duplicate rows momentarily) — recover()
-        # finishes the deletes; readers between commit and recovery must
-        # tolerate the union, same contract as Ledger.compact
+        # deletes AFTER all adds, and ONLY once every add is in place:
+        # if any entry's dst is missing (its staged src was lost — e.g.
+        # a rename raised and something cleaned the staging), deleting
+        # the originals would turn a recoverable torn commit into data
+        # loss. Leave everything for the operator / a later recover.
+        satisfied = all(
+            os.path.exists(os.path.join(self.root, e["dest"], e["dst"]))
+            for e in manifest["entries"]
+        )
+        if not satisfied:
+            return rows
         for r in manifest.get("removes", []):
             p = os.path.join(self.root, r["dest"], r["file"])
             if os.path.exists(p):
@@ -148,6 +155,7 @@ class _AtomicPublisher:
 
         stagings: list[str] = []
         entries: list[dict] = []
+        committed = False
         try:
             for df, dest in items:
                 staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
@@ -183,10 +191,19 @@ class _AtomicPublisher:
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(tmp, path)  # ← the commit point
+            committed = True
             return self._apply(manifest)
         finally:
-            for s in stagings:
-                shutil.rmtree(s, ignore_errors=True)
+            # pre-commit: abandoned stagings are garbage — clean them.
+            # POST-commit, the staged files ARE the durable copy of any
+            # entry whose rename hasn't happened yet; deleting them
+            # after an _apply failure would strand the manifest with
+            # neither src nor dst (and a compaction's removes would
+            # then be the only thing recover could do — data loss).
+            # _apply removes stagings itself once every dst is in place.
+            if not committed:
+                for s in stagings:
+                    shutil.rmtree(s, ignore_errors=True)
 
 
 class CorpusIngest:

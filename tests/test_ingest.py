@@ -252,3 +252,42 @@ def test_compact_torn_mid_delete_recovers(spark, store):
     assert len(glob.glob(os.path.join(reopened.root, "corpus", "*.parquet"))) == 1
     ids = {r["doc_id"] for r in reopened.corpus(spark).collect()}
     assert ids == {1, 2}
+
+
+def test_recover_never_deletes_when_adds_unsatisfied(spark, store):
+    """A committed compaction manifest whose staged replacement files
+    were LOST (neither renamed nor still staged) must not execute its
+    delete-set: deleting the originals would turn a recoverable torn
+    commit into data loss. recover() leaves everything in place."""
+    import glob
+    import json
+    import os
+
+    from goose_spark.operators.ingest import CorpusIngest
+
+    store.ingest_batch(spark, _docs(spark, [(1, GOOD)]))
+    keep = sorted(glob.glob(os.path.join(store.root, "corpus", "*.parquet")))
+    manifest = {
+        "seq": 2,
+        "stagings": [".staging-gone"],  # never existed / already cleaned
+        "entries": [
+            {
+                "staging": ".staging-gone",
+                "src": "part-0.parquet",
+                "dest": "corpus",
+                "dst": "never-landed.parquet",
+                "rows": 1,
+            }
+        ],
+        "removes": [
+            {"dest": "corpus", "file": os.path.basename(f)} for f in keep
+        ],
+    }
+    with open(os.path.join(store.root, "_commits", "2.json"), "w") as fh:
+        json.dump(manifest, fh)
+
+    reopened = CorpusIngest(store.root)  # recovery must be a no-op here
+    assert sorted(
+        glob.glob(os.path.join(reopened.root, "corpus", "*.parquet"))
+    ) == keep
+    assert {r["doc_id"] for r in reopened.corpus(spark).collect()} == {1}
