@@ -40,6 +40,14 @@ EMPTY_OK = [
     "q50_moment_stats",
     "q58_customer_distribution",
     "q60_order_priority_check",
+    "tx14_containment",
+    "tx15_bigram_lm",
+    "tx16_distribution_drift",
+    "q82_ohlc_downsample",
+    "q83_rate_anomaly",
+    "sp10_weighted_sample",
+    "q84_pagerank",
+    "ss9_mmr_rerank",
 ]
 
 
