@@ -1,0 +1,157 @@
+"""All-vectors k-NN graph (ss10) — every vector's top-k cosine
+neighbors, the materialized artifact graph-based ANN (HNSW/NSG
+builds), SemDeDup-style curation, and label-propagation over
+embeddings all start from.
+
+Brute force is O(n²·dim) — structurally impossible at corpus scale.
+This operator blocks by the SHARED session IVF coarse quantizer
+(similarity.trained_ivf — the same k-means ss3/ss5/ss7/ss8 reuse):
+
+  index role:  each vector lands in its own cell (1 row), cells above
+               ``max_cell`` sub-block by id hash so no task ever holds
+               an unbounded gram matrix (ss8's treatment);
+  query role:  each vector probes its ``nprobe`` nearest cells — its
+               rows replicate to the probed cells' blocks;
+  kernel:      one Arrow task per (cell, block) computes the
+               probe × member cosine matrix (a single numpy matmul)
+               and emits each probe's local top-k;
+  merge:       a vec_id window reduces ≤ nprobe × blocks × k local
+               rows per vector to the global top-k.
+
+Cost: Σ_cells (arriving probes × block size) pairs ≈ n · nprobe ·
+avg_cell — linear in n for fixed cell geometry, never all-pairs; the
+shuffle key is the cell id, exactly the IVF serve shape. Recall is
+bounded by cell assignment (nprobe/k of the space), pinned by the
+floor test in tests/test_knn.py against brute force.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from goose_spark.operators.similarity import (
+    _assign,
+    _embeddings,
+    trained_ivf,
+)
+from goose_spark.queries.base import register
+
+KNN_K = 10
+KNN_NPROBE = 5
+#: Index-side cell population above which the cell sub-blocks by id
+#: hash — bounds every kernel task's gram matrix.
+KNN_MAX_CELL = 4096
+
+_PAIR_SCHEMA = "vec_id long, neighbor_id long, cos double"
+
+
+def _knn_kernel(k: int):
+    """Per-(cell, block) Arrow task: cosine matmul of arriving probe
+    vectors against block members, local top-k per probe."""
+
+    def go(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = pdf[pdf["role"] == 0]
+        probes = pdf[pdf["role"] == 1]
+        if members.empty or probes.empty:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cos"])
+        m_ids = members["vec_id"].to_numpy()
+        m = np.asarray(list(members["emb"]), dtype=np.float64)
+        p_ids = probes["vec_id"].to_numpy()
+        p = np.asarray(list(probes["emb"]), dtype=np.float64)
+        m_unit = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+        p_unit = p / np.maximum(np.linalg.norm(p, axis=1), 1e-12)[:, None]
+        cos = p_unit @ m_unit.T  # (P, M)
+        rows = []
+        # deterministic member order for tie-stable argsort
+        order = np.argsort(m_ids, kind="stable")
+        m_ids, cos = m_ids[order], cos[:, order]
+        top = min(k, cos.shape[1])
+        for i, pid in enumerate(p_ids):
+            # sort by (-cos, member_id): lexsort on (id, -cos) reversed
+            idx = np.lexsort((m_ids, -cos[i]))[: top + 1]
+            for j in idx:
+                if m_ids[j] != pid:
+                    rows.append((int(pid), int(m_ids[j]), float(cos[i, j])))
+        return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cos"])
+
+    return go
+
+
+def knn_graph(spark: SparkSession, v: DataFrame, centroids,
+              k: int = KNN_K, nprobe: int = KNN_NPROBE,
+              max_cell: int = KNN_MAX_CELL) -> DataFrame:
+    """``v``: (vec_id, emb array<double>) → (vec_id, neighbor_id, rank,
+    cos) — each vector's approximate top-k neighbors."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    assigned = _assign(v, centroids).join(v, "vec_id")
+    # blocks per cell: ceil(population / max_cell); O(cells) rows
+    nblocks = (
+        assigned.groupBy("cluster")
+        .agg(F.ceil(F.count("*") / max_cell).cast("int").alias("nb"))
+    )
+
+    idx = (
+        assigned.join(F.broadcast(nblocks), "cluster")
+        .withColumn("block", F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int"))
+        .select("cluster", "block", "vec_id", "emb", F.lit(0).alias("role"))
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            top = np.argsort(-scores, axis=1)[:, :nprobe]
+            rows = [
+                (int(vid), int(c))
+                for vid, cl in zip(pdf["vec_id"], top)
+                for c in cl
+            ]
+            yield pd.DataFrame(rows, columns=["vec_id", "cluster"])
+
+    probes = (
+        v.mapInPandas(probe, schema="vec_id long, cluster int")
+        .join(v, "vec_id")
+        .join(F.broadcast(nblocks), "cluster")
+        # a probe must visit EVERY block of its probed cell
+        .withColumn("block", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)))
+        .select("cluster", F.col("block").cast("int").alias("block"),
+                "vec_id", "emb", F.lit(1).alias("role"))
+    )
+
+    local = (
+        idx.unionByName(probes)
+        .groupBy("cluster", "block")
+        .applyInPandas(lambda pdf: _knn_kernel(k)(pdf), schema=_PAIR_SCHEMA)
+    )
+    # no dedup stage: a neighbor lives in exactly one (cell, block) and
+    # a probe visits each distinct (cell, block) once, so (vec_id,
+    # neighbor_id) pairs are unique by construction
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        .orderBy("vec_id", "rank")
+    )
+
+
+@register(
+    "ss10_knn_graph",
+    None,  # cell-blocked approximate — recall floor in tests/test_knn.py
+    doc="All-vectors k-NN graph (k=10, 5-probe over the shared IVF "
+        "cells, max_cell sub-blocking): one Arrow matmul per "
+        "(cell, block), local top-k, vec_id-window merge — n·nprobe·"
+        "avg_cell pairs, never all-pairs. The artifact HNSW builds and "
+        "graph curation start from.",
+    tags=("llm", "similarity"),
+)
+def ss10(spark: SparkSession, sf: str) -> DataFrame:
+    v = _embeddings(spark, sf)
+    return knn_graph(spark, v, trained_ivf(spark, sf))
