@@ -83,6 +83,13 @@ JUSTIFICATIONS: dict[str, str] = {
         "floor dominates at 600k rows. " + _MULTI_STAGE
     ),
     "q76_peak_concurrency": _PREFIX_SUM,
+    "q77_zorder_quadrants": (
+        "Morton-key + repartitionByRange: the range exchange (sampling "
+        "pass + shuffle) IS the layout mechanism the operator exists "
+        "for — DuckDB's twin computes the keys in-process without "
+        "producing a partitioned layout. ~2 s absolute, host-state "
+        "dependent around the 1 s floor."
+    ),
     "tx15_bigram_lm": (
         "token posexplode → doc-keyed lead() window → two count-table "
         "shuffles → score join: 4 exchanges over a ~1 MB token stream, "
