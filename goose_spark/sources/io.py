@@ -16,6 +16,7 @@ scan at 100 TB — never in production paths).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BATCH_FORMATS = ("parquet", "csv", "json", "orc")
@@ -170,3 +171,62 @@ def kafka_records_to_jobs(records, drop_malformed: bool = True):
     if drop_malformed:
         return out.filter(~malformed)
     return out.withColumn("_malformed", malformed)
+
+
+def load_jsonl_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    required: tuple = ("doc_id", "text"),
+):
+    """JSONL ingestion front door: returns ``(good, quarantined)``.
+
+    At corpus scale raw feeds ALWAYS contain garbage — truncated
+    lines, wrong types, missing fields. The contract a production
+    ingest needs is: never fail the job on a bad record, never
+    silently drop one. PERMISSIVE parse captures unparseable lines in
+    the corrupt-record column; parsed rows violating the field
+    contract (``required`` non-null) are rejected row-level with a
+    reason. ``quarantined`` is (raw, reason) — replayable after a
+    parser/contract fix.
+
+    The parsed frame is persisted: Spark disallows filtering on ONLY
+    the internal corrupt-record column of a streaming-from-source
+    plan (SPARK-21610), and the two outputs would otherwise re-read
+    the input twice. Callers should unpersist via the returned good
+    frame's lineage once both sides are consumed.
+    """
+    base = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(base)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .persist()
+    )
+    unparseable = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw"),
+        F.lit("unparseable").alias("reason"),
+    )
+    parsed = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    contract_ok = None
+    for field in required:
+        cond = F.col(field).isNotNull()
+        contract_ok = cond if contract_ok is None else (contract_ok & cond)
+    if contract_ok is None:
+        return parsed, unparseable
+    reason = F.concat_ws(
+        ",",
+        *[
+            F.when(F.col(f).isNull(), F.lit(f"missing:{f}"))
+            for f in required
+        ],
+    )
+    violations = parsed.filter(~contract_ok).select(
+        F.to_json(F.struct(*[F.col(f.name) for f in schema.fields])).alias("raw"),
+        reason.alias("reason"),
+    )
+    good = parsed.filter(contract_ok)
+    return good, unparseable.unionByName(violations)

@@ -442,3 +442,33 @@ def test_activity_islands_shares_user_exchange(spark):
     # window + run agg both key on user_id; no unpartitioned window
     assert "Window" in r.text
     assert r.single_partition_exchanges <= 1  # the final scalar summary
+
+
+def test_jsonl_quarantine_splits_good_bad(spark, tmp_path):
+    """Ingestion front door: malformed JSON lines land in quarantine
+    as 'unparseable', parsed rows missing a required field land as
+    'missing:<field>', and not one input line is silently dropped."""
+    from pyspark.sql import types as T
+
+    from goose_spark.sources.io import load_jsonl_quarantined
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "bravo"}\n'
+        '{"doc_id": 3 "text": "broken syntax"}\n'      # unparseable
+        '{"doc_id": 4}\n'                               # missing text
+        '{"doc_id": 5, "text": "charlie"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = load_jsonl_quarantined(spark, str(p), schema)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 5]
+    q = {(r["reason"]): r["raw"] for r in bad.collect()}
+    assert set(q) == {"unparseable", "missing:text"}
+    assert "broken syntax" in q["unparseable"]
+    assert good.count() + bad.count() == 5
