@@ -253,8 +253,8 @@ def pagerank(pairs: DataFrame, iters: int = PR_ITERS,
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     edges = edges.join(deg, "src").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     try:
-        nodes = edges.select(F.col("src").alias("node")).distinct().persist()
         n = nodes.count()
         if n == 0:
             return nodes.select(
@@ -278,11 +278,14 @@ def pagerank(pairs: DataFrame, iters: int = PR_ITERS,
             if (i + 1) % 3 == 0:
                 ranks = ranks.localCheckpoint(eager=True)
         # sever the result's lineage from the cached inputs so both can
-        # be unpersisted (the 144-query sweep shares one JVM — leaked
+        # be unpersisted (the full query sweep shares one JVM — leaked
         # cache blocks would crowd out the hot shingle/pair caches)
         ranks = ranks.localCheckpoint(eager=True)
-        nodes.unpersist()
     finally:
+        # unconditional: the empty-graph early return and any mid-loop
+        # failure must release the caches too (the returned frames
+        # recompute via lineage if ever re-read)
+        nodes.unpersist()
         edges.unpersist()
     out = ranks.select(
         F.col("node").alias("doc_id"), F.round("r", 6).alias("pr")

@@ -8,15 +8,15 @@ This operator blocks by the SHARED session IVF coarse quantizer
 (similarity.trained_ivf — the same k-means ss3/ss5/ss7/ss8 reuse):
 
   index role:  each vector lands in its own cell (1 row), cells above
-               ``max_cell`` sub-block by id hash so no task ever holds
-               an unbounded gram matrix (ss8's treatment);
-  query role:  each vector probes its ``nprobe`` nearest cells — its
-               rows replicate to the probed cells' blocks;
-  kernel:      one Arrow task per (cell, block) computes the
-               probe × member cosine matrix (a single numpy matmul)
-               and emits each probe's local top-k;
-  merge:       a vec_id window reduces ≤ nprobe × blocks × k local
-               rows per vector to the global top-k.
+               ``max_cell`` sub-block by member-id hash;
+  query role:  each vector probes its ``nprobe`` nearest cells; a hot
+               cell's ARRIVING probes sub-block by probe-id hash too,
+               so neither kernel axis is ever unbounded;
+  kernel:      one Arrow task per (cell, block, qblock) computes the
+               probe × member cosine matrix (a single numpy matmul,
+               ≤ max_cell on both axes) and emits local top-k;
+  merge:       a vec_id window reduces the per-shard local rows to
+               the global top-k.
 
 Cost: Σ_cells (arriving probes × block size) pairs ≈ n · nprobe ·
 avg_cell — linear in n for fixed cell geometry, never all-pairs; the
@@ -87,20 +87,29 @@ def knn_graph(spark: SparkSession, v: DataFrame, centroids,
               k: int = KNN_K, nprobe: int = KNN_NPROBE,
               max_cell: int = KNN_MAX_CELL) -> DataFrame:
     """``v``: (vec_id, emb array<double>) → (vec_id, neighbor_id, rank,
-    cos) — each vector's approximate top-k neighbors."""
+    cos) — each vector's approximate top-k neighbors.
+
+    BOTH kernel axes are bounded: members sub-block by ``max_cell``
+    (hash on member id) and the arriving PROBES of a hot cell
+    sub-block the same way (hash on probe id, ``qb`` shards sized from
+    the per-cell probe count) — a popular cell attracting O(n) probes
+    costs more tasks, never a bigger task. A (probe, member) pair
+    meets exactly once: the member replicates across qblocks, the
+    probe across member-blocks, and each is hashed to exactly one
+    shard on its own axis.
+
+    The slim (vec_id, cluster) assignment is persisted for the
+    function's lifetime (16 bytes/row — the similarity.py session-cache
+    discipline) so the centroid matmul runs once, not once per
+    consumer."""
     cmat = np.asarray(centroids, dtype=np.float64)
 
-    assigned = _assign(v, centroids).join(v, "vec_id")
-    # blocks per cell: ceil(population / max_cell); O(cells) rows
+    assignment = _assign(v, centroids).persist()
+    # shards per cell on each axis: O(cells) rows, broadcast
     nblocks = (
-        assigned.groupBy("cluster")
+        assignment.groupBy("cluster")
         .agg(F.ceil(F.count("*") / max_cell).cast("int").alias("nb"))
-    )
-
-    idx = (
-        assigned.join(F.broadcast(nblocks), "cluster")
-        .withColumn("block", F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int"))
-        .select("cluster", "block", "vec_id", "emb", F.lit(0).alias("role"))
+        .persist()
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -115,24 +124,44 @@ def knn_graph(spark: SparkSession, v: DataFrame, centroids,
             ]
             yield pd.DataFrame(rows, columns=["vec_id", "cluster"])
 
+    probe_cells = v.mapInPandas(probe, schema="vec_id long, cluster int").persist()
+    qblocks = (
+        probe_cells.groupBy("cluster")
+        .agg(F.ceil(F.count("*") / max_cell).cast("int").alias("qb"))
+        .persist()
+    )
+
+    idx = (
+        assignment.join(v, "vec_id")
+        .join(F.broadcast(nblocks), "cluster")
+        .join(F.broadcast(qblocks), "cluster")  # inner: probe-less cells do no work
+        .withColumn("block", F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int"))
+        # a member must be visible to EVERY probe shard of its cell
+        .withColumn("qblock", F.explode(F.sequence(F.lit(0), F.col("qb") - 1)))
+        .select("cluster", "block", F.col("qblock").cast("int").alias("qblock"),
+                "vec_id", "emb", F.lit(0).alias("role"))
+    )
+
     probes = (
-        v.mapInPandas(probe, schema="vec_id long, cluster int")
+        probe_cells
         .join(v, "vec_id")
         .join(F.broadcast(nblocks), "cluster")
-        # a probe must visit EVERY block of its probed cell
+        .join(F.broadcast(qblocks), "cluster")
+        .withColumn("qblock", F.pmod(F.xxhash64("vec_id"), F.col("qb")).cast("int"))
+        # a probe must visit EVERY member block of its probed cell
         .withColumn("block", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)))
-        .select("cluster", F.col("block").cast("int").alias("block"),
+        .select("cluster", F.col("block").cast("int").alias("block"), "qblock",
                 "vec_id", "emb", F.lit(1).alias("role"))
     )
 
     local = (
         idx.unionByName(probes)
-        .groupBy("cluster", "block")
+        .groupBy("cluster", "block", "qblock")
         .applyInPandas(lambda pdf: _knn_kernel(k)(pdf), schema=_PAIR_SCHEMA)
     )
-    # no dedup stage: a neighbor lives in exactly one (cell, block) and
-    # a probe visits each distinct (cell, block) once, so (vec_id,
-    # neighbor_id) pairs are unique by construction
+    # no dedup stage: a member is hashed to one block (replicated over
+    # qblocks), a probe to one qblock (replicated over blocks) — every
+    # (probe, member) pair meets at exactly one (cell, block, qblock)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         local.withColumn("rank", F.row_number().over(w))

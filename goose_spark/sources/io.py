@@ -184,39 +184,48 @@ def load_jsonl_quarantined(
     At corpus scale raw feeds ALWAYS contain garbage — truncated
     lines, wrong types, missing fields. The contract a production
     ingest needs is: never fail the job on a bad record, never
-    silently drop one. PERMISSIVE parse captures unparseable lines in
-    the corrupt-record column; parsed rows violating the field
-    contract (``required`` non-null) are rejected row-level with a
-    reason. ``quarantined`` is (raw, reason) — replayable after a
-    parser/contract fix.
+    silently drop one. Lines are read as TEXT and parsed with
+    ``from_json``, so every quarantine row carries the ORIGINAL line
+    verbatim — including fields outside ``schema`` — and is replayable
+    after a parser/contract fix. (Re-serializing a schema projection
+    would silently lose extra fields; the corrupt-record reader path
+    would need a session-lifetime persist to dodge SPARK-21610.)
 
-    The parsed frame is persisted: Spark disallows filtering on ONLY
-    the internal corrupt-record column of a streaming-from-source
-    plan (SPARK-21610), and the two outputs would otherwise re-read
-    the input twice. Callers should unpersist via the returned good
-    frame's lineage once both sides are consumed.
+    Quarantine reasons: ``unparseable`` (from_json yields NULL — bad
+    syntax / non-object) or ``missing:<field>`` per violated
+    ``required`` field. ``good`` and ``quarantined`` share one text
+    scan per action; persist the inputs upstream if both sides are
+    consumed repeatedly.
     """
-    base = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    lines = (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)  # blank lines aren't data
+        .select(F.col("value").alias("raw"))
     )
-    df = (
-        spark.read.schema(base)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-        .persist()
+    # from_json PERMISSIVE yields an all-null struct for bad syntax, so
+    # a parse-failure sentinel column is the only reliable signal
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
     )
-    unparseable = df.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw"),
-        F.lit("unparseable").alias("reason"),
+    parsed = lines.select(
+        "raw",
+        F.from_json(
+            "raw", parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
     )
-    parsed = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad_parse = F.col("j").isNull() | F.col("j._corrupt").isNotNull()
+    unparseable = parsed.filter(bad_parse).select(
+        "raw", F.lit("unparseable").alias("reason")
+    )
+    rows = parsed.filter(~bad_parse)
+    good_all = rows.select("raw", *[F.col(f"j.{f.name}").alias(f.name) for f in schema.fields])
     contract_ok = None
     for field in required:
         cond = F.col(field).isNotNull()
         contract_ok = cond if contract_ok is None else (contract_ok & cond)
     if contract_ok is None:
-        return parsed, unparseable
+        return good_all.drop("raw"), unparseable
     reason = F.concat_ws(
         ",",
         *[
@@ -224,9 +233,8 @@ def load_jsonl_quarantined(
             for f in required
         ],
     )
-    violations = parsed.filter(~contract_ok).select(
-        F.to_json(F.struct(*[F.col(f.name) for f in schema.fields])).alias("raw"),
-        reason.alias("reason"),
+    violations = good_all.filter(~contract_ok).select(
+        "raw", reason.alias("reason")
     )
-    good = parsed.filter(contract_ok)
+    good = good_all.filter(contract_ok).drop("raw")
     return good, unparseable.unionByName(violations)

@@ -456,8 +456,9 @@ def test_jsonl_quarantine_splits_good_bad(spark, tmp_path):
     p.write_text(
         '{"doc_id": 1, "text": "alpha"}\n'
         '{"doc_id": 2, "text": "bravo"}\n'
-        '{"doc_id": 3 "text": "broken syntax"}\n'      # unparseable
-        '{"doc_id": 4}\n'                               # missing text
+        '{"doc_id": 3 "text": "broken syntax"}\n'            # unparseable
+        '{"doc_id": 4, "source": "crawl9"}\n'                # missing text
+        '\n'                                                  # blank: not data
         '{"doc_id": 5, "text": "charlie"}\n'
     )
     schema = T.StructType(
@@ -471,4 +472,7 @@ def test_jsonl_quarantine_splits_good_bad(spark, tmp_path):
     q = {(r["reason"]): r["raw"] for r in bad.collect()}
     assert set(q) == {"unparseable", "missing:text"}
     assert "broken syntax" in q["unparseable"]
-    assert good.count() + bad.count() == 5
+    # the quarantined raw is the ORIGINAL line — extra fields outside
+    # the declared schema survive for replay after a contract fix
+    assert '"source": "crawl9"' in q["missing:text"]
+    assert good.count() + bad.count() == 5  # blank line is not data

@@ -7,7 +7,9 @@ driver-bound.
 
 Usage: python3 tools/scale_smoke.py [N_COPIES] [OP_NAME ...]
 (op names restrict the run to a subset — e.g. to extend SCALE.md's
-table with newly added operators without re-timing the whole sweep)
+table with newly added operators without re-timing the whole sweep;
+the pseudo-name `dd6_forced` times dd6's large-star/small-star
+fallback with the union-find fast path disabled)
 """
 
 from __future__ import annotations
