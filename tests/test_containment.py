@@ -58,3 +58,31 @@ def test_short_docs_are_safe(spark):
         _shingled(spark, [(1, "too short"), (2, ""), (3, INNER)])
     ).collect()
     assert out == []
+
+
+def test_full_containment_never_missed(spark):
+    """Provable blocking guarantee: if EVERY shingle of A appears in B
+    (containment 1.0), then A's rarest shingles are in B too, so the
+    probe join MUST produce the candidate — recall is exactly 1.0 for
+    full containments, independent of K. Randomized corpus: 30 base
+    docs, 10 planted full-containments (snippet = contiguous slice)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(30):
+        n = rng.randint(25, 60)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    planted = []
+    for j in range(10):
+        base_id = rng.randrange(30)
+        words = rows[base_id][1].split()
+        a = rng.randrange(0, len(words) - 12)
+        snippet = " ".join(words[a : a + 12])
+        rows.append((100 + j, snippet))
+        planted.append((100 + j, base_id))
+    out = containment_pairs(_shingled(spark, rows), threshold=0.999).collect()
+    got = {(r["inner_id"], r["outer_id"]) for r in out}
+    for inner, outer in planted:
+        assert (inner, outer) in got, (inner, outer)
