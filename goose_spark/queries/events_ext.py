@@ -348,44 +348,9 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
         "the monitoring silhouette over any metric stream.",
 )
 def q83(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from goose_spark.operators.monitoring import (
+        anomalies_from_hourly,
+        hourly_counts,
+    )
 
-    e = t(spark, sf, "events")
-    hourly = (
-        e.select(
-            "event_type",
-            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
-        )
-        .groupBy("event_type", "hour_idx")
-        .agg(F.count("*").alias("n"))
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour_idx")
-        .rowsBetween(-24, -1)
-    )
-    s1 = F.sum("n").over(w)
-    s2 = F.sum(F.col("n") * F.col("n")).over(w)
-    c = F.count("n").over(w)
-    stats = hourly.select(
-        "event_type", "hour_idx", "n",
-        s1.alias("s1"), s2.alias("s2"), c.alias("c"),
-    )
-    mean = F.col("s1").cast("double") / F.col("c")
-    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("c")) / (
-        F.col("c") - 1
-    )
-    z = (F.col("n") - mean) / F.sqrt(var)
-    return (
-        stats.filter(
-            (F.col("c") == 24)
-            & ((F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("c")) > 0)
-        )
-        .select(
-            "event_type", "hour_idx", "n",
-            F.round(mean, 6).alias("mean_n"),
-            F.round(z, 6).alias("z"),
-            (F.abs(z) >= 3.0).alias("is_anomaly"),
-        )
-        .orderBy("event_type", "hour_idx")
-    )
+    return anomalies_from_hourly(hourly_counts(t(spark, sf, "events")))
