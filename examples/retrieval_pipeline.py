@@ -179,51 +179,62 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
             cent = [c / (np.linalg.norm(c) or 1.0) for c in cent]
         stats["cells"] = _K_CELLS
 
-        # 4. postings: each chunk assigned to its nearest cell; at scale
-        #    this table is PARTITIONED BY cell so probes prune
-        bc = spark.sparkContext.broadcast([c.tolist() for c in cent])
-
-        def assign(batches):
-            import numpy as np
-            import pandas as pd
-
-            C = np.array(bc.value)
-            for pdf in batches:
-                V = np.array(list(pdf["emb"]))
-                cells = np.argmax(V @ C.T, axis=1) if len(V) else []
-                pdf = pdf.copy()
-                pdf["cell"] = list(cells)
-                yield pdf
-
-        postings = emb.mapInPandas(
-            assign,
-            schema="chunk_id string, doc_id long, chunk_text string, "
-                   "emb array<double>, cell int",
+        # 4. persist the index through the REAL lifecycle API
+        #    (annindex.build_ivf_index_from): cluster-partitioned
+        #    assignments + centroids + manifest — the same on-disk
+        #    layout the delete/compact/streaming-append paths maintain.
+        #    Chunk ids are hashed to the index's numeric key space; the
+        #    (vec_id → chunk) mapping stays a parquet side table.
+        from goose_spark.operators.annindex import (
+            build_ivf_index_from,
+            ivf_index_query,
         )
-        postings.write.partitionBy("cell").parquet(os.path.join(stage, "postings.parquet"))
-        postings = spark.read.parquet(os.path.join(stage, "postings.parquet"))
+        from goose_spark.operators.mmr import mmr_rerank_indexed
 
-        # 5. query: embed the query string the same way, probe the
-        #    nearest cells, exact cosine inside them, top-k with text
+        keyed = emb.select(
+            F.xxhash64("chunk_id").alias("vec_id"),
+            "chunk_id", "doc_id", "chunk_text", "emb",
+        )
+        keyed.drop("emb").write.parquet(os.path.join(stage, "chunkmap.parquet"))
+        chunkmap = spark.read.parquet(os.path.join(stage, "chunkmap.parquet"))
+        idx_dir = os.path.join(stage, "ivf_index")
+        manifest = build_ivf_index_from(
+            spark, keyed.select("vec_id", "emb"),
+            [c.tolist() for c in cent], idx_dir,
+        )
+        stats["index_rows"] = manifest["n"]
+
+        # 5. query: embed the query string the same way, serve top-k
+        #    off the index (partition-pruned probe of _PROBE cells),
+        #    then MMR-diversify the SAME served candidates — both
+        #    stages read only the probed cells' files.
         query = "table scan filter join"
         qv = _embed_text(query)
-        order = np.argsort(-(np.array([c for c in cent]) @ qv))[:_PROBE]
-        probed = postings.filter(F.col("cell").isin([int(c) for c in order]))
-        qcol = F.array(*[F.lit(float(x)) for x in qv])
-        cos = F.aggregate(
-            F.zip_with("emb", qcol, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        qdf = spark.createDataFrame(
+            [(0, [float(x) for x in qv])], "query_id long, qe array<double>"
         )
         top = (
-            probed.select("chunk_id", "doc_id", "chunk_text", cos.alias("score"))
-            .orderBy(F.col("score").desc(), "chunk_id")
-            .limit(_TOP_K)
+            ivf_index_query(spark, idx_dir, qdf, nprobe=_PROBE, topk=_TOP_K)
+            .join(chunkmap, F.col("neighbor_id") == F.col("vec_id"))
+            .orderBy("rank")
             .collect()
         )
-        stats["probed_cells"] = len(order)
+        stats["probed_cells"] = _PROBE
         stats["top"] = [(r["chunk_id"], round(r["score"], 4)) for r in top]
         stats["top_texts"] = [r["chunk_text"][:40] for r in top]
+
+        # 6. diversified answer context: the ss9 MMR kernel over the
+        #    index-served candidate pool (3× top-k), λ=0.7
+        diverse = (
+            mmr_rerank_indexed(
+                spark, idx_dir, qdf,
+                top_k=_TOP_K, cand_k=3 * _TOP_K, nprobe=_PROBE,
+            )
+            .join(chunkmap, F.col("neighbor_id") == F.col("vec_id"))
+            .orderBy("rank")
+            .collect()
+        )
+        stats["mmr_top"] = [(r["chunk_id"], round(r["mmr_score"], 4)) for r in diverse]
         return stats
     finally:
         shutil.rmtree(stage, ignore_errors=True)

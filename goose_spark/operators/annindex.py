@@ -69,22 +69,21 @@ def _assign_with_emb(v: DataFrame, centroids, books=None) -> DataFrame:
     return v.mapInPandas(kernel, schema=schema)
 
 
-def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
-    """Train the coarse quantizer and materialize the index:
-    ``centroids/`` (k rows) + ``assignments/`` parquet partitioned by
-    ``cluster`` (id + embedding co-located per cell) + ``manifest.json``.
-    Returns the manifest. The coarse quantizer comes from the session
-    cache (``similarity.trained_ivf`` — ONE deterministic k-means per
-    (session, sf) shared with ss3/ss7) and is persisted alongside the
-    index, so later opens never retrain."""
-    v = _embeddings(spark, sf)
-    centroids = trained_ivf(spark, sf)
+def build_ivf_index_from(spark: SparkSession, vectors: DataFrame,
+                         centroids, index_dir: str) -> dict:
+    """Materialize an IVF index from ANY (``vec_id``, ``emb``) frame and
+    a trained coarse quantizer: ``centroids/`` (k rows) + ``assignments/``
+    parquet partitioned by ``cluster`` (id + embedding co-located per
+    cell) + ``manifest.json``. ``build_ivf_index`` is the testdata-bound
+    convenience wrapper; pipelines with their own embedding stage (e.g.
+    examples/retrieval_pipeline.py) call this directly."""
     k = len(centroids)
+    dim = len(centroids[0]) if k else _DIM
     spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
+        [(i, list(c)) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).repartition(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    assigned = _assign_with_emb(v, centroids)
+    assigned = _assign_with_emb(vectors, centroids)
     (
         assigned.select("cluster", "vec_id", "emb")
         # co-locate each cell before the partitioned write: one file per
@@ -97,10 +96,21 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     )
     # row count from the written index's parquet footers — a v.count()
     # here would re-execute the whole embeddings pipeline a third time
-    manifest = {"k": k, "dim": _DIM, "n": _count_index_rows(index_dir), "version": 1}
+    manifest = {"k": k, "dim": dim, "n": _count_index_rows(index_dir), "version": 1}
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest
+
+
+def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
+    """Train the coarse quantizer and materialize the index for the
+    testdata embeddings table. The coarse quantizer comes from the
+    session cache (``similarity.trained_ivf`` — ONE deterministic
+    k-means per (session, sf) shared with ss3/ss7) and is persisted
+    alongside the index, so later opens never retrain."""
+    return build_ivf_index_from(
+        spark, _embeddings(spark, sf), trained_ivf(spark, sf), index_dir
+    )
 
 
 def _probe_kernel(cmat, nprobe: int):
@@ -521,14 +531,16 @@ def attach_index_stream(stream: DataFrame, index_dir: str, checkpoint: str,
     )
 
 
-def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
-                    nprobe: int = IVF_NPROBE, topk: int = TOP_K) -> DataFrame:
-    """Top-k cosine neighbors for ``queries`` (``query_id``, ``qe``)
-    against a built index. Plan shape: probes computed per Arrow batch
-    (one matmul against the ≤k×dim broadcast centroid matrix), probed
-    cells collected as a ≤k-value STATIC partition filter (guaranteed
+def _ranked_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
+                       nprobe: int, limit: int) -> DataFrame:
+    """The shared IVF serve stage: probes computed per Arrow batch (one
+    matmul against the ≤k×dim broadcast centroid matrix), probed cells
+    collected as a ≤k-value STATIC partition filter (guaranteed
     ``PartitionFilters`` pruning on the assignments scan), exact cosine
-    within the pruned cells, per-query WindowGroupLimit top-k."""
+    within the pruned cells, per-query WindowGroupLimit rank ≤ limit.
+    Returns (query_id, qe, neighbor_id, ne, cos, rank) — consumers
+    project what they need (``ivf_index_query`` drops the embeddings,
+    ``ivf_candidates`` keeps them for the MMR kernel)."""
     import numpy as np
 
     cent = (
@@ -568,9 +580,31 @@ def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         cand.join(F.broadcast(qe), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .select("query_id", "qe", "neighbor_id", "ne", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
+        .filter(F.col("rank") <= limit)
+    )
+
+
+def ivf_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
+                   nprobe: int = IVF_NPROBE, cand_k: int = TOP_K) -> DataFrame:
+    """Per-query top-``cand_k`` candidates WITH embeddings —
+    (query_id, qe, neighbor_id, emb) — served off the persisted index
+    with partition-pruned cell reads. This is the candidate stage the
+    MMR re-ranker (ss9) plugs in for its brute-force corpus scan: at
+    corpus scale the scan reads only the probed cells' files."""
+    return _ranked_candidates(spark, index_dir, queries, nprobe, cand_k).select(
+        "query_id", "qe", "neighbor_id", F.col("ne").alias("emb")
+    )
+
+
+def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
+                    nprobe: int = IVF_NPROBE, topk: int = TOP_K) -> DataFrame:
+    """Top-k cosine neighbors for ``queries`` (``query_id``, ``qe``)
+    against a built index — the shared ``_ranked_candidates`` serve
+    stage with the embeddings projected away."""
+    return (
+        _ranked_candidates(spark, index_dir, queries, nprobe, topk)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
         .orderBy("query_id", "rank")
     )

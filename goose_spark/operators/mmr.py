@@ -100,13 +100,23 @@ def _mmr_kernel(lam: float, top_k: int):
     return go
 
 
+def _apply_mmr(cand: DataFrame, lam: float, top_k: int) -> DataFrame:
+    """The ONE kernel application both candidate stages share: ``cand``
+    is (query_id, qe, neighbor_id, emb), one Arrow batch per query."""
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(_mmr_kernel(lam, top_k), schema=_OUT_SCHEMA)
+        .orderBy("query_id", "rank")
+    )
+
+
 def mmr_rerank(emb: DataFrame, queries: DataFrame, top_k: int = TOP_K,
                cand_k: int = CAND_K, lam: float = MMR_LAMBDA) -> DataFrame:
     """``emb``: (vec_id, emb array<double>); ``queries``: (query_id, qe).
     Exact-cosine candidate stage (rank ≤ cand_k, WindowGroupLimit keeps
     the per-partition top below the shuffle), then the per-query MMR
-    kernel. Swap the candidate stage for the IVF index serve path at
-    corpus scale — the kernel is unchanged."""
+    kernel. ``mmr_rerank_indexed`` is the same kernel behind the
+    partition-pruned IVF candidate stage — the corpus-scale form."""
     cos = _dot(F.col("qe"), F.col("emb")) / F.sqrt(
         _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
     )
@@ -121,11 +131,27 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, top_k: int = TOP_K,
         .filter(F.col("rank") <= cand_k)
         .drop("rank", "cos")
     )
-    return (
-        cand.groupBy("query_id")
-        .applyInPandas(_mmr_kernel(lam, top_k), schema=_OUT_SCHEMA)
-        .orderBy("query_id", "rank")
+    return _apply_mmr(cand, lam, top_k)
+
+
+def mmr_rerank_indexed(spark: SparkSession, index_dir: str, queries: DataFrame,
+                       top_k: int = TOP_K, cand_k: int = CAND_K,
+                       lam: float = MMR_LAMBDA, nprobe: int | None = None) -> DataFrame:
+    """MMR over candidates served from a persisted IVF index
+    (``annindex.build_ivf_index``) instead of a corpus-wide cosine
+    scan — the 100 TB form: the candidate stage reads only the probed
+    cells (static ``PartitionFilters`` IN list on the assignments
+    scan), and the unchanged per-query kernel re-ranks those ≤ cand_k
+    rows. Recall-parity with the exact stage is pinned by
+    ``tests/test_mmr.py::test_indexed_candidates_recall_parity``."""
+    from goose_spark.operators.annindex import ivf_candidates
+    from goose_spark.operators.similarity import IVF_NPROBE
+
+    cand = ivf_candidates(
+        spark, index_dir, queries,
+        nprobe=IVF_NPROBE if nprobe is None else nprobe, cand_k=cand_k,
     )
+    return _apply_mmr(cand, lam, top_k)
 
 
 @register(

@@ -44,6 +44,12 @@ def test_retrieval_pipeline_end_to_end(spark):
     scores = [s for _, s in stats["top"]]
     assert scores == sorted(scores, reverse=True)
     assert all(-1.0001 <= s <= 1.0001 for s in scores)  # unit-vector cosines
+    # MMR stage (ss9 kernel over the index-served pool): full top-k,
+    # first pick is the pure-relevance winner, scores non-increasing
+    assert len(stats["mmr_top"]) == retrieval_pipeline._TOP_K
+    assert stats["mmr_top"][0][0] == stats["top"][0][0]
+    mmr_scores = [s for _, s in stats["mmr_top"]]
+    assert mmr_scores == sorted(mmr_scores, reverse=True)
 
 
 def test_temporal_analytics_end_to_end(spark):
