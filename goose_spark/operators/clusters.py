@@ -197,6 +197,18 @@ SELECT CAST(node AS BIGINT) AS doc_id,
 FROM reach GROUP BY node ORDER BY doc_id"""
 
 
+def components_of(pairs: DataFrame) -> DataFrame:
+    """Dispatch shared by dd6 and the incremental maintainer: (a_id,
+    b_id) edges → (doc_id, cluster_id) labels, cluster_id = min member
+    id. Single-task union-find below FAST_PATH_MAX_EDGES, alternating
+    large-star/small-star above it."""
+    if pairs.count() <= FAST_PATH_MAX_EDGES:
+        return pairs.coalesce(1).mapInPandas(
+            _union_find_components, schema="doc_id long, cluster_id long"
+        )
+    return connected_components(pairs)
+
+
 @register(
     "dd6_dedup_clusters",
     _DD6_ORACLE,
@@ -211,13 +223,7 @@ FROM reach GROUP BY node ORDER BY doc_id"""
 def dd6(spark: SparkSession, sf: str) -> DataFrame:
     from goose_spark.operators.dedup import lsh_pairs
 
-    pairs = lsh_pairs(spark, sf).select("a_id", "b_id")
-    if pairs.count() <= FAST_PATH_MAX_EDGES:
-        labels = pairs.coalesce(1).mapInPandas(
-            _union_find_components, schema="doc_id long, cluster_id long"
-        )
-    else:
-        labels = connected_components(pairs)
+    labels = components_of(lsh_pairs(spark, sf).select("a_id", "b_id"))
     return labels.select(
         "doc_id",
         "cluster_id",

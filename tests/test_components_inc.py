@@ -1,0 +1,136 @@
+"""Incremental connected-components maintenance (round-9 directive #2):
+stream==batch equality vs dd6 on the same corpus under an arbitrary
+batch split, cross-batch component merges (including min-label takeover
+by a later, smaller id), effect-once crash-replay, and compaction
+transparency."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from goose_spark.operators.components_inc import IncrementalComponents
+from goose_spark.queries import load_all
+from goose_spark.queries.base import t
+
+REG = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _ingest_split(spark, root, n_batches=3):
+    inc = IncrementalComponents(root)
+    docs = t(spark, SF, "documents").select("doc_id", "text")
+    for i in range(n_batches):
+        inc.add_batch(spark, docs.filter(F.col("doc_id") % n_batches == i))
+    return inc, docs
+
+
+def test_incremental_equals_dd6(spark, tmp_path):
+    """After ingesting the corpus in 3 interleaved batches (so merge
+    edges cross batch boundaries in both directions), the maintained
+    assignment equals dd6 run once over the whole corpus; docs outside
+    the near-dup graph are self-labeled singletons."""
+    inc, docs = _ingest_split(spark, str(tmp_path / "cc"))
+
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in REG["dd6_dedup_clusters"].builder(spark, SF).collect()
+    }
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in inc.components(spark).collect()
+    }
+    # every corpus doc is labeled exactly once
+    assert len(got) == docs.count()
+    # graph nodes: exact agreement with the one-shot dd6
+    for doc_id, w in want.items():
+        assert got[doc_id] == w, (doc_id, got[doc_id], w)
+    # non-graph docs: singletons labeled by themselves
+    for doc_id, (cl, keep) in got.items():
+        if doc_id not in want:
+            assert cl == doc_id and keep
+
+
+def test_merge_relabels_untouched_members(spark, tmp_path):
+    """A later batch's doc with a SMALLER id merges two components:
+    every member of the absorbed component is relabeled — including
+    members no new edge touches."""
+    inc = IncrementalComponents(str(tmp_path / "cc"))
+    base = " ".join(f"tok{i}" for i in range(40))
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+
+    inc.add_batch(spark, mk([(10, base), (20, base), (30, "x " * 60)]))
+    lab1 = {r["doc_id"]: r["cluster_id"] for r in inc.components(spark).collect()}
+    assert lab1 == {10: 10, 20: 10, 30: 30}
+
+    # doc 5 (smaller than the current label) duplicates the pair
+    stats = inc.add_batch(spark, mk([(5, base)]))
+    assert stats["merged_labels"] == 1  # label 10 absorbed by 5
+    lab2 = {r["doc_id"]: r["cluster_id"] for r in inc.components(spark).collect()}
+    # 10 and 20 both move to 5 even though the new edges only named them
+    # through the contracted label node
+    assert lab2 == {5: 5, 10: 5, 20: 5, 30: 30}
+    keepers = {r["doc_id"] for r in inc.components(spark).collect() if r["is_keeper"]}
+    assert keepers == {5, 30}
+
+
+def test_stream_fold_is_effect_once(spark, tmp_path):
+    """Crash between the fold and the checkpoint commit replays the
+    micro-batch; the effect-once marker suppresses the duplicate fold
+    (no duplicate label/band rows), and a genuinely new batch lands."""
+    root = str(tmp_path / "cc")
+    inc = IncrementalComponents(root)
+    base = " ".join(f"tok{i}" for i in range(40))
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(10, base), (20, base)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    inc.attach_stream(
+        spark.readStream.schema(schema).parquet(str(src)), ck
+    ).awaitTermination()
+    lab = spark.read.parquet(os.path.join(root, "labels"))
+    assert lab.count() == 2
+
+    # crash-replay: drop the commit marker, restart — batch re-runs,
+    # marker short-circuits, nothing doubles
+    shutil.rmtree(os.path.join(ck, "commits"))
+    inc.attach_stream(
+        spark.readStream.schema(schema).parquet(str(src)), ck
+    ).awaitTermination()
+    lab = spark.read.parquet(os.path.join(root, "labels"))
+    assert lab.count() == 2
+
+    # a genuinely new batch still folds (and merges across the stream)
+    spark.createDataFrame([(5, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    inc.attach_stream(
+        spark.readStream.schema(schema).parquet(str(src)), ck
+    ).awaitTermination()
+    got = {r["doc_id"]: r["cluster_id"] for r in inc.components(spark).collect()}
+    assert got == {5: 5, 10: 5, 20: 5}
+
+
+def test_compact_preserves_assignment(spark, tmp_path):
+    """Compaction folds the label history to one row per doc and
+    coalesces the stores — read results are bit-identical."""
+    inc, _ = _ingest_split(spark, str(tmp_path / "cc"))
+    before = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in inc.components(spark).collect()
+    )
+    stats = inc.compact(spark, target_files=2)
+    assert stats["labels"]["after"] <= 2
+    lab = spark.read.parquet(os.path.join(str(tmp_path / "cc"), "labels"))
+    assert lab.count() == lab.select("doc_id").distinct().count()
+    after = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in inc.components(spark).collect()
+    )
+    assert after == before

@@ -1,0 +1,159 @@
+"""Materialized state view (round-9 directive #3): per-micro-batch
+MERGE-target maintenance equals the window-over-history ``state()``,
+survives crash-replay exactly-once, rewrites only affected buckets, and
+serves the qj-family query shapes identically to the derived form."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from goose_spark.streaming.ledger import Ledger
+from goose_spark.streaming.stateview import MaterializedState
+
+
+def utcnow():
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+@pytest.fixture()
+def ledger(tmp_path):
+    return Ledger(str(tmp_path / "ledger"))
+
+
+def _rows(ids, status, queue="default"):
+    now = utcnow()
+    return [
+        {
+            "id": i,
+            "queue": queue,
+            "execute_fn": "noop",
+            "args": "[]",
+            "status": status,
+            "priority": 0,
+            "enqueued_at": now,
+            "retry_count": 0,
+            "max_retries": 27,
+            "error": "boom" if status == "dead" else None,
+        }
+        for i in ids
+    ]
+
+
+def _run_stream(spark, ledger, view, ck):
+    view.attach_stream(ledger.log_stream(spark), ck).awaitTermination()
+
+
+def _state_tuples(df):
+    return sorted(
+        (r["id"], r["status"], r["seq"]) for r in df.collect()
+    )
+
+
+def test_materialized_equals_state_across_batches(spark, ledger, tmp_path):
+    view = MaterializedState(str(tmp_path / "view"))
+    ck = str(tmp_path / "ck")
+
+    ids = [f"j{i}" for i in range(40)]
+    ledger.append_rows(_rows(ids, "enqueued"))
+    _run_stream(spark, ledger, view, ck)
+    assert _state_tuples(view.read(spark)) == _state_tuples(ledger.state(spark))
+
+    # transitions: some ids move on (newer seq must win), new ids appear
+    ledger.append_rows(_rows(ids[:15], "executing"))
+    ledger.append_rows(_rows(ids[:5], "succeeded") + _rows(["k1", "k2"], "enqueued"))
+    _run_stream(spark, ledger, view, ck)
+    got = _state_tuples(view.read(spark))
+    assert got == _state_tuples(ledger.state(spark))
+    by_id = {t[0]: t[1] for t in got}
+    assert by_id["j0"] == "succeeded" and by_id["j10"] == "executing"
+    assert by_id["j30"] == "enqueued" and by_id["k1"] == "enqueued"
+    # one row per id — the view never accumulates history
+    assert len(got) == 42
+
+
+def test_crash_replay_is_exactly_once(spark, ledger, tmp_path):
+    """Drop the checkpoint commit after a fold: Spark replays the
+    micro-batch, the manifest's last_batch no-ops it — same rows, same
+    manifest version (nothing re-applied)."""
+    view = MaterializedState(str(tmp_path / "view"))
+    ck = str(tmp_path / "ck")
+    ledger.append_rows(_rows([f"j{i}" for i in range(10)], "enqueued"))
+    _run_stream(spark, ledger, view, ck)
+    with open(view.manifest_path) as fh:
+        v1 = json.load(fh)["version"]
+    before = _state_tuples(view.read(spark))
+
+    shutil.rmtree(os.path.join(ck, "commits"))
+    _run_stream(spark, ledger, view, ck)
+    with open(view.manifest_path) as fh:
+        m = json.load(fh)
+    assert m["version"] == v1  # replayed batch short-circuited
+    assert _state_tuples(view.read(spark)) == before
+
+    # later real work still lands
+    ledger.append_rows(_rows(["j0"], "executing"))
+    _run_stream(spark, ledger, view, ck)
+    assert _state_tuples(view.read(spark)) == _state_tuples(ledger.state(spark))
+
+
+def test_upsert_touches_only_affected_buckets(spark, ledger, tmp_path):
+    """A one-id batch replaces exactly one bucket file; every other
+    bucket's file is byte-identical (same name — never rewritten)."""
+    view = MaterializedState(str(tmp_path / "view"), n_buckets=8)
+    ledger.append_rows(_rows([f"j{i}" for i in range(64)], "enqueued"))
+    log = ledger.log(spark)
+    view.upsert(spark, log, batch_id=0)
+    with open(view.manifest_path) as fh:
+        before = json.load(fh)["buckets"]
+    assert len(before) > 1  # ids spread over several buckets
+
+    ledger.append_rows(_rows(["j0"], "succeeded"))
+    new_rows = ledger.log(spark).join(
+        log.select("seq"), "seq", "left_anti"
+    )
+    res = view.upsert(spark, new_rows, batch_id=1)
+    assert res == {"applied": True, "buckets": 1}
+    with open(view.manifest_path) as fh:
+        after = json.load(fh)["buckets"]
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1
+    # untouched bucket files still exist under their old names
+    for b, f in before.items():
+        if b not in changed:
+            assert after[b] == f
+            assert os.path.exists(os.path.join(view.files_dir, f))
+    # vacuum clears the replaced file's debris only if a crash left any;
+    # here cleanup already ran, so nothing to remove
+    assert view.vacuum() == 0
+    assert _state_tuples(view.read(spark)) == _state_tuples(ledger.state(spark))
+
+
+def test_qj_shapes_agree_on_either_form(spark, ledger, tmp_path):
+    """The console/dashboard query family (qj1 dashboard counts, qj2
+    failed-filter) returns identical results against the derived
+    ``state()`` and the materialized view."""
+    view = MaterializedState(str(tmp_path / "view"))
+    ck = str(tmp_path / "ck")
+    ledger.append_rows(_rows([f"a{i}" for i in range(12)], "enqueued"))
+    ledger.append_rows(_rows([f"a{i}" for i in range(4)], "dead"))
+    ledger.append_rows(_rows(["b1", "b2"], "executing", queue="mail"))
+    _run_stream(spark, ledger, view, ck)
+
+    for name, frame in (("derived", ledger.state(spark)),
+                        ("materialized", view.read(spark))):
+        frame.createOrReplaceTempView(f"jobs_{name}")
+    q1 = "SELECT status, COUNT(*) AS n FROM jobs_{} GROUP BY status ORDER BY status"
+    q2 = ("SELECT id FROM jobs_{} WHERE queue = 'default' "
+          "AND error IS NOT NULL ORDER BY id")
+    for q in (q1, q2):
+        a = [tuple(r) for r in spark.sql(q.format("derived")).collect()]
+        b = [tuple(r) for r in spark.sql(q.format("materialized")).collect()]
+        assert a == b and a  # equal and non-trivial
