@@ -70,30 +70,53 @@ def containment_pairs(docs_shingled: DataFrame, k_probe: int = K_PROBE,
     """(doc_id, sh) → (inner_id, outer_id, containment) for every
     ordered pair with containment(inner → outer) ≥ threshold among
     rare-shingle-blocked candidates. See module docstring for the
-    blocking recall/cost argument."""
+    blocking recall/cost argument.
+
+    Two LOSSLESS cost cuts (results provably unchanged, so the DuckDB
+    oracle needs no mirror — the round-9 tx14 growth-bound work):
+
+    * size prefilter: containment ≥ τ forces |sb| ≥ |∩| ≥ τ·|sa|, so
+      candidates failing ``nb ≥ τ·na`` are dropped BEFORE the distinct
+      and the array joins — in real corpora this kills the reverse
+      direction of every asymmetric pair (a 5000-word page can never be
+      0.8-contained in the 500-word quote it embeds). The sizes ride
+      the probe/posting rows (constants per doc), zero extra joins.
+    * hashed verify: the exact |sa ∩ sb| is computed on xxhash64'd
+      shingle arrays — 8 bytes/element through the two candidate-keyed
+      exchanges instead of ~50-byte shingle strings. Counts are
+      identical barring int64 collisions (p ≈ |sh|²·2⁻⁶⁴ per pair).
+    """
     sh = docs_shingled.select("doc_id", "sh")
-    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    # constant-per-doc size rides the explode so the size prefilter
+    # needs no extra join against a sizes table
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("f"))
     w = Window.partitionBy("doc_id").orderBy("f", "g")
     probe = (
         ex.join(freq, "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k_probe)
-        .select("doc_id", "g", "f")
+        .select("doc_id", "n", "g", "f")
     )
     if max_posting is not None:
         probe = probe.filter(F.col("f") <= max_posting)
     cand = (
-        probe.select(F.col("doc_id").alias("inner_id"), "g")
-        .join(ex.select(F.col("doc_id").alias("outer_id"), "g"), "g")
+        probe.select(F.col("doc_id").alias("inner_id"), F.col("n").alias("na"), "g")
+        .join(
+            ex.select(F.col("doc_id").alias("outer_id"), F.col("n").alias("nb"), "g"),
+            "g",
+        )
         .filter(F.col("inner_id") != F.col("outer_id"))
+        # lossless: |∩| ≤ |sb|, so containment ≥ τ ⟹ |sb| ≥ τ|sa|
+        .filter(F.col("nb").cast("double") >= F.lit(threshold) * F.col("na"))
         .select("inner_id", "outer_id")
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("inner_id"), F.col("sh").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("outer_id"), F.col("sh").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    cont = inter / F.size("sa")
+    hs = F.transform("sh", lambda x: F.xxhash64(x))
+    a = sh.select(F.col("doc_id").alias("inner_id"), hs.alias("ha"))
+    b = sh.select(F.col("doc_id").alias("outer_id"), hs.alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    cont = inter / F.size("ha")
     return (
         cand.join(a, "inner_id")
         .join(b, "outer_id")
