@@ -43,7 +43,15 @@ from goose_spark.operators.similarity import (
 from goose_spark.queries.base import register
 
 KNN_K = 10
-KNN_NPROBE = 5
+#: Probed cells per vector. Measured recall-vs-nprobe on the testdata
+#: corpus (k=10, 16 cells, sf0.01, vs brute force):
+#:   nprobe  5 → 0.648   6 → 0.713   8 → 0.812   10 → 0.892
+#:          12 → 0.944  16 → 1.000 (exact)
+#: 10 clears the 0.8 recall floor with margin; measured warm cost at
+#: sf0.1 is +8% vs nprobe=5 (1.59 → 1.71 s — kernel pairs scale ∝
+#: nprobe, but at this input the fixed stage cost dominates; at corpus
+#: scale the knob is a linear recall/cost dial).
+KNN_NPROBE = 10
 #: Index-side cell population above which the cell sub-blocks by id
 #: hash — bounds every kernel task's gram matrix.
 KNN_MAX_CELL = 4096
@@ -174,11 +182,13 @@ def knn_graph(spark: SparkSession, v: DataFrame, centroids,
 @register(
     "ss10_knn_graph",
     None,  # cell-blocked approximate — recall floor in tests/test_knn.py
-    doc="All-vectors k-NN graph (k=10, 5-probe over the shared IVF "
+    doc="All-vectors k-NN graph (k=10, 10-probe over the shared IVF "
         "cells, max_cell sub-blocking): one Arrow matmul per "
         "(cell, block), local top-k, vec_id-window merge — n·nprobe·"
-        "avg_cell pairs, never all-pairs. The artifact HNSW builds and "
-        "graph curation start from.",
+        "avg_cell pairs, never all-pairs. Measured recall 0.892 vs "
+        "brute force (curve in knn.py: 0.648@5 → 1.0@16; +8% warm cost "
+        "vs 5-probe at sf0.1). The artifact HNSW builds and graph "
+        "curation start from.",
     tags=("llm", "similarity"),
 )
 def ss10(spark: SparkSession, sf: str) -> DataFrame:

@@ -46,7 +46,9 @@ def test_recall_floor_vs_brute_force(spark, graph_rows):
         hits += len(set(true_nbrs) & set(got.get(vid, [])))
         total += len(true_nbrs)
     recall = hits / total
-    assert recall >= 0.6, f"recall {recall:.3f}"
+    # floor raised 0.6 → 0.8 in round 9 with the measured nprobe curve
+    # (knn.KNN_NPROBE): nprobe=10 recalls 0.892 on this corpus
+    assert recall >= 0.8, f"recall {recall:.3f}"
 
 
 def test_no_self_edges_and_k_bound(graph_rows):
