@@ -84,9 +84,14 @@ def vs_duckdb(timings: dict, sf_dir: str) -> dict | None:
     if not os.path.exists(path):
         return None
     base = json.load(open(path))
-    # abspath before compare: `python3 bench.py` run with a relative
-    # SPARK_GRAFT_SF_DIR must still match the recorded absolute sf_dir
-    if os.path.abspath(base.get("sf_dir", "")) != os.path.abspath(sf_dir):
+    # per-SF store (round 9) or the legacy single-SF layout; abspath
+    # before compare: `python3 bench.py` run with a relative
+    # SPARK_GRAFT_SF_DIR must still match a recorded absolute sf_dir
+    if "sfs" in base:
+        base = base["sfs"].get(os.path.abspath(sf_dir))
+        if base is None:
+            return None
+    elif os.path.abspath(base.get("sf_dir", "")) != os.path.abspath(sf_dir):
         return None
     # raw ratios for every comparison/gate; round only at display time —
     # a 2.004× query must not round itself under the 2.0 gate

@@ -14,7 +14,17 @@ bench-isolation): DuckDB gets every core, same as Spark's local[32].
 
 Usage:
     python3 tools/gen_duckdb_baseline.py [sf_dir] [--bench BENCH_rN.json]
+        [--sf-small SF_DIR --bench-small BENCH_SMALL.json]
     (omit --bench to only [re]time DuckDB)
+
+Ratio-slope gate (round-9 directive #5): with --bench-small, the tool
+also records per-query ratios at BOTH scale factors and gates on the
+slope ratio(sf_main)/ratio(sf_small). A fixed-cost-dominated query's
+Spark/DuckDB ratio must SHRINK as input grows (the floor amortizes); a
+ratio that grows with scale is hiding per-row overhead behind the
+"floor-dominated" label. Tolerance SLOPE_TOL absorbs host noise and
+DuckDB's ~ms-scale timing jitter at sf0.01; queries above it need an
+entry in SLOPE_JUSTIFICATIONS or the tool exits 1.
 
 Fixed-cost floor: Spark bills each query a scheduling/plan/Arrow floor
 (~0.2-0.8 s in local mode) that DuckDB (in-process, no JVM) does not
@@ -126,6 +136,17 @@ JUSTIFICATIONS: dict[str, str] = {
         "distributes linearly."
     ),
     "q37_shipping_priority": _MULTI_STAGE,
+    "q25_window_sampler": _MULTI_STAGE,
+    "q28_cte_top_spender_per_nation": _MULTI_STAGE,
+    "q30_sessionization_batch": _MULTI_STAGE,
+    "sp4_packed_shards": _PREFIX_SUM,
+    "tx13_heavy_hitters": (
+        "two deliberate passes (per-partition Misra–Gries summaries to "
+        "the driver, then a candidate-only recount join) ⇒ 2 jobs × the "
+        "scheduling floor at ~1.1 s absolute; the Zipf-skewed token "
+        "column itself never shuffles — exactly the 100 TB design "
+        "(SCALE.md smoke: 16× corpus runs FASTER than 1×)."
+    ),
     "q23_json_extraction": (
         "per-row JVM get_json_object parse over the full events scan "
         "plus one partial-agg exchange; DuckDB parses JSON in native "
@@ -143,6 +164,26 @@ JUSTIFICATIONS: dict[str, str] = {
         "shuffle."
     ),
 }
+
+
+#: Slope above this needs a written justification. 1.5 absorbs the
+#: measured host-state drift (same-code bench totals vary ~±20%) plus
+#: DuckDB's ms-scale jitter on sf0.01 inputs; a genuine per-row
+#: overhead leak grows the slope with the 10× input, not by noise.
+SLOPE_TOL = 1.5
+
+#: Justifications for queries whose Spark/DuckDB ratio legitimately
+#: GROWS from sf0.01 to sf0.1 (answer-size or blocking-density effects,
+#: not hidden per-row overhead). Currently EMPTY: the round-9 run
+#: measured every scale-varying query under SLOPE_TOL (111/132 shrink
+#: outright; the dd-family's blocked joins amortize to slopes of
+#: 0.08-0.14). Add an entry only with a measured structural story.
+SLOPE_JUSTIFICATIONS: dict[str, str] = {}
+
+#: Queries whose INPUT does not scale with sf (the qj family reads the
+#: fixed fixture snapshot) — their two-SF "slope" is pure timing noise,
+#: so they are excluded from the slope comparison.
+_FIXTURE_PREFIXES = ("qj",)
 
 
 def time_duckdb(sf_dir: str) -> dict:
@@ -259,32 +300,132 @@ def render_table(base: dict, bench: dict) -> tuple[str, list[str]]:
     return "\n".join(lines), unjustified
 
 
+def render_slope(base_small: dict, base_main: dict,
+                 bench_small: dict, bench_main: dict) -> tuple[str, list[str]]:
+    """Two-SF ratio-slope section + the list of unjustified growers.
+    slope = ratio(main)/ratio(small); ≤ 1 means the fixed-cost floor
+    amortizes with scale (the claim behind every 'floor-dominated'
+    justification above), > SLOPE_TOL without a justification fails."""
+    sq_s, sq_m = bench_small.get("queries", {}), bench_main.get("queries", {})
+    rows, unjustified = [], []
+    shrink = 0
+    compared = []
+    for name in sorted(base_main["queries"]):
+        if name.startswith(_FIXTURE_PREFIXES):
+            continue  # fixture-input queries: sf does not scale them
+        ds, dm = base_small["queries"].get(name), base_main["queries"][name]
+        ss, sm = sq_s.get(name), sq_m.get(name)
+        if None in (ds, dm, ss, sm) or min(ds, dm) <= 0 or min(ss, sm) < 0:
+            continue
+        r_s, r_m = ss / ds, sm / dm
+        slope = r_m / r_s
+        compared.append((name, r_s, r_m, slope))
+        if slope <= 1.0:
+            shrink += 1
+        if slope > SLOPE_TOL:
+            just = SLOPE_JUSTIFICATIONS.get(name, "")
+            if not just:
+                unjustified.append(name)
+            rows.append((name, r_s, r_m, slope, just))
+    n = len(compared)
+    lines = [
+        "",
+        "#### Ratio slope across scale (sf0.01 → sf0.1, generated)",
+        "",
+        f"For each of the {n} two-SF-compared queries (fixture-input "
+        f"qj* excluded — sf does not scale them), slope = "
+        f"(Spark/DuckDB ratio at sf0.1) / (ratio at sf0.01). A "
+        f"floor-dominated query's ratio must shrink as input grows "
+        f"(slope ≤ 1) — {shrink}/{n} do; slope > {SLOPE_TOL} requires a "
+        f"structural justification (answer-size or blocking-density "
+        f"growth), else the generator exits 1. Spark small side: "
+        f"`{bench_small.get('_source', '?')}`, main side: "
+        f"`{bench_main.get('_source', '?')}`.",
+        "",
+    ]
+    if rows:
+        lines += [
+            "| query | ratio @sf0.01 | ratio @sf0.1 | slope | justification |",
+            "|---|---|---|---|---|",
+        ]
+        legend: dict[str, str] = {}
+        for name, r_s, r_m, slope, just in sorted(rows, key=lambda r: -r[3]):
+            label = legend.setdefault(just, f"S{len(legend) + 1}") if just else "**MISSING**"
+            lines.append(
+                f"| {name} | {r_s:.1f}× | {r_m:.1f}× | {slope:.2f} | {label} |"
+            )
+        lines.append("")
+        for text, label in legend.items():
+            lines.append(f"- **{label}** — {text}")
+    else:
+        lines.append(f"No query's ratio grows beyond {SLOPE_TOL}× across the scale step.")
+    lines.append("")
+    return "\n".join(lines), unjustified
+
+
+def _load_baselines() -> dict:
+    """BASELINE_QUERIES.json, migrated to the per-SF format:
+    {"sfs": {abs_sf_dir: {engine, threads, runs, queries}}}."""
+    if not os.path.exists(BASELINE_JSON):
+        return {"sfs": {}}
+    data = json.load(open(BASELINE_JSON))
+    if "sfs" in data:
+        return data
+    # legacy single-SF layout
+    return {"sfs": {os.path.abspath(data.get("sf_dir", "")): data}}
+
+
+def _baseline_for(store: dict, sf_dir: str, reuse: bool) -> dict:
+    key = os.path.abspath(sf_dir)
+    base = store["sfs"].get(key)
+    # reuse only when every currently-oracled query is already timed —
+    # adding a query must force a retime of that SF (idle host)
+    if reuse and base is not None:
+        import __spark_entry__ as e
+
+        if set(e.oracle_sql()) <= set(base["queries"]):
+            return base
+    base = time_duckdb(sf_dir)
+    base["sf_dir"] = key
+    store["sfs"][key] = base
+    json.dump(store, open(BASELINE_JSON, "w"), indent=1)
+    print(f"timed DuckDB at {key} ({len(base['queries'])} queries)")
+    return base
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
-    bench_path = None
-    if "--bench" in args:
-        i = args.index("--bench")
-        bench_path = args[i + 1]
-        del args[i : i + 2]
+
+    def opt(flag):
+        if flag in args:
+            i = args.index(flag)
+            val = args[i + 1]
+            del args[i : i + 2]
+            return val
+        return None
+
+    bench_path = opt("--bench")
+    bench_small_path = opt("--bench-small")
+    sf_small = opt("--sf-small") or "/root/testdata/sf0.01"
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
-    if bench_path and os.path.exists(BASELINE_JSON):
-        base = json.load(open(BASELINE_JSON))
-        # abspath compare, same as bench.vs_duckdb: a relative spelling
-        # of the recorded sf must reuse, not retime, the baseline
-        if os.path.abspath(base.get("sf_dir", "")) != os.path.abspath(sf_dir):
-            base = time_duckdb(sf_dir)
-            json.dump(base, open(BASELINE_JSON, "w"), indent=1)
-    else:
-        base = time_duckdb(sf_dir)
-        json.dump(base, open(BASELINE_JSON, "w"), indent=1)
-        print(f"wrote {BASELINE_JSON} ({len(base['queries'])} queries)")
+    store = _load_baselines()
+    base = _baseline_for(store, sf_dir, reuse=bench_path is not None)
 
     if not bench_path:
         return 0
     bench = json.load(open(bench_path))
     bench["_source"] = os.path.basename(bench_path)
     table, unjustified = render_table(base, bench)
+
+    slope_unjust: list[str] = []
+    if bench_small_path:
+        base_small = _baseline_for(store, sf_small, reuse=True)
+        bench_small = json.load(open(bench_small_path))
+        bench_small["_source"] = os.path.basename(bench_small_path)
+        slope_md, slope_unjust = render_slope(base_small, base, bench_small, bench)
+        table = table.replace("\n" + MARK_END, "\n" + slope_md + "\n" + MARK_END)
+
     md = open(BASELINE_MD).read()
     if MARK_BEGIN in md:
         pre = md.split(MARK_BEGIN)[0]
@@ -297,7 +438,10 @@ def main() -> int:
     if unjustified:
         print(f"GATE FAIL: >2x DuckDB without justification: {unjustified}")
         return 1
-    print("gate OK: every >2x query justified")
+    if slope_unjust:
+        print(f"GATE FAIL: ratio grows with scale without justification: {slope_unjust}")
+        return 1
+    print("gate OK: every >2x query justified; every growing ratio justified")
     return 0
 
 
