@@ -53,9 +53,21 @@ def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = ()):
     return wrap
 
 
+#: (applicationId, abs sf_dir, table) → DataFrame. Reusing the SAME
+#: DataFrame object reuses its resolved relation, so the per-call
+#: directory listing + parquet footer/schema read (~10-40 ms) is paid
+#: once per session instead of once per query — across a 145-query
+#: sweep that is seconds of pure driver-side fixed cost. Safe because
+#: the testdata/fixture dirs are immutable for a session's lifetime
+#: (writers use their own paths); it holds plan objects only, never
+#: pinned executor blocks.
+_READ_CACHE: dict = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (parquet scan; Catalyst
-    pushes predicates/pruning into it).
+    pushes predicates/pruning into it). Memoized per (session, dir,
+    table) — see ``_READ_CACHE``.
 
     ``events.parquet`` historically stored TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; newer testdata generations store plain
@@ -63,6 +75,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     when the column actually materializes as a long (nanos epoch) — a
     microsecond/NTZ timestamp passes through untouched.
     """
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    hit = _READ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _READ_CACHE[key] = df = _t_uncached(spark, sf_dir, name)
+    return df
+
+
+def _t_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -83,4 +104,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fixture(spark: SparkSession, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(FIXTURES_DIR, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, FIXTURES_DIR, name)
+    hit = _READ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _READ_CACHE[key] = df = spark.read.parquet(
+        os.path.join(FIXTURES_DIR, f"{name}.parquet")
+    )
+    return df
