@@ -560,3 +560,65 @@ def tx12(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(400)
     )
+
+
+@register(
+    "tx17_keyword_tfidf",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM tok WHERE token <> '' GROUP BY doc_id, token),
+        df AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df
+          FROM tok WHERE token <> '' GROUP BY token),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        ranked AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, df.df, tf.token) AS rnk
+          FROM tf JOIN df USING (token) CROSS JOIN n)
+        SELECT doc_id, CAST(rnk AS INT) AS rnk, token,
+               tf, df, score
+        FROM ranked WHERE rnk <= 3 AND doc_id < 200
+        ORDER BY doc_id, rnk""",
+    doc="Per-document keyword extraction: top-3 tokens by TF-IDF with an "
+        "EXACT-INTEGER rank order (tf DESC, corpus df ASC, token) so "
+        "both engines agree bit-for-bit; the displayed score "
+        "tf·ln(N/df) is rounded to 4 decimals. Plan: one token explode "
+        "feeds both the per-doc tf agg and the corpus df agg "
+        "(ReuseExchange), df joins back token-keyed, N broadcast as a "
+        "1-row agg — per-doc window over tf rows only. The "
+        "summarization/indexing silhouette over the documents table.",
+    tags=("llm", "text"),
+)
+def tx17(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    tok = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), "df", "token"
+    )
+    return (
+        tf.join(df_, "token")
+        .join(F.broadcast(n))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 200))
+        .select(
+            "doc_id", "rnk", "token", "tf", "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("score"),
+        )
+        .orderBy("doc_id", "rnk")
+    )

@@ -354,3 +354,52 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return anomalies_from_hourly(hourly_counts(t(spark, sf, "events")))
+
+
+@register(
+    "q85_retention_cohorts",
+    """WITH cohort AS (
+         SELECT user_id,
+                CAST(MIN(date_trunc('week', ts)) AS DATE) AS cw
+         FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       activity AS (
+         SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS wk
+         FROM events)
+       SELECT c.cw AS cohort_week,
+              CAST(datediff('day', c.cw, a.wk) / 7 AS INT) AS week_k,
+              COUNT(DISTINCT a.user_id) AS active_users
+       FROM cohort c JOIN activity a USING (user_id)
+       WHERE a.wk >= c.cw
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="Weekly cohort retention matrix: users cohorted by the week of "
+        "their first signup event; active_users = distinct cohort "
+        "members with ANY event k weeks later. All-integer arithmetic "
+        "(week-truncated dates, day-diff/7 is exact) — no float "
+        "divergence. Plan: one per-user min-agg (cohort), one distinct "
+        "(user, week) pre-agg that shrinks the stream before the join, "
+        "then a broadcast of the O(users) cohort table — the classic "
+        "growth-analytics silhouette, shuffle-bounded by user count.",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).cast("date").alias("cw"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .filter(F.col("wk") >= F.col("cw"))
+        .select(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff("wk", "cw") / 7).cast("int").alias("week_k"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_k")
+    )
