@@ -105,6 +105,12 @@ JUSTIFICATIONS: dict[str, str] = {
         "shuffles → score join: 4 exchanges over a ~1 MB token stream, "
         "so stages×floor dominates (1.1 s absolute). " + _MULTI_STAGE
     ),
+    "tx5_tfidf_top_terms": (
+        "token explode → tf agg → df agg → idf join → per-doc top-k "
+        "window: 5 exchanges over a ~1 MB token stream, stages×floor "
+        "at ~1.1 s absolute (the ratio SHRINKS 20×→7× from sf0.01 to "
+        "sf0.1 — measured floor amortization). " + _MULTI_STAGE
+    ),
     "sp3_token_chunking": _PREFIX_SUM,
     "dd1_exact_dedup": (
         "full-corpus sha2+xxhash fingerprint shuffle over the documents "
