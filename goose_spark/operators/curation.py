@@ -621,3 +621,130 @@ def tx16(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.sum("term"), 6).alias("psi"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# sp11 — sequence-packing efficiency curve
+# ---------------------------------------------------------------------------
+
+#: candidate context lengths for the packing report. The real decision
+#: this query feeds: which max_seq_len wastes the least compute given
+#: the corpus' length distribution.
+_PACK_LENS = (128, 256, 512, 1024)
+
+_SP11_ORACLE = f"""
+WITH tk AS (SELECT len(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents),
+per AS (SELECT seq_len, tok
+        FROM tk CROSS JOIN (VALUES {", ".join(f"({l})" for l in _PACK_LENS)})
+             AS l(seq_len))
+SELECT seq_len,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM((tok + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs,
+       CAST(seq_len * SUM((tok + seq_len - 1) // seq_len) - SUM(tok) AS BIGINT)
+           AS pad_tokens,
+       ROUND(SUM(tok) * 1.0 /
+             (seq_len * SUM((tok + seq_len - 1) // seq_len)), 6) AS utilization
+FROM per GROUP BY seq_len ORDER BY seq_len"""
+
+
+@register(
+    "sp11_packing_efficiency",
+    _SP11_ORACLE,
+    doc="Sequence-packing efficiency curve: for each candidate context "
+        "length, how many sequences the corpus needs under one-doc-per-"
+        "sequence packing (each doc occupies ceil(tokens/L) windows) and "
+        "what fraction of slots is padding — exact integer ceil "
+        "arithmetic, one ratio at the end (identical doubles both "
+        "engines). This is the report that picks max_seq_len before a "
+        "training run. Plan: one corpus scan computes token counts, a "
+        "4-row literal explode fans each doc into the candidate lengths, "
+        "one O(lengths) aggregate — scan-bound at any corpus size, no "
+        "join, no per-doc state.",
+    tags=("llm", "packing"),
+)
+def sp11(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import token_count_ws
+
+    d = t(spark, sf, "documents")
+    per = d.select(
+        token_count_ws(F.col("text")).alias("tok"),
+        F.explode(F.array(*[F.lit(l) for l in _PACK_LENS])).alias("seq_len"),
+    )
+    seqs = F.sum(F.expr("(tok + seq_len - 1) div seq_len"))
+    return (
+        per.groupBy("seq_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            seqs.cast("long").alias("n_seqs"),
+            (F.first("seq_len") * seqs - F.sum("tok")).cast("long").alias("pad_tokens"),
+            F.round(
+                F.sum("tok") * 1.0 / (F.first("seq_len") * seqs), 6
+            ).alias("utilization"),
+        )
+        .orderBy("seq_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sp12 — contamination matrix (which eval slices leak into which sources)
+# ---------------------------------------------------------------------------
+
+_SP12_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, source,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+                     string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents),
+sh AS (SELECT doc_id, lang, source, b,
+              UNNEST(list_distinct(list_transform(
+                  generate_series(1, len(tk) - {_DECON_N - 1}),
+                  i -> array_to_string(tk[i:i+{_DECON_N - 1}], ' ')))) AS g
+       FROM toks WHERE len(tk) >= {_DECON_N}),
+bench AS (SELECT DISTINCT g, lang AS bench_lang FROM sh WHERE b < '{_BENCH_LT}'),
+hits AS (SELECT DISTINCT s.source AS train_source, bench.bench_lang, s.doc_id
+         FROM sh s JOIN bench ON s.g = bench.g
+         WHERE s.b >= '{_BENCH_LT}')
+SELECT train_source, bench_lang, COUNT(*) AS n_contaminated_docs
+FROM hits GROUP BY 1, 2 ORDER BY train_source, bench_lang"""
+
+
+@register(
+    "sp12_contamination_matrix",
+    _SP12_ORACLE,
+    doc=f"Contamination matrix — sp6's flag list pivoted into the audit "
+        f"actually reviewed before a training run: for every (training "
+        f"source × benchmark slice) cell, how many training docs share "
+        f"an exact {_DECON_N}-gram with that slice (bench slice = lang "
+        f"of the held-out ~3% md5 bucket). Plan mirrors sp6: the "
+        f"benchmark gram→slice table stays broadcast (benchmarks are "
+        f"MBs), the corpus side semi-joins map-side, and the only "
+        f"shuffles are the distinct over (doc, slice) hits and the "
+        f"O(sources×slices) count — no corpus bytes move.",
+    tags=("llm", "curation"),
+)
+def sp12(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("doc_id", "lang", "source", "text")
+    sh = (
+        with_ngrams(d, _DECON_N)
+        .withColumn(
+            "b",
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+        )
+        .select("doc_id", "lang", "source", "b", F.explode("grams").alias("g"))
+    )
+    bench = (
+        sh.filter(F.col("b") < _BENCH_LT)
+        .select("g", F.col("lang").alias("bench_lang"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("b") >= _BENCH_LT)
+        .join(F.broadcast(bench), "g")
+        .select(F.col("source").alias("train_source"), "bench_lang", "doc_id")
+        .distinct()
+        .groupBy("train_source", "bench_lang")
+        .agg(F.count("*").alias("n_contaminated_docs"))
+        .orderBy("train_source", "bench_lang")
+    )

@@ -131,21 +131,29 @@ def _band_sql() -> str:
     return "bands AS (" + " UNION ALL ".join(selects) + ")"
 
 
-_DD2_ORACLE = f"""
-WITH {_minhash_sig_sql()},
+def pairs_sql_ctes() -> str:
+    """The verified near-dup pair pipeline as reusable SQL CTEs ending in
+    ``pairs(a_id, b_id, jac)`` — the oracle-side twin of :func:`lsh_pairs`,
+    shared by dd2 and the graph queries built on the pair graph (q87)."""
+    return f"""{_minhash_sig_sql()},
 {_band_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
   WHERE a.doc_id < b.doc_id),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents)
-SELECT c.a_id, c.b_id,
-       ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jac
-FROM cand c JOIN sh x ON x.doc_id = c.a_id JOIN sh y ON y.doc_id = c.b_id
-WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
-ORDER BY a_id, b_id"""
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+pairs AS (
+  SELECT c.a_id, c.b_id,
+         ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jac
+  FROM cand c JOIN sh x ON x.doc_id = c.a_id JOIN sh y ON y.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5)"""
+
+
+_DD2_ORACLE = f"""
+WITH {pairs_sql_ctes()}
+SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id"""
 
 
 #: Session-scoped caches for the two expensive LSH intermediates. The

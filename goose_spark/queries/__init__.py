@@ -29,6 +29,7 @@ def load_all() -> dict:
         heavyhitters,
         knn,
         layout,
+        linkage,
         mmr,
         multimodal,
         pipeline,

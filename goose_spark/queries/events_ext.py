@@ -403,3 +403,50 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_k")
     )
+
+
+@register(
+    "q89_event_transitions",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt
+         FROM events),
+       c AS (SELECT event_type, nxt, COUNT(*) AS n_trans
+             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+       SELECT event_type, nxt AS next_type, n_trans,
+              ROUND(n_trans * 1.0 /
+                    SUM(n_trans) OVER (PARTITION BY event_type), 6) AS p_next
+       FROM c ORDER BY event_type, next_type""",
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: P(next type | type) from one user-partitioned "
+        "lead() window + one O(types²) count aggregate — probabilities "
+        "are exact-integer-count ratios (identical doubles on both "
+        "engines). The behavioral twin of tx15's token bigrams: the "
+        "session-flow model product analytics fits at any scale. One "
+        "user_id shuffle for the window, then the stream collapses to "
+        "types² rows — the normalizing window runs on that tiny table.",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        e.withColumn("nxt", F.lead("event_type").over(seq))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    norm = Window.partitionBy("event_type")
+    return (
+        c.select(
+            "event_type",
+            F.col("nxt").alias("next_type"),
+            "n_trans",
+            F.round(
+                F.col("n_trans") * 1.0 / F.sum("n_trans").over(norm), 6
+            ).alias("p_next"),
+        )
+        .orderBy("event_type", "next_type")
+    )

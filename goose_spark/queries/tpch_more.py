@@ -464,3 +464,68 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("region_key")
     )
+
+
+@register(
+    "q88_brand_affinity",
+    """WITH ob AS (
+         SELECT DISTINCT l_orderkey AS o, p_brand AS br
+         FROM lineitem JOIN part ON p_partkey = l_partkey),
+       n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+       cb AS (SELECT br, COUNT(*) AS c FROM ob GROUP BY br),
+       pr AS (SELECT a.br AS brand_a, b.br AS brand_b, COUNT(*) AS n_both
+              FROM ob a JOIN ob b ON a.o = b.o AND a.br < b.br
+              GROUP BY 1, 2)
+       SELECT brand_a, brand_b, n_both, ca.c AS n_a, cbb.c AS n_b,
+              ROUND(n_both * 1.0 * n.n_orders / (ca.c * cbb.c), 6) AS lift
+       FROM pr
+       CROSS JOIN n
+       JOIN cb ca ON ca.br = pr.brand_a
+       JOIN cb cbb ON cbb.br = pr.brand_b
+       ORDER BY n_both DESC, brand_a, brand_b LIMIT 20""",
+    doc="Market-basket co-occurrence mining: brand pairs bought together "
+        "within an order, with lift = P(a,b)/(P(a)P(b)) from exact "
+        "integer counts (same ints both engines → identical doubles). "
+        "The pair generator is a self-join on l_orderkey AFTER the "
+        "distinct (order, brand) pre-agg, so fan-out is bounded by "
+        "brands-per-order (≤ order lines, ~7 in TPC-H) — per-key O(k²) "
+        "with tiny k, never corpus². The pair space is O(brands²)=~300 "
+        "keys, so the count shuffle is trivially small at any scale — "
+        "the canonical co-occurrence/recommender pre-compute.",
+    tags=("llm", "affinity"),
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: F401  (parity with siblings)
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("br"))
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("o").alias("n_orders"))
+    cb = ob.groupBy("br").agg(F.count("*").alias("c"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.br") < F.col("b.br")))
+        .groupBy(F.col("a.br").alias("brand_a"), F.col("b.br").alias("brand_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    ca = cb.select(F.col("br").alias("brand_a"), F.col("c").alias("n_a"))
+    cbb = cb.select(F.col("br").alias("brand_b"), F.col("c").alias("n_b"))
+    return (
+        pr.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cbb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "n_both", "n_a", "n_b",
+            F.round(
+                F.col("n_both") * 1.0 * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
