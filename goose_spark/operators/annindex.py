@@ -531,16 +531,15 @@ def attach_index_stream(stream: DataFrame, index_dir: str, checkpoint: str,
     )
 
 
-def _ranked_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
-                       nprobe: int, limit: int) -> DataFrame:
+def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
+                       nprobe: int) -> DataFrame:
     """The shared IVF serve stage: probes computed per Arrow batch (one
     matmul against the ≤k×dim broadcast centroid matrix), probed cells
     collected as a ≤k-value STATIC partition filter (guaranteed
     ``PartitionFilters`` pruning on the assignments scan), exact cosine
-    within the pruned cells, per-query WindowGroupLimit rank ≤ limit.
-    Returns (query_id, qe, neighbor_id, ne, cos, rank) — consumers
-    project what they need (``ivf_index_query`` drops the embeddings,
-    ``ivf_candidates`` keeps them for the MMR kernel)."""
+    within the pruned cells. Returns (query_id, qe, neighbor_id, ne,
+    cos) unranked — ``_ranked_candidates`` adds the per-query top-k
+    window, ``ivf_range_search`` filters by threshold instead."""
     import numpy as np
 
     cent = (
@@ -577,12 +576,42 @@ def _ranked_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
         F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     ))
     cos = dot / (nrm(F.col("qe")) * nrm(F.col("ne")))
+    return cand.join(F.broadcast(qe), "query_id").select(
+        "query_id", "qe", "neighbor_id", "ne", cos.alias("cos")
+    )
+
+
+def _ranked_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
+                       nprobe: int, limit: int) -> DataFrame:
+    """``_scored_candidates`` + the per-query WindowGroupLimit rank ≤
+    limit. Returns (query_id, qe, neighbor_id, ne, cos, rank)."""
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        cand.join(F.broadcast(qe), "query_id")
-        .select("query_id", "qe", "neighbor_id", "ne", cos.alias("cos"))
+        _scored_candidates(spark, index_dir, queries, nprobe)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= limit)
+    )
+
+
+def ivf_range_search(spark: SparkSession, index_dir: str, queries: DataFrame,
+                     tau: float, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """RANGE search against a built index: every indexed vector with
+    cosine ≥ ``tau`` of each query — the radius twin of the top-k serve
+    path (FAISS ``range_search``). Same partition-pruned read and exact
+    cosine as ``ivf_index_query``; only the final operator differs — a
+    threshold filter instead of a rank window, so the result size is
+    answer-bound, not k-bound (the shape near-dup retrieval and
+    dedup-at-query-time need: 'everything this similar', with no
+    arbitrary k truncating a dense neighborhood).
+
+    Approximate exactly like top-k: a true neighbor assigned to an
+    unprobed cell is missed (recall-tested); every RETURNED cosine is
+    exact full-precision (exactness-tested)."""
+    return (
+        _scored_candidates(spark, index_dir, queries, nprobe)
+        .filter(F.col("cos") >= tau)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("score"))
+        .orderBy("query_id", F.col("score").desc(), "neighbor_id")
     )
 
 

@@ -398,6 +398,23 @@ def ss4(spark: SparkSession, sf: str) -> DataFrame:
 _IVF_INDEX_DIRS: dict = {}
 
 
+def ivf_index_for(spark: SparkSession, sf: str) -> str:
+    """Session-cached persisted-IVF index dir for a testdata sf — built
+    once, shared by every serve-path consumer (ss5 top-k, ss11 range
+    search, the ss9 indexed-MMR candidate stage)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from goose_spark.operators.annindex import build_ivf_index
+
+    idx = _IVF_INDEX_DIRS.get(sf)
+    if idx is None or not _os.path.exists(_os.path.join(idx, "manifest.json")):
+        idx = _tempfile.mkdtemp(prefix="goose-ivf-idx-")
+        build_ivf_index(spark, sf, idx)
+        _IVF_INDEX_DIRS[sf] = idx
+    return idx
+
+
 @register(
     "ss5_ann_ivf_index",
     None,  # approximate — recall-gated in tests, rows-only for the driver
@@ -412,21 +429,48 @@ _IVF_INDEX_DIRS: dict = {}
     tags=("llm", "similarity"),
 )
 def ss5(spark: SparkSession, sf: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tempfile
+    from goose_spark.operators.annindex import ivf_index_query
 
-    from goose_spark.operators.annindex import build_ivf_index, ivf_index_query
-
-    idx = _IVF_INDEX_DIRS.get(sf)
-    if idx is None or not _os.path.exists(_os.path.join(idx, "manifest.json")):
-        idx = _tempfile.mkdtemp(prefix="goose-ivf-idx-")
-        build_ivf_index(spark, sf, idx)
-        _IVF_INDEX_DIRS[sf] = idx
+    idx = ivf_index_for(spark, sf)
     v = _embeddings(spark, sf)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
     return ivf_index_query(spark, idx, q)
+
+
+#: range-search radius: cosine ≥ τ. The synthetic embeddings are
+#: near-orthogonal (dim-64 noise: best non-self cosines ≈ 0.3-0.5), so
+#: 0.25 yields ~6-15 in-radius neighbors per query — answer-bound,
+#: non-trivial sets. On a real near-dup corpus τ sits at 0.8-0.95.
+RANGE_TAU = 0.25
+
+
+@register(
+    "ss11_range_search",
+    None,  # approximate (probed-cell recall) — rows-only; recall +
+    # returned-cosine exactness pinned in tests/test_annindex_lifecycle.py
+    doc=f"IVF RANGE search (annindex.ivf_range_search): every indexed "
+        f"vector with cosine ≥ {RANGE_TAU} of each query — the radius "
+        f"twin of ss5's top-k over the SAME persisted index (FAISS "
+        f"range_search). Identical partition-pruned probed-cell read; "
+        f"the final operator is a threshold filter instead of a rank "
+        f"window, so results are answer-bound, not k-bound — the "
+        f"'everything this similar' shape near-dup retrieval needs, "
+        f"where a fixed k would truncate dense neighborhoods. Returned "
+        f"cosines are exact full-precision; only cell recall is "
+        f"approximate (recall-tested).",
+    tags=("llm", "similarity"),
+)
+def ss11(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.annindex import ivf_range_search
+
+    idx = ivf_index_for(spark, sf)
+    v = _embeddings(spark, sf)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    return ivf_range_search(spark, idx, q, tau=RANGE_TAU)
 
 
 _IVFPQ_INDEX_DIRS: dict = {}

@@ -235,3 +235,75 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — native session_window API (the Structured Streaming session
+# operator, exercised in batch and pinned against the SQL islands form)
+# ---------------------------------------------------------------------------
+
+#: q92 gap: the synthetic users emit ~67 events over 30 days (median
+#: inter-event gap ≈ 7.3 h), so an 8-hour gap produces a real mix of
+#: single- and multi-event sessions; q30's 30-minute gap would make
+#: nearly every session a singleton here.
+Q92_GAP_HOURS = 8
+
+_Q92_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL '{Q92_GAP_HOURS}' HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+per AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM sessions GROUP BY user_id, sid)
+SELECT CAST(LEAST(n_events, 5) AS INT) AS n_events_bucket,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       ROUND(SUM(dur_us) * 1.0 / COUNT(*) / 1000000, 6) AS avg_duration_sec
+FROM per GROUP BY 1 ORDER BY n_events_bucket"""
+
+
+@register(
+    "q92_session_window",
+    _Q92_ORACLE,
+    doc=f"Native session_window (the Structured Streaming session "
+        f"operator, batch-run): per-user {Q92_GAP_HOURS}-hour-gap "
+        f"sessions via F.session_window — Spark's built-in interval "
+        f"merge — summarized as a session-length histogram with exact "
+        f"integer-microsecond durations. The DuckDB oracle derives the "
+        f"SAME sessions with the gaps-and-islands SQL (q30's form), so "
+        f"the two independent session constructions cross-check each "
+        f"other bit-for-bit: a semantics drift in either (strict-vs-"
+        f"non-strict gap, boundary merge) breaks the hash. Plan: one "
+        f"user_id shuffle feeds the SessionWindow aggregate, then the "
+        f"stream collapses to O(sessions) rows.",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select("user_id", "ts")
+    per = (
+        e.groupBy(
+            F.session_window("ts", f"{Q92_GAP_HOURS} hours"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        )
+    )
+    return (
+        per.groupBy(F.least("n_events", F.lit(5)).cast("int").alias("n_events_bucket"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.round(F.sum("dur_us") * 1.0 / F.count("*") / 1000000, 6)
+            .alias("avg_duration_sec"),
+        )
+        .orderBy("n_events_bucket")
+    )

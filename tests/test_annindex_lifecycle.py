@@ -267,3 +267,72 @@ def test_streaming_index_maintenance_is_effect_once(spark, tmp_path):
     qdf = spark.createDataFrame([(0, base)], "query_id long, qe array<double>")
     got = {r["neighbor_id"] for r in ivf_index_query(spark, idx, qdf, topk=5).collect()}
     assert got & {30_000_000, 30_000_001, 30_000_002, 30_000_100}
+
+
+# ---------------------------------------------------------------------------
+# range search (ss11)
+# ---------------------------------------------------------------------------
+
+
+def _brute_range(spark, tau):
+    """Exact cosine range-neighbor set over the sf0.01 corpus."""
+    import numpy as np
+
+    rows = _embeddings(spark, SF_CORRECT).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["emb"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qi in range(int(N_QUERIES)):
+        qpos = int(np.where(ids == qi)[0][0])
+        cos = mat @ mat[qpos]
+        hits = {int(i) for i, c in zip(ids, cos) if c >= tau and int(i) != qi}
+        out[qi] = hits
+    return out
+
+
+def test_range_search_recall_and_exact_scores(spark, tmp_path):
+    from goose_spark.operators.annindex import ivf_range_search
+
+    tau = 0.25
+    idx = str(tmp_path / "ivf-range")
+    build_ivf_index(spark, SF_CORRECT, idx)
+    got = ivf_range_search(spark, idx, _queries(spark), tau=tau).collect()
+
+    exact = _brute_range(spark, tau)
+    n_true = sum(len(v) for v in exact.values())
+    assert n_true > 0  # the radius must be non-trivial at this sf
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # no false positives: every returned neighbor IS within the radius
+    for qid, hits in by_q.items():
+        assert hits <= exact[qid]
+    # probed-cell recall floor — same bar as the top-k serve path
+    found = sum(len(by_q.get(q, set()) & exact[q]) for q in exact)
+    assert found / n_true >= 0.8
+
+    # returned scores are exact full-precision cosines (round 6)
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["emb"], dtype=np.float64)
+            for r in _embeddings(spark, SF_CORRECT).collect()}
+    for r in got[:50]:
+        a, b = rows[r["query_id"]], rows[r["neighbor_id"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["score"] - round(want, 6)) < 1e-9
+
+
+def test_range_search_excludes_tombstoned(spark, tmp_path):
+    from goose_spark.operators.annindex import ivf_range_search
+
+    idx = str(tmp_path / "ivf-range-del")
+    build_ivf_index(spark, SF_CORRECT, idx)
+    q = _queries(spark)
+    before = ivf_range_search(spark, idx, q, tau=0.25).collect()
+    assert before, "need at least one in-radius neighbor to delete"
+    victim = before[0]["neighbor_id"]
+    delete_from_ivf_index(spark, idx, [victim])
+    after = ivf_range_search(spark, idx, q, tau=0.25).collect()
+    assert victim not in {r["neighbor_id"] for r in after}
