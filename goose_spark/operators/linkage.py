@@ -17,10 +17,13 @@ keys).
 Spark shape: ``k`` equi-joins (k = C(n_parts, n_parts-d)) unioned, then
 one cheap ``levenshtein`` verify on the bounded candidate set. For
 equal-length strings levenshtein ≤ 1 ⟺ Hamming ≤ 1, so the verify is
-exact. No ``distinct`` is needed after the union for d=1: a verified
+exact. No ``distinct`` is needed after the union for d=1: a distance-1
 pair differs in exactly one position, hence exactly one part, hence its
-clean parts form exactly one blocking subset — every true pair is
-emitted exactly once (tested).
+clean parts form exactly one blocking subset; distance-0 pairs (exact
+duplicates — clean on every part, so they match every subset) are
+claimed by branch 0 alone via an inequality filter on the other
+branches — every true pair is emitted exactly once even on
+duplicate-heavy inputs (tested).
 
 Reference analog: none (goose has no fuzzy matching); this is the
 LLM-pipeline identity-dedup shape (user ids, URLs, near-identical
@@ -86,12 +89,18 @@ def hamming_pairs(
     n_slots = df.sparkSession.sparkContext.defaultParallelism
     probe = keyed.repartition(2 * n_slots, F.col("_id"))
     branches = []
-    for subset in combinations(range(n_parts), n_parts - max_dist):
+    for j, subset in enumerate(combinations(range(n_parts), n_parts - max_dist)):
         a = probe.alias("a")
         b = keyed.alias("b")
         cond = F.col("a._id") < F.col("b._id")
         for i in subset:
             cond = cond & (F.col(f"a._p{i}") == F.col(f"b._p{i}"))
+        if j > 0:
+            # exact-duplicate strings are clean on EVERY part, so they
+            # would match every blocking subset — claim them for branch
+            # 0 alone (an inequality filter, no dedup shuffle). A d≥1
+            # pair is unaffected: its strings differ.
+            cond = cond & (F.col("a._s") != F.col("b._s"))
         branches.append(
             a.join(F.broadcast(b), cond).select(
                 F.col("a._id").alias("a_id"),

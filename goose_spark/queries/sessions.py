@@ -307,3 +307,96 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_events_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — SCD2-style state-interval compression (dimension history build)
+# ---------------------------------------------------------------------------
+
+_Q93_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type AS state, ts,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR event_type <> LAG(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+grp AS (
+  SELECT user_id, state, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM seq),
+iv AS (
+  SELECT user_id, MIN(state) AS state, MIN(ts) AS valid_from,
+         COUNT(*) AS n_events
+  FROM grp GROUP BY user_id, g),
+scd AS (
+  SELECT user_id, state, valid_from, n_events,
+         LEAD(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from) AS valid_to
+  FROM iv)
+SELECT state,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_current,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       ROUND(SUM(CASE WHEN valid_to IS NOT NULL
+                      THEN epoch_us(valid_to) - epoch_us(valid_from)
+                      ELSE 0 END) * 1.0
+             / NULLIF(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END), 0)
+             / 1000000, 6) AS avg_closed_duration_sec
+FROM scd GROUP BY state ORDER BY state"""
+
+
+@register(
+    "q93_state_intervals",
+    _Q93_ORACLE,
+    doc="SCD2 dimension-history build (state-interval compression): "
+        "each user's event-type sequence collapses into change-point "
+        "intervals [valid_from, valid_to) with the open interval as the "
+        "current state — the slowly-changing-dimension type-2 construction "
+        "every warehouse runs, distinct from q30's gap sessions (state "
+        "CHANGE, not time gap, starts an interval) and q69's calendar "
+        "islands. Exact integer-microsecond durations; summarized per "
+        "state so the output is O(states). Plan: one user_id shuffle "
+        "feeds both window passes (change flag + interval lead share "
+        "the partitioning), then an O(states) aggregate.",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    grp = (
+        e.withColumn("chg", chg)
+        .withColumn(
+            "g",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    iv = grp.groupBy("user_id", "g").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("valid_from")
+    scd = iv.withColumn("valid_to", F.lead("valid_from").over(wl))
+    closed = F.col("valid_to").isNotNull()
+    dur_us = F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    return (
+        scd.groupBy("state")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.when(~closed, 1).otherwise(0)).cast("long").alias("n_current"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.round(
+                F.sum(F.when(closed, dur_us).otherwise(0)) * 1.0
+                / F.nullif(F.sum(closed.cast("long")), F.lit(0))
+                / 1000000,
+                6,
+            ).alias("avg_closed_duration_sec"),
+        )
+        .orderBy("state")
+    )

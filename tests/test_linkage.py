@@ -75,6 +75,16 @@ def test_offset_window_ignores_prefix(spark):
     assert pairs == _brute(ROWS, 1)
 
 
+def test_duplicate_strings_emit_each_pair_once(spark):
+    # exact duplicates are clean on EVERY part — without the branch-0
+    # claim rule they would be emitted once per blocking subset
+    rows = [(1, "00000000"), (2, "00000000"), (3, "00000000"), (4, "00000001")]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = hamming_pairs(df, "id", "s", offset=1, length=8, n_parts=3, max_dist=1)
+    pairs = sorted((r.a_id, r.b_id) for r in got.collect())
+    assert pairs == sorted(_brute(rows, 1))  # all 6 pairs, each once
+
+
 def test_rejects_degenerate_part_split():
     with pytest.raises(ValueError):
         hamming_pairs(None, "id", "s", offset=1, length=8, n_parts=1, max_dist=1)

@@ -59,6 +59,14 @@ OPS = [
     "q83_rate_anomaly",
     "sp10_weighted_sample",
     "ss9_mmr_rerank",
+    "q86_fuzzy_name_pairs",
+    "q87_triangle_count",
+    "q88_brand_affinity",
+    "q89_event_transitions",
+    "sp11_packing_efficiency",
+    "sp12_contamination_matrix",
+    "q92_session_window",
+    "ss11_range_search",
 ]
 
 
@@ -96,9 +104,14 @@ def build_scaled(spark, n_copies: int) -> str:
 
     # relational tables for the two-pass rank / moment queries: shift the
     # keys per copy, keep value distributions identical
+    # c_name re-derived from the shifted key: the scaled customers are
+    # DISTINCT entities (as they would be at 100 TB), not 16 identical
+    # name copies — q86's fuzzy-pair answer would otherwise grow
+    # quadratically in the copy count by construction of the smoke
     cust = spark.read.parquet(f"{SF}/customer.parquet")
     ccopies = [
         cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000))
+        .withColumn("c_name", F.format_string("Customer#%09d", F.col("c_custkey")))
         for i in range(n_copies)
     ]
     cbig = ccopies[0]
@@ -150,7 +163,7 @@ def build_scaled(spark, n_copies: int) -> str:
         evbig = evbig.unionAll(c)
     evbig.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    for dim in ("supplier", "nation"):
+    for dim in ("supplier", "nation", "part"):
         spark.read.parquet(f"{SF}/{dim}.parquet").write.mode("overwrite").parquet(
             f"{out}/{dim}.parquet"
         )
