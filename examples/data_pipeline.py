@@ -225,6 +225,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         drift = load_all()["tx16_distribution_drift"].builder(spark, stage_dir)
         worst = drift.orderBy(F.col("psi").desc()).limit(3).collect()
         stats["drift_worst_sources"] = [(r["source"], r["psi"]) for r in worst]
+
+        # 9. contamination matrix (sp12 kernel) over the staged train
+        #    split: which sources leak which benchmark slices — the
+        #    audit reviewed before the run is approved
+        cm = load_all()["sp12_contamination_matrix"].builder(spark, stage_dir)
+        stats["contamination_cells"] = cm.count()
+
+        # 10. packing-efficiency curve (sp11 kernel): pick max_seq_len
+        #     from measured padding waste, not folklore
+        pe = load_all()["sp11_packing_efficiency"].builder(spark, stage_dir)
+        stats["packing_curve"] = [
+            (r["seq_len"], r["utilization"]) for r in pe.collect()
+        ]
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return stats

@@ -450,3 +450,82 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+@register(
+    "q94_windowed_funnel",
+    """WITH s AS (SELECT user_id, MIN(ts) AS s1 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+       c AS (SELECT e.user_id, MIN(e.ts) AS c1
+             FROM events e JOIN s ON e.user_id = s.user_id
+             WHERE e.event_type = 'click'
+               AND e.ts > s.s1 AND e.ts <= s.s1 + INTERVAL '72' HOUR
+             GROUP BY e.user_id),
+       p AS (SELECT e.user_id, MIN(e.ts) AS p1
+             FROM events e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase'
+               AND e.ts > c.c1 AND e.ts <= c.c1 + INTERVAL '72' HOUR
+             GROUP BY e.user_id),
+       n AS (SELECT (SELECT COUNT(*) FROM s) AS n_s,
+                    (SELECT COUNT(*) FROM c) AS n_c,
+                    (SELECT COUNT(*) FROM p) AS n_p)
+       SELECT '1_signup' AS stage, n_s AS n_users,
+              ROUND(1.0, 6) AS conv_from_prev FROM n
+       UNION ALL SELECT '2_click_72h', n_c,
+              ROUND(n_c * 1.0 / NULLIF(n_s, 0), 6) FROM n
+       UNION ALL SELECT '3_purchase_72h', n_p,
+              ROUND(n_p * 1.0 / NULLIF(n_c, 0), 6) FROM n
+       ORDER BY stage""",
+    doc="Time-bound conversion funnel: each stage must occur within 72 "
+        "hours of the PREVIOUS stage's qualifying event (q75 is the "
+        "unbounded variant) — the attribution-window form every growth "
+        "team actually reports, with per-stage conversion rates as "
+        "exact-count ratios. Same scale shape as q75: chained "
+        "conditional min-ts aggregations, every shuffle hashed on "
+        "user_id, each stage's frame shrinking monotonically; the "
+        "window bound is a residual predicate on the co-partitioned "
+        "join, costing nothing extra.",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    win = F.expr("INTERVAL 72 HOURS")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("s1")) & (F.col("ts") <= F.col("s1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("c1")) & (F.col("ts") <= F.col("c1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p1"))
+    )
+    n = (
+        s.agg(F.count("*").alias("n_s"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_c"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_p"))))
+    )
+    one = n.select(
+        F.lit("1_signup").alias("stage"),
+        F.col("n_s").alias("n_users"),
+        F.round(F.lit(1.0), 6).alias("conv_from_prev"),
+    )
+    two = n.select(
+        F.lit("2_click_72h"),
+        F.col("n_c"),
+        F.round(F.col("n_c") * 1.0 / F.nullif("n_s", F.lit(0)), 6),
+    )
+    three = n.select(
+        F.lit("3_purchase_72h"),
+        F.col("n_p"),
+        F.round(F.col("n_p") * 1.0 / F.nullif("n_c", F.lit(0)), 6),
+    )
+    return one.unionAll(two).unionAll(three).orderBy("stage")
