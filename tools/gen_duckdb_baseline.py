@@ -111,6 +111,28 @@ JUSTIFICATIONS: dict[str, str] = {
         "at ~1.1 s absolute (the ratio SHRINKS 20×→7× from sf0.01 to "
         "sf0.1 — measured floor amortization). " + _MULTI_STAGE
     ),
+    "q86_fuzzy_name_pairs": (
+        "three pigeonhole-blocked self-joins + a distributed levenshtein "
+        "verify over ~4M candidate pairs; the probe side deliberately "
+        "repartitions across all cores (compute-sized, not byte-sized). "
+        "Ratio collapses 45×→2.8× from sf0.01 to sf0.1 (slope 0.06) — "
+        "measured task-floor amortization; the blocked join is what "
+        "replaces the all-pairs scan at corpus width."
+    ),
+    "q88_brand_affinity": (
+        "distinct (order, brand) pre-agg → per-order self-join → pair "
+        "agg → two broadcast count joins: 5 exchanges over a ~20 MB "
+        "input, stages×floor dominated. The pre-agg bound (pairs ≤ "
+        "orders × brands-per-order²) is the structure that holds at "
+        "100 TB. " + _MULTI_STAGE
+    ),
+    "sp12_contamination_matrix": (
+        "sp6's broadcast-decontamination shape plus the distinct "
+        "(doc, slice) hit shuffle: the Arrow n-gram kernel is per-row "
+        "compute, the benchmark gram→slice table broadcasts, no corpus "
+        "bytes move. Slope 0.21 across the SF step — floor, not "
+        "per-row leak."
+    ),
     "sp3_token_chunking": _PREFIX_SUM,
     "dd1_exact_dedup": (
         "full-corpus sha2+xxhash fingerprint shuffle over the documents "
