@@ -48,6 +48,13 @@ EMPTY_OK = [
     "sp10_weighted_sample",
     "q84_pagerank",
     "ss9_mmr_rerank",
+    "q86_fuzzy_name_pairs",
+    "q88_brand_affinity",
+    "q89_event_transitions",
+    "q92_session_window",
+    "q93_state_intervals",
+    "sp11_packing_efficiency",
+    "sp12_contamination_matrix",
 ]
 
 
@@ -64,6 +71,15 @@ def empty_sf(spark, tmp_path_factory):
 def test_operator_handles_empty_corpus(name, spark, empty_sf):
     df = REGISTRY[name].builder(spark, empty_sf)
     assert df.count() == 0
+
+
+def test_triangle_stats_empty_graph_is_well_defined(spark, empty_sf):
+    # q87 is a global-stats query: one row of zeros, gcc defined as 0.0
+    row = REGISTRY["q87_triangle_count"].builder(spark, empty_sf).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (0, 0, 0)
+    assert r["gcc"] == 0.0
 
 
 def test_mixture_sample_empty_corpus(spark, empty_sf):
