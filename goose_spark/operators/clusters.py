@@ -425,7 +425,11 @@ FROM agg CROSS JOIN tri"""
         "O(√m) even at celebrity nodes — the skew cap), close with one "
         "semi-join. Dup clusters are near-cliques, so transitivity is "
         "the density audit of the dedup graph. All hash joins, no "
-        "iteration, counted-once per triangle at its minimal vertex.",
+        "iteration, counted-once per triangle at its minimal vertex. "
+        "(Plan-audit note: the explain tree re-derives the whole "
+        "lsh_pairs lineage per branch, so PLANS.md counts look large; "
+        "execution reads the session-persisted pair table once — the "
+        "same cache dd6/dd7/q84 share.)",
     tags=("llm", "graph"),
 )
 def q87(spark: SparkSession, sf: str) -> DataFrame:

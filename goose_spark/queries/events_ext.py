@@ -529,3 +529,93 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("n_p") * 1.0 / F.nullif("n_c", F.lit(0)), 6),
     )
     return one.unionAll(two).unionAll(three).orderBy("stage")
+
+
+@register(
+    "q95_cusum_shift",
+    """WITH hourly AS (
+         SELECT event_type,
+                CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2),
+       tot AS (
+         SELECT event_type, hour_idx, n,
+                SUM(n) OVER (PARTITION BY event_type) AS t,
+                COUNT(*) OVER (PARTITION BY event_type) AS b
+         FROM hourly),
+       pfx AS (
+         SELECT event_type, hour_idx, t, b,
+                SUM(b * n - t) OVER (PARTITION BY event_type
+                                     ORDER BY hour_idx
+                                     ROWS UNBOUNDED PRECEDING) AS p
+         FROM tot),
+       cs AS (
+         SELECT event_type, hour_idx, t, b,
+                p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+                                          ORDER BY hour_idx
+                                          ROWS UNBOUNDED PRECEDING)) AS s
+         FROM pfx),
+       mx AS (
+         SELECT event_type, hour_idx, t, b, s,
+                MAX(s) OVER (PARTITION BY event_type) AS max_s
+         FROM cs)
+       SELECT event_type,
+              CAST(MAX(b) AS BIGINT) AS n_buckets,
+              CAST(MAX(t) AS BIGINT) AS n_events,
+              CAST(MAX(max_s) // MAX(b) AS BIGINT) AS max_excess_events,
+              CAST(MIN(CASE WHEN s = max_s THEN hour_idx END) AS BIGINT)
+                  AS peak_hour_idx,
+              CAST(SUM(CASE WHEN s * 10 > b * t THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_alarm_hours
+       FROM mx GROUP BY event_type ORDER BY event_type""",
+    doc="CUSUM changepoint detection over per-type hourly rates, in the "
+        "distributed-friendly closed form: the recursive "
+        "S_i = max(0, S_{i-1} + x_i - k) (which looks inherently "
+        "sequential) equals P_i - min(0, min prefix of P) for "
+        "P = cumsum(x - k) — two ordered windows over the O(types x "
+        "hours) pre-agg, no iteration, no UDF. All arithmetic is "
+        "EXACT BIGINT (deviations scaled by the bucket count so the "
+        "mean never becomes a float); the alarm is 'cumulative excess "
+        "over the mean rate exceeds 10% of total traffic'. q83 flags "
+        "single spiky hours; CUSUM catches slow sustained drifts those "
+        "z-scores miss — the complementary monitoring alarm. Empty "
+        "hours are absent observations (the q83 convention).",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from goose_spark.operators.monitoring import hourly_counts
+
+    h = hourly_counts(t(spark, sf, "events"))
+    per_type = Window.partitionBy("event_type")
+    ordered = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = h.select(
+        "event_type", "hour_idx", "n",
+        F.sum("n").over(per_type).alias("t"),
+        F.count("*").over(per_type).alias("b"),
+    )
+    pfx = tot.withColumn(
+        "p", F.sum(F.col("b") * F.col("n") - F.col("t")).over(ordered)
+    )
+    cs = pfx.withColumn(
+        "s", F.col("p") - F.least(F.lit(0), F.min("p").over(ordered))
+    )
+    mx = cs.withColumn("max_s", F.max("s").over(per_type))
+    return (
+        mx.groupBy("event_type")
+        .agg(
+            F.max("b").cast("long").alias("n_buckets"),
+            F.max("t").cast("long").alias("n_events"),
+            F.expr("MAX(max_s) div MAX(b)").cast("long").alias("max_excess_events"),
+            F.min(F.when(F.col("s") == F.col("max_s"), F.col("hour_idx")))
+            .cast("long").alias("peak_hour_idx"),
+            F.sum(
+                F.when(F.col("s") * 10 > F.col("b") * F.col("t"), 1).otherwise(0)
+            ).cast("long").alias("n_alarm_hours"),
+        )
+        .orderBy("event_type")
+    )
