@@ -200,6 +200,14 @@ JUSTIFICATIONS: dict[str, str] = {
 #: overhead leak grows the slope with the 10× input, not by noise.
 SLOPE_TOL = 1.5
 
+#: Spark-growth bound under which a slope excursion is auto-justified:
+#: if Spark's own wall-clock grew ≤ this factor across the 10× input
+#: step, no per-row overhead is hiding — the slope moved on DuckDB's
+#: ms-scale denominator (measured: q72 went 25 ms → 15 ms between
+#: retimes of IDENTICAL SQL, flipping its slope from 0.9 to 1.8 while
+#: Spark sat flat at 0.30 s).
+SPARK_FLAT_TOL = 1.5
+
 #: Justifications for queries whose Spark/DuckDB ratio legitimately
 #: GROWS from sf0.01 to sf0.1 (answer-size or blocking-density effects,
 #: not hidden per-row overhead). Currently EMPTY: the round-9 run
@@ -352,6 +360,19 @@ def render_slope(base_small: dict, base_main: dict,
             shrink += 1
         if slope > SLOPE_TOL:
             just = SLOPE_JUSTIFICATIONS.get(name, "")
+            # The gate's target is hidden per-row SPARK overhead: if
+            # Spark wall-clock itself stayed flat across the 10× input
+            # step, the slope excursion can only come from the DuckDB
+            # denominator (ms-scale timing jitter on sf0.01 inputs) —
+            # auto-justify on the measured numerator, don't fail.
+            if not just and sm <= SPARK_FLAT_TOL * ss:
+                just = (
+                    f"Spark wall-clock flat across the step "
+                    f"({ss:.2f} s → {sm:.2f} s for 10× input — "
+                    f"definitionally fixed-cost-dominated); the slope "
+                    f"is DuckDB ms-denominator jitter, not Spark "
+                    f"growth."
+                )
             if not just:
                 unjustified.append(name)
             rows.append((name, r_s, r_m, slope, just))
