@@ -235,6 +235,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
             .collect()
         )
         stats["mmr_top"] = [(r["chunk_id"], round(r["mmr_score"], 4)) for r in diverse]
+
+        # 7. near-duplicate chunk sweep (the ss11 radius form over the
+        #    SAME index): everything within cosine ≥ τ of the query —
+        #    answer-bound, so a dense boilerplate neighborhood returns
+        #    all of itself instead of being truncated at top-k; the
+        #    shape an index-time chunk-dedup pass uses
+        from goose_spark.operators.annindex import ivf_range_search
+
+        radius = ivf_range_search(
+            spark, idx_dir, qdf, tau=0.5, nprobe=_PROBE
+        ).collect()
+        stats["in_radius"] = len(radius)
         return stats
     finally:
         shutil.rmtree(stage, ignore_errors=True)
