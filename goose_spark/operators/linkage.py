@@ -83,9 +83,11 @@ def hamming_pairs(
     # because AQE would otherwise coalesce this ~MB shuffle down to one
     # task — partition sizing by BYTES is exactly wrong for a join
     # whose cost is candidate-pair compute, not input volume. The build
-    # side broadcasts; at cluster scale AQE swaps to a shuffled hash
-    # join on the composite part keys when the table outgrows the
-    # threshold.
+    # side is deliberately NOT hint-broadcast: an explicit broadcast()
+    # is never overridden, so it would force a corpus-sized table into
+    # every executor at scale — the planner auto-broadcasts under the
+    # threshold and swaps to a shuffled join on the composite part
+    # keys beyond it.
     n_slots = df.sparkSession.sparkContext.defaultParallelism
     probe = keyed.repartition(2 * n_slots, F.col("_id"))
     branches = []
@@ -102,7 +104,7 @@ def hamming_pairs(
             # pair is unaffected: its strings differ.
             cond = cond & (F.col("a._s") != F.col("b._s"))
         branches.append(
-            a.join(F.broadcast(b), cond).select(
+            a.join(b, cond).select(
                 F.col("a._id").alias("a_id"),
                 F.col("a._s").alias("a_s"),
                 F.col("b._id").alias("b_id"),
