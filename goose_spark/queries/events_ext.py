@@ -377,8 +377,10 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         "members with ANY event k weeks later. All-integer arithmetic "
         "(week-truncated dates, day-diff/7 is exact) — no float "
         "divergence. Plan: one per-user min-agg (cohort), one distinct "
-        "(user, week) pre-agg that shrinks the stream before the join, "
-        "then a broadcast of the O(users) cohort table — the classic "
+        "(user, week) pre-agg that shrinks the stream before the join; "
+        "both sides then hash on user_id, so the join co-partitions at "
+        "any user count (the planner broadcasts the cohort only while "
+        "it fits — no forced hint, no scale cliff). The classic "
         "growth-analytics silhouette, shuffle-bounded by user count.",
 )
 def q85(spark: SparkSession, sf: str) -> DataFrame:
@@ -392,7 +394,7 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
     ).distinct()
     return (
-        activity.join(F.broadcast(cohort), "user_id")
+        activity.join(cohort, "user_id")
         .filter(F.col("wk") >= F.col("cw"))
         .select(
             F.col("cw").alias("cohort_week"),
