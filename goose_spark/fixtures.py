@@ -226,6 +226,11 @@ def write_fixtures(out_dir: str = FIXTURES_DIR) -> dict[str, str]:
         # happy (it rejects TIMESTAMP(NANOS)).
         df.to_parquet(path, index=False, coerce_timestamps="ms", allow_truncated_timestamps=True)
         paths[name] = path
+    # an active session may have memoized reads of the old files — evict
+    # so the next t()/fixture() call resolves the fresh listing
+    from goose_spark.queries.base import invalidate_read_cache
+
+    invalidate_read_cache(out_dir)
     return paths
 
 

@@ -15,15 +15,17 @@ is the skew lever (more parts → more joins on longer, more selective
 keys).
 
 Spark shape: ``k`` equi-joins (k = C(n_parts, n_parts-d)) unioned, then
-one cheap ``levenshtein`` verify on the bounded candidate set. For
+one cheap ``levenshtein`` verify on the bounded candidate set — on the
+WINDOWED substring, the same characters the blocks are built from. For
 equal-length strings levenshtein ≤ 1 ⟺ Hamming ≤ 1, so the verify is
-exact. No ``distinct`` is needed after the union for d=1: a distance-1
-pair differs in exactly one position, hence exactly one part, hence its
-clean parts form exactly one blocking subset; distance-0 pairs (exact
-duplicates — clean on every part, so they match every subset) are
-claimed by branch 0 alone via an inequality filter on the other
+exact. No ``distinct`` is needed after the union for d=1: a window
+distance-1 pair differs in exactly one position, hence exactly one
+part, hence its clean parts form exactly one blocking subset; window
+distance-0 pairs (clean on every part, so they match every subset) are
+claimed by branch 0 alone via a window-inequality filter on the other
 branches — every true pair is emitted exactly once even on
-duplicate-heavy inputs (tested).
+duplicate-heavy inputs and windows that don't span the whole string
+(tested).
 
 Reference analog: none (goose has no fuzzy matching); this is the
 LLM-pipeline identity-dedup shape (user ids, URLs, near-identical
@@ -63,7 +65,13 @@ def hamming_pairs(
 ) -> DataFrame:
     """All pairs of rows whose ``s_col`` values (equal-width, compared on
     the window [offset, offset+length), 1-based) are within levenshtein
-    ``max_dist``. Returns (a_id, a_s, b_id, b_s, dist) with a_id < b_id.
+    ``max_dist``. Returns (a_id, a_s, b_id, b_s, dist) with a_id < b_id;
+    ``dist`` is measured on the WINDOW, matching the blocking scheme —
+    characters outside [offset, offset+length) never affect membership
+    or distance. (Verifying the full string against window-only blocks
+    would both change the predicate and break the emitted-exactly-once
+    property: a pair equal inside the window but differing outside is
+    clean on every part, so it matches every blocking subset.)
 
     Lossless by the pigeonhole argument above; every join is bounded by
     the part-key block sizes, never |df|².
@@ -74,6 +82,7 @@ def hamming_pairs(
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(s_col).alias("_s"),
+        F.substring(F.col(s_col), offset, length).alias("_w"),
         *[_part_col(F.col(s_col), p).alias(f"_p{i}") for i, p in enumerate(parts)],
     )
     # The verify work lives on the PROBE side of each block join —
@@ -98,17 +107,21 @@ def hamming_pairs(
         for i in subset:
             cond = cond & (F.col(f"a._p{i}") == F.col(f"b._p{i}"))
         if j > 0:
-            # exact-duplicate strings are clean on EVERY part, so they
+            # window-equal strings are clean on EVERY part, so they
             # would match every blocking subset — claim them for branch
-            # 0 alone (an inequality filter, no dedup shuffle). A d≥1
-            # pair is unaffected: its strings differ.
-            cond = cond & (F.col("a._s") != F.col("b._s"))
+            # 0 alone (an inequality filter on the WINDOW, no dedup
+            # shuffle). A pair with d≥1 window edits is unaffected: its
+            # windows differ. Comparing full strings here would leak
+            # duplicates for pairs that differ only outside the window.
+            cond = cond & (F.col("a._w") != F.col("b._w"))
         branches.append(
             a.join(b, cond).select(
                 F.col("a._id").alias("a_id"),
                 F.col("a._s").alias("a_s"),
                 F.col("b._id").alias("b_id"),
                 F.col("b._s").alias("b_s"),
+                F.col("a._w").alias("_aw"),
+                F.col("b._w").alias("_bw"),
             )
         )
     cand = branches[0]
@@ -117,8 +130,10 @@ def hamming_pairs(
     if max_dist > 1:
         # a pair with <= max_dist edits can have several clean subsets
         cand = cand.distinct()
-    return cand.withColumn("dist", F.levenshtein("a_s", "b_s")).filter(
-        F.col("dist") <= max_dist
+    return (
+        cand.withColumn("dist", F.levenshtein("_aw", "_bw"))
+        .filter(F.col("dist") <= max_dist)
+        .drop("_aw", "_bw")
     )
 
 

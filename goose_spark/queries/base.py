@@ -112,3 +112,24 @@ def fixture(spark: SparkSession, name: str) -> DataFrame:
         os.path.join(FIXTURES_DIR, f"{name}.parquet")
     )
     return df
+
+
+def invalidate_read_cache(path: Optional[str] = None) -> int:
+    """Evict memoized table reads. The cache pins each DataFrame's
+    resolved file listing for the session, which is only safe while the
+    directory is immutable — any tool that regenerates or appends
+    parquet under a previously-read sf_dir/fixture dir MUST call this
+    (with the directory, or no argument to clear everything) before
+    re-reading, or it will silently see the stale listing.
+
+    Returns the number of entries evicted.
+    """
+    if path is None:
+        n = len(_READ_CACHE)
+        _READ_CACHE.clear()
+        return n
+    target = os.path.abspath(path)
+    stale = [k for k in _READ_CACHE if k[1] == target]
+    for k in stale:
+        del _READ_CACHE[k]
+    return len(stale)

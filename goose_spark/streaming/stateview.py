@@ -10,14 +10,19 @@ backed by plain parquet plus the repo's own transaction-log machinery
 ``Ledger``'s commit manifests):
 
     files/<bucket>-<uuid>.parquet   one file per hash bucket of id
-    manifest.json                   {buckets: {b: filename}, last_batch}
+    manifest.json                   {buckets: {b: filename}, last_batch,
+                                     retired: [prev version's files]}
 
 An upsert batch touches ONLY the buckets its ids hash into: merge
 (stored bucket rows ∪ batch rows) → max-seq per id → write those
 buckets' replacement files → atomically swap the manifest (temp +
 ``os.replace``, the ledger's commit idiom). Readers always see a
 consistent view: the manifest names complete files only; a crash
-mid-upsert leaves orphan files (``vacuum()``), never a torn view. At
+mid-upsert leaves orphan files (``vacuum()``), never a torn view.
+Replaced files are retained for one commit (the manifest's ``retired``
+list — Delta-style retention) so a reader holding the previous
+version's manifest finishes its scan; see ``read()`` for the lag
+contract. At
 100 TB the bucket count scales with the table so a micro-batch rewrites
 O(batch) buckets, not the corpus — the same file-level pruning a Delta
 MERGE gets from its add/remove actions.
@@ -73,6 +78,7 @@ class MaterializedState:
                 "last_batch": -1,
                 "n_buckets": self._n_buckets,
                 "buckets": {},
+                "retired": [],
             }
 
     def _commit(self, manifest: dict) -> None:
@@ -87,7 +93,15 @@ class MaterializedState:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """The current state view: one scan of the manifest's files, no
-        window, no shuffle — the O(1)-read form of ``Ledger.state()``."""
+        window, no shuffle — the O(1)-read form of ``Ledger.state()``.
+
+        Reader contract: the manifest is resolved PER CALL — build a
+        fresh ``read()`` for each query rather than holding one
+        DataFrame across maintenance commits. A held view stays
+        readable for exactly one subsequent commit (its files are
+        ``retired``, not deleted, until the commit after that); beyond
+        one version of lag its files may be removed underneath it.
+        """
         from goose_spark.streaming.ledger import Ledger
 
         manifest = self._manifest()
@@ -196,6 +210,13 @@ class MaterializedState:
                 for b in affected
                 if str(b) in manifest["buckets"]
             ]
+            # Delta-style retention: files replaced by THIS commit stay
+            # on disk (listed as `retired`) until the NEXT commit, so a
+            # reader that resolved the previous manifest version can
+            # still finish its scan — the immediate-delete form races
+            # with lagging readers (FileNotFound on an already-planned
+            # read). One version of lag is the contract; see read().
+            prev_retired = manifest.get("retired", [])
             manifest = {
                 "version": manifest["version"] + 1,
                 "last_batch": max(
@@ -204,11 +225,14 @@ class MaterializedState:
                 ),
                 "n_buckets": nb,
                 "buckets": new_buckets,
+                "retired": old_files,
             }
             self._commit(manifest)
-            # post-commit cleanup of replaced files — best-effort; a
-            # crash here leaves orphans for vacuum(), never a torn view
-            for f in old_files:
+            # post-commit cleanup of the PREVIOUS generation's retired
+            # files (replaced two commits ago — no reader within the
+            # one-version retention window references them). Best-effort;
+            # a crash here leaves orphans for vacuum(), never a torn view.
+            for f in prev_retired:
                 try:
                     os.remove(os.path.join(self.files_dir, f))
                 except OSError:
@@ -219,9 +243,13 @@ class MaterializedState:
 
     def vacuum(self) -> int:
         """Remove files the manifest no longer references (crash debris
-        between commit and cleanup). Safe any time: the manifest is the
-        single source of truth."""
-        live = set(self._manifest()["buckets"].values())
+        between commit and cleanup). Safe any time for readers within
+        the one-version retention window: files in ``retired`` (the
+        previous version's, possibly still being scanned) are kept;
+        anything else unreferenced was either never committed (staging
+        debris — no reader ever saw it) or replaced ≥2 commits ago."""
+        manifest = self._manifest()
+        live = set(manifest["buckets"].values()) | set(manifest.get("retired", []))
         removed = 0
         for f in os.listdir(self.files_dir):
             if f.endswith(".parquet") and f not in live:

@@ -66,13 +66,32 @@ def test_blocked_equals_brute_force_d2_four_parts(spark):
 
 
 def test_offset_window_ignores_prefix(spark):
-    # same payloads behind a constant prefix — identical pair set, and
-    # dist is measured on the FULL string (equal prefixes contribute 0)
+    # same payloads behind a constant prefix — identical pair set; dist
+    # is measured on the WINDOW (the prefix never participates)
     prefixed = [(i, "ID#" + s) for i, s in ROWS]
     df = spark.createDataFrame(prefixed, ["id", "s"])
     got = hamming_pairs(df, "id", "s", offset=4, length=8, n_parts=3, max_dist=1)
     pairs = {(r.a_id, r.b_id) for r in got.collect()}
     assert pairs == _brute(ROWS, 1)
+
+
+def test_partial_window_differs_outside_emitted_once(spark):
+    # Pairs equal INSIDE the window but differing outside it are clean
+    # on every part, so they match every blocking subset — the windowed
+    # claim filter must still emit them exactly once, with dist 0 (the
+    # characters outside [offset, offset+length) are not part of the
+    # predicate). Window = positions 1..4 of a width-8 string.
+    rows = [
+        (1, "0000AAAA"),
+        (2, "0000BBBB"),   # window-equal to 1, differs only outside
+        (3, "0001CCCC"),   # window d=1 vs 1 and 2
+        (4, "9999AAAA"),   # outside chars equal to 1, window far away
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = hamming_pairs(df, "id", "s", offset=1, length=4, n_parts=3, max_dist=1)
+    res = sorted((r.a_id, r.b_id, r.dist) for r in got.collect())
+    # exactly once each, windowed distances
+    assert res == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
 
 
 def test_duplicate_strings_emit_each_pair_once(spark):

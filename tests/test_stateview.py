@@ -157,3 +157,43 @@ def test_qj_shapes_agree_on_either_form(spark, ledger, tmp_path):
         a = [tuple(r) for r in spark.sql(q.format("derived")).collect()]
         b = [tuple(r) for r in spark.sql(q.format("materialized")).collect()]
         assert a == b and a  # equal and non-trivial
+
+
+def test_retention_keeps_previous_version_for_one_commit(spark, ledger, tmp_path):
+    """Delta-style retention: the files a commit replaces stay on disk
+    (manifest `retired`) until the NEXT commit, so a reader holding the
+    previous manifest version finishes its scan; two commits later they
+    are gone. vacuum() never removes retired files."""
+    view = MaterializedState(str(tmp_path / "view"), n_buckets=4)
+    ledger.append_rows(_rows(["j0", "j1", "j2", "j3"], "enqueued"))
+    log0 = ledger.log(spark)
+    view.upsert(spark, log0, batch_id=0)
+    with open(view.manifest_path) as fh:
+        m0 = json.load(fh)
+
+    # a reader resolves the version-1 view NOW (plan pins m0's files)
+    held = view.read(spark)
+    assert held.count() == 4
+
+    # commit 2 replaces some of m0's files — they must be retired, not
+    # deleted, and the held reader must still complete
+    ledger.append_rows(_rows(["j0", "j1", "j2", "j3"], "succeeded"))
+    delta1 = ledger.log(spark).join(log0.select("seq"), "seq", "left_anti")
+    view.upsert(spark, delta1, batch_id=1)
+    with open(view.manifest_path) as fh:
+        m1 = json.load(fh)
+    replaced = [f for f in m0["buckets"].values() if f not in m1["buckets"].values()]
+    assert replaced and sorted(m1["retired"]) == sorted(replaced)
+    for f in replaced:
+        assert os.path.exists(os.path.join(view.files_dir, f))
+    assert held.count() == 4  # one version of lag is readable
+    assert view.vacuum() == 0  # retired files are NOT debris
+
+    # commit 3: the version-1 files (two commits old) are now deleted
+    log1 = ledger.log(spark)
+    ledger.append_rows(_rows(["j0"], "executing"))
+    delta2 = ledger.log(spark).join(log1.select("seq"), "seq", "left_anti")
+    view.upsert(spark, delta2, batch_id=2)
+    for f in replaced:
+        assert not os.path.exists(os.path.join(view.files_dir, f))
+    assert _state_tuples(view.read(spark)) == _state_tuples(ledger.state(spark))
