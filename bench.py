@@ -1,6 +1,9 @@
 """Benchmark harness: runs the declared query inventory at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line (headline
+value, slowest queries, ratio medians, jobs/s — sized to survive a
+~2 kB output tail capture); the full per-query map is written to
+BENCH_FULL.json beside this script.
 
 Each query is fully materialized via ``df.count()`` after a cache-free
 build — wall-clock includes scan + shuffle + agg, not result transfer.
@@ -57,7 +60,7 @@ def main() -> None:
             timings[name] = -1.0
 
     ok = [v for v in timings.values() if v >= 0]
-    out = {
+    full = {
         "metric": "declared-query wall-clock (sum over inventory)",
         "value": round(sum(ok), 4),
         "unit": "sec",
@@ -68,7 +71,47 @@ def main() -> None:
         "vs_duckdb": vs_duckdb(timings, sf_dir),
         "jobs_throughput": jobs_throughput(spark),
     }
-    print(json.dumps(out))
+    # Sidecar carries the full per-query map; stdout gets ONE COMPACT
+    # line. The grading driver tail-captures ~2 kB of output — nine
+    # rounds of BENCH_r*.json recorded `parsed: null` because the full
+    # line (~10 kB of per-query timings) overflowed that capture. The
+    # compact line keeps the driver-contract fields (metric/value/unit/
+    # queries/sf) but bounds "queries" to the slowest 10; everything is
+    # in the sidecar.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    vs = full["vs_duckdb"] or {}
+    jt = full["jobs_throughput"]
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": slowest,  # slowest 10 only — full map in `full`
+        "sf": sf_dir,
+        "n_queries": full["n_queries"],
+        "failed": full["failed"][:20],
+        "median_ratio_vs_duckdb": vs.get("median_ratio"),
+        "geomean_ratio_vs_duckdb": vs.get("geomean_ratio"),
+        "n_compared_vs_duckdb": vs.get("n_compared"),
+        "jobs_per_sec": jt["jobs_per_sec"],
+        "enqueue_jobs_per_sec": jt["enqueue_jobs_per_sec"],
+        "jobs_p50_latency_sec": jt["latency_sec"]["p50"],
+        "full": sidecar,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # stay inside the driver's tail capture
+        compact["queries"] = dict(list(slowest.items())[:3])
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
