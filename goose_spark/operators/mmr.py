@@ -169,3 +169,28 @@ def ss9(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
     return mmr_rerank(v, q)
+
+
+@register(
+    "ss12_mmr_indexed",
+    None,  # approximate (probed-cell candidates) — rows-only; recall
+    # parity vs the exact stage pinned in tests/test_mmr.py
+    doc="MMR diversified top-k served from the PERSISTED IVF index "
+        "(mmr_rerank_indexed): the candidate stage is the same "
+        "partition-pruned probed-cell read ss5/ss11 use — a query "
+        "batch opens nprobe/k of the corpus, never a corpus-wide "
+        "cosine scan — and the unchanged per-query greedy kernel "
+        "re-ranks those ≤ cand_k rows. ss9 is the exact-stage "
+        "cross-check; THIS is the 100 TB serve shape "
+        "(recall-parity ≥ 0.9 vs ss9 pinned in test_mmr).",
+    tags=("llm", "similarity"),
+)
+def ss12(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.similarity import ivf_index_for
+
+    idx = ivf_index_for(spark, sf)
+    v = _embeddings(spark, sf)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    return mmr_rerank_indexed(spark, idx, q)
