@@ -32,11 +32,28 @@ def _now() -> datetime:
 
 
 class LedgerAPI:
-    def __init__(self, spark: SparkSession, ledger: Ledger | str):
+    """``state_view`` (optional): a ``streaming.stateview.
+    MaterializedState`` maintained by the ledger's fold stream. When
+    given, every read resolves from the view's manifest — one pruned
+    file scan, no window-over-history shuffle (the O(1)-read form the
+    console wants at 100 TB). Contract: the view has ONE writer (its
+    maintenance stream); this API only APPENDS to the ledger, so a
+    mutation (prioritise / replay / delete / purge) surfaces in
+    view-backed reads after the next micro-batch fold — point
+    read-your-own-writes flows at the derived backend, dashboards and
+    consoles at the view."""
+
+    def __init__(self, spark: SparkSession, ledger: Ledger | str,
+                 state_view=None):
         self.spark = spark
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
+        self.state_view = state_view
 
     def state(self) -> DataFrame:
+        if self.state_view is not None:
+            # manifest re-resolved per call (stateview.read's reader
+            # contract) — never hold this frame across maintenance commits
+            return self.state_view.read(self.spark)
         return self.ledger.state(self.spark)
 
     def state_as_of(self, seq: int | None = None, ts=None) -> DataFrame:

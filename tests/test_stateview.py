@@ -159,6 +159,63 @@ def test_qj_shapes_agree_on_either_form(spark, ledger, tmp_path):
         assert a == b and a  # equal and non-trivial
 
 
+def test_console_api_runs_on_either_backend(spark, ledger, tmp_path):
+    """Round-9 directive #2: the production console/API layer accepts
+    the materialized view as its state backend. Every read surface the
+    console uses (dashboard fan-out, queue listing/sizes, finds,
+    pagination, dead top-k) hash-matches between a ledger-backed and a
+    view-backed ``LedgerAPI``; a mutation issued through the view-backed
+    API lands in the LEDGER (single-writer contract) and becomes visible
+    in the view after the next maintenance fold."""
+    from goose_spark.api import LedgerAPI
+    from goose_spark.console import Console
+
+    view = MaterializedState(str(tmp_path / "view"))
+    ck = str(tmp_path / "ck")
+    ledger.append_rows(_rows([f"a{i:02d}" for i in range(25)], "enqueued"))
+    ledger.append_rows(_rows([f"d{i}" for i in range(6)], "dead"))
+    ledger.append_rows(_rows(["m1", "m2", "m3"], "enqueued", queue="mail"))
+    ledger.append_rows(_rows(["s1", "s2"], "scheduled"))
+    _run_stream(spark, ledger, view, ck)
+
+    derived = LedgerAPI(spark, ledger)
+    mat = LedgerAPI(spark, ledger, state_view=view)
+
+    # ---- read surfaces: identical on both backends -------------------
+    assert mat.dashboard_counts() == derived.dashboard_counts()
+    assert mat.list_queues() == derived.list_queues() == ["default", "mail"]
+    assert mat.size("default") == derived.size("default") == 25
+    assert mat.size(status="dead") == derived.size(status="dead") == 6
+    assert mat.find_by_id("a07") == derived.find_by_id("a07")
+    assert mat.page("default", page=2) == derived.page("default", page=2)
+    assert [j["id"] for j in mat.peek_dead(3)] == [
+        j["id"] for j in derived.peek_dead(3)
+    ]
+
+    # the console runs unchanged over the view-backed API (qj1/qj4/qj7
+    # page shapes)
+    for page in (Console(mat), Console(derived)):
+        home = page.page_home()
+        assert home["enqueued"] == 28 and home["dead"] == 6
+        assert home["scheduled"] == 2
+    assert (
+        Console(mat).page_enqueued("default", page=1)
+        == Console(derived).page_enqueued("default", page=1)
+    )
+    assert Console(mat).page_dead() == Console(derived).page_dead()
+
+    # ---- mutation through the view-backed API -------------------------
+    # replay appends to the LEDGER; the view lags until the next fold
+    # (the documented single-writer contract), then converges.
+    assert mat.replay_dead(2) == 2
+    assert derived.size(status="dead") == 4      # ledger sees it now
+    assert mat.size(status="dead") == 6          # view: one fold behind
+    _run_stream(spark, ledger, view, ck)
+    assert mat.size(status="dead") == 4
+    assert mat.dashboard_counts() == derived.dashboard_counts()
+    assert _state_tuples(view.read(spark)) == _state_tuples(ledger.state(spark))
+
+
 def test_retention_keeps_previous_version_for_one_commit(spark, ledger, tmp_path):
     """Delta-style retention: the files a commit replaces stay on disk
     (manifest `retired`) until the NEXT commit, so a reader holding the
