@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from goose_spark.plans.guards import EMBEDDING_ROW_CAP, bounded_broadcast
 from goose_spark.operators.similarity import (
     _DIM,
     _embeddings,
@@ -561,8 +562,16 @@ def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
     # what guarantees partition pruning at ANY query volume
     probed = sorted({r["cluster"] for r in q_probes.select("cluster").distinct().collect()})
     cells = _live_cells(spark, index_dir, probed)
+    # the query-batch convention (≤ ~20k queries per serve call) is
+    # ENFORCED here, not assumed: one limit-bounded count job sizes the
+    # batch; an oversized batch drops the hints and degrades to the
+    # planner's shuffle strategy instead of an executor-memory cliff
+    n_q = queries.limit(EMBEDDING_ROW_CAP + 1).count()
     cand = (
-        F.broadcast(q_probes)
+        bounded_broadcast(
+            q_probes, max_rows=EMBEDDING_ROW_CAP * nprobe,
+            n_rows=n_q * nprobe, label="ivf-serve q_probes",
+        )
         .join(cells, "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
@@ -576,9 +585,11 @@ def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
         F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     ))
     cos = dot / (nrm(F.col("qe")) * nrm(F.col("ne")))
-    return cand.join(F.broadcast(qe), "query_id").select(
-        "query_id", "qe", "neighbor_id", "ne", cos.alias("cos")
-    )
+    return cand.join(
+        bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, n_rows=n_q,
+                          label="ivf-serve qe"),
+        "query_id",
+    ).select("query_id", "qe", "neighbor_id", "ne", cos.alias("cos"))
 
 
 def _ranked_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,

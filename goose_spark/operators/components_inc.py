@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from goose_spark.operators.clusters import components_of
+from goose_spark.plans.guards import bounded_broadcast
 from goose_spark.operators.dedup import _band_keys, _minhash_sig
 from goose_spark.operators.ingest import _AtomicPublisher
 from goose_spark.operators.textlib import with_shingles
@@ -123,7 +124,11 @@ class IncrementalComponents:
             )
         w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())
         return (
-            lab_raw.join(F.broadcast(docs.select("doc_id")), "doc_id", "left_semi")
+            lab_raw.join(
+                bounded_broadcast(docs.select("doc_id"), label="inc-cc batch ids"),
+                "doc_id",
+                "left_semi",
+            )
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("doc_id", "cluster_id")
@@ -184,7 +189,10 @@ class IncrementalComponents:
             bands_idx = self._read(spark, "bands")
             if bands_idx is not None:
                 cand = (
-                    bands_idx.join(F.broadcast(new_bands), ["band", "bkey"])
+                    bands_idx.join(
+                        bounded_broadcast(new_bands, label="inc-cc new_bands"),
+                        ["band", "bkey"],
+                    )
                     .select(
                         bands_idx.doc_id.alias("a_id"),
                         new_bands.doc_id.alias("b_id"),
@@ -194,8 +202,9 @@ class IncrementalComponents:
                 old_sh = with_shingles(
                     self._read(spark, "corpus")
                     .join(
-                        F.broadcast(
-                            cand.select(F.col("a_id").alias("doc_id")).distinct()
+                        bounded_broadcast(
+                            cand.select(F.col("a_id").alias("doc_id")).distinct(),
+                            label="inc-cc touched-history ids",
                         ),
                         "doc_id",
                         "left_semi",
@@ -286,7 +295,10 @@ class IncrementalComponents:
                 #    must not relabel a doc whose current label moved on
                 touched_docs = (
                     lab_raw.join(
-                        F.broadcast(merge_map.select(F.col("_old").alias("cluster_id"))),
+                        bounded_broadcast(
+                            merge_map.select(F.col("_old").alias("cluster_id")),
+                            label="inc-cc merge ids",
+                        ),
                         "cluster_id",
                         "left_semi",
                     )
@@ -296,7 +308,7 @@ class IncrementalComponents:
                 relabel = (
                     self._latest_for(lab_raw, touched_docs)
                     .join(
-                        F.broadcast(merge_map),
+                        bounded_broadcast(merge_map, label="inc-cc merge_map"),
                         F.col("cluster_id") == F.col("_old"),
                     )
                     .select("doc_id", F.col("_new").alias("cluster_id"))

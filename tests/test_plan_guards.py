@@ -1,0 +1,108 @@
+"""Bounded-broadcast guard (round-9 directive #3): the "hints only on
+provably-bounded sides" convention is enforced in code — an oversized
+query/ingest batch degrades to the planner's shuffle strategy instead
+of an executor-memory cliff, with identical results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goose_spark.plans.guards import bounded_broadcast
+from goose_spark.plans.inspect import physical_plan
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_under_cap_hints_and_broadcasts(spark):
+    small = spark.range(10).withColumnRenamed("id", "k")
+    big = spark.range(10_000).withColumn("k", F.pmod("id", F.lit(10)))
+    joined = big.join(bounded_broadcast(small, max_rows=100), "k")
+    # hint present in the analyzed plan, and it FORCES a broadcast even
+    # with auto-broadcast disabled — the behavior the guard preserves
+    # for genuinely bounded sides
+    assert "ResolvedHint" in _analyzed(joined)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = big.join(bounded_broadcast(small, max_rows=100), "k")
+        assert "BroadcastHashJoin" in physical_plan(joined)
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_over_cap_drops_hint_and_degrades_to_shuffle(spark):
+    """The cliff case: a frame over the cap gets NO hint (the helper
+    returns it unchanged), so with auto-broadcast off the join plans a
+    shuffle — the 100 TB-safe degradation — and values are identical."""
+    oversized = spark.range(500).withColumnRenamed("id", "k")
+    big = spark.range(10_000).withColumn("k", F.pmod("id", F.lit(500)))
+
+    guarded = bounded_broadcast(oversized, max_rows=100, label="test")
+    assert guarded is oversized  # unchanged — planner decides
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = big.join(bounded_broadcast(oversized, max_rows=100), "k")
+        plan = physical_plan(joined)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        hinted = big.join(F.broadcast(oversized), "k")
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, hinted.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_known_cardinality_skips_the_count_job(spark):
+    calls = {"n": 0}
+
+    class Spy:
+        def __init__(self, df):
+            self._df = df
+
+        def limit(self, n):
+            calls["n"] += 1
+            return self._df.limit(n)
+
+        def __getattr__(self, item):
+            return getattr(self._df, item)
+
+    df = spark.range(5)
+    out = bounded_broadcast(Spy(df), max_rows=10, n_rows=5)  # type: ignore[arg-type]
+    assert calls["n"] == 0
+    assert "ResolvedHint" in _analyzed(out.join(spark.range(20), "id"))
+
+
+def test_ivf_serve_with_oversized_query_batch_matches(spark, tmp_path, monkeypatch):
+    """An IVF serve call with a query batch over the (monkeypatched)
+    cap must fall back to un-hinted joins and return exactly the rows
+    the hinted path returns."""
+    import goose_spark.operators.annindex as ai
+    from goose_spark.operators.annindex import build_ivf_index, ivf_index_query
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, sf, idx)
+    from goose_spark.operators.similarity import _embeddings
+
+    q = (
+        _embeddings(spark, sf)
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    )
+    want = sorted(map(tuple, ivf_index_query(spark, idx, q).collect()))
+    monkeypatch.setattr(ai, "EMBEDDING_ROW_CAP", 3)  # 10 queries > cap
+    got = sorted(map(tuple, ivf_index_query(spark, idx, q).collect()))
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("n_rows", [None, 7])
+def test_over_cap_via_count_or_hint(spark, n_rows):
+    df = spark.range(7)
+    out = bounded_broadcast(df, max_rows=5, n_rows=n_rows)
+    assert out is df
