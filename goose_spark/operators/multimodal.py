@@ -24,17 +24,86 @@ from pyspark.sql import functions as F
 from goose_spark.queries.base import register, t
 
 
+def imaging_available() -> bool:
+    """True when a real imaging library is importable. The gate is
+    probed at TEST time (``tests/test_multimodal_real.py`` importorskip)
+    — the protobuf/transformWithState pattern: a future container with
+    Pillow installed automatically runs the real-decoder oracle rows,
+    zero change where the lib is absent."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires an imaging library not present in
-    this environment. The Spark plumbing calls ``fake_features``
-    instead; swap this in when PIL/libvips is available."""
-    raise NotImplementedError("image decoding requires an imaging library")
+    """Real image decode via Pillow when available; honest
+    ``NotImplementedError`` otherwise. The registry queries (mm1-mm3)
+    keep the deterministic fake so the driver's oracle never depends on
+    the container's libraries — the real path is exercised by the
+    env-gated test through the SAME ``extract_features`` kernel."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires an imaging library (pip install pillow)"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def fake_features(n_bytes: int) -> tuple[int, int, int]:
     """Deterministic stand-in for decode+measure: derive (width, height,
     frames) from payload length. Arithmetic is mirrored in the oracle."""
     return n_bytes % 640, (7 * n_bytes) % 480, n_bytes % 16 + 1
+
+
+def real_features(payload: bytes | None) -> tuple[int, int, int]:
+    """decode+measure with the real decoder: (width, height, frames).
+    Null/undecodable payloads yield (0, 0, 0) — a poisoned row must
+    never kill the task (same policy as the fake path's null → 0)."""
+    if payload is None:
+        return 0, 0, 0
+    try:
+        img = decode_image(bytes(payload))
+        return int(img.width), int(img.height), int(getattr(img, "n_frames", 1))
+    except NotImplementedError:
+        raise
+    except Exception:
+        return 0, 0, 0
+
+
+def extract_features(d: DataFrame, features=None) -> DataFrame:
+    """The ONE feature-extraction kernel (payload → doc_id, n_bytes,
+    width, height, frames) behind mm1 and the real-decoder test:
+    ``features`` maps payload bytes → (width, height, frames); default
+    is the deterministic fake over byte length. Swapping the callable is
+    the entire difference between the oracle-checked plumbing run and a
+    Pillow run — schema, Arrow batch shape, and null policy are shared."""
+    feats_fn = features or (lambda b: fake_features(0 if b is None else len(b)))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # null payload (failed fetch/decode upstream) = 0 bytes, not
+            # a task kill
+            n = pdf["payload"].map(lambda b: 0 if b is None else len(b))
+            feats = pdf["payload"].map(feats_fn)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "width": feats.map(lambda f: f[0]).astype("int64"),
+                    "height": feats.map(lambda f: f[1]).astype("int64"),
+                    "frames": feats.map(lambda f: f[2]).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        extract,
+        schema="doc_id long, n_bytes long, width long, height long, frames long",
+    )
 
 
 _MM1_ORACLE = """
@@ -59,27 +128,7 @@ def mm1(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # null payload (failed fetch/decode upstream) = 0 bytes, not
-            # a task kill
-            n = pdf["payload"].map(lambda b: 0 if b is None else len(b))
-            feats = n.map(fake_features)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int64"),
-                    "width": feats.map(lambda f: f[0]).astype("int64"),
-                    "height": feats.map(lambda f: f[1]).astype("int64"),
-                    "frames": feats.map(lambda f: f[2]).astype("int64"),
-                }
-            )
-
-    out = d.mapInPandas(
-        extract, schema="doc_id long, n_bytes long, width long, height long, frames long"
-    )
-    return out.orderBy("doc_id").limit(200)
+    return extract_features(d).orderBy("doc_id").limit(200)
 
 
 _THUMB_BYTES = 4096  # resize target: byte budget of the "thumbnail"
