@@ -126,7 +126,8 @@ _DIM = 64
 # IVF (ss3) parameters
 IVF_K = 16          # coarse-quantizer centroids
 IVF_ITERS = 4       # fixed k-means iterations (deterministic)
-IVF_NPROBE = 3      # clusters probed per query
+IVF_NPROBE = 3      # clusters probed per query — the measured knee: recall 0.82/0.93
+                    # @ 19% corpus scored (RECALL_CURVES.md)
 
 
 def _band_signatures(df: DataFrame, id_col: str) -> DataFrame:
@@ -155,7 +156,11 @@ def _band_signatures(df: DataFrame, id_col: str) -> DataFrame:
     None,  # approximate — verified by the recall test, rows-only for the driver
     doc="ANN via sign-random-projection LSH (16 planes, 4 bands × 4 bits): "
         "score only band-collision candidates, then exact cosine + top-k. "
-        "At 100 TB the band table is the shuffle key — cost O(q × bucket).",
+        "At 100 TB the band table is the shuffle key — cost O(q × bucket). "
+        "Measured recall 0.41/0.45 @ 24% corpus scored (RECALL_CURVES.md) — "
+        "the synthetic near-orthogonal corpus is sign-LSH's pathological "
+        "case; no banding reaches 0.8 below ~53% scored, so IVF (ss3+) is "
+        "the default ANN path and this floor is justified at 0.4.",
     tags=("llm", "similarity"),
 )
 def ss2(spark: SparkSession, sf: str) -> DataFrame:
@@ -280,7 +285,9 @@ def trained_ivf(spark: SparkSession, sf: str) -> list:
         "distributed matmul, update collects only k×dim floats), then "
         f"probe the {IVF_NPROBE} nearest clusters per query and score "
         "exactly within them. At 100 TB the cluster id is the partition "
-        "key — a query touches nprobe/k of the corpus.",
+        "key — a query touches nprobe/k of the corpus. Measured recall "
+        "at nprobe=3: 0.82/0.93 for 19% scored (RECALL_CURVES.md; curve "
+        "flattens past nprobe≈6) — floor 0.8 in test_similarity.",
     tags=("llm", "similarity"),
 )
 def ss3(spark: SparkSession, sf: str) -> DataFrame:

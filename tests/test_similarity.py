@@ -25,8 +25,12 @@ def test_ann_recall_vs_bruteforce(spark):
         len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
     ]
     avg = sum(recalls) / len(recalls)
-    # 4 bands × 4 bits is a loose filter; random 64-dim data is the hard
-    # case for LSH — still expect a solid majority of true neighbors
+    # Measured curve (RECALL_CURVES.md): 4×4 banding = 0.41 @ sf0.01 /
+    # 0.45 @ sf0.1 for 24% of the corpus scored. Near-orthogonal noise
+    # is the pathological case for sign-LSH (true neighbors at 60-73°);
+    # no banding reaches 0.8 below ~53% of the corpus scored, so the
+    # floor stays 0.4 WITH that written justification — on a real
+    # near-dup corpus (cos ≥ 0.8) the same banding clears 0.8.
     assert avg >= 0.4, f"ANN recall too low: {avg:.2f} (per-query {recalls})"
 
 
@@ -40,8 +44,12 @@ def test_ivf_recall_vs_bruteforce(spark):
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     avg = sum(recalls) / len(recalls)
-    # IVF probes 3/16 of the corpus; random 64-dim data is the hard case
-    assert avg >= 0.6, f"IVF recall too low: {avg:.2f} (per-query {recalls})"
+    # Measured curve (RECALL_CURVES.md): nprobe=3/16 = 0.82 @ sf0.01 /
+    # 0.93 @ sf0.1 for 19% of the corpus scored; the curve flattens
+    # past nprobe≈6. Floor raised 0.6 → 0.8 to the measured-curve
+    # standard (round-9 directive #5); deterministic data + seeds keep
+    # the measurement stable.
+    assert avg >= 0.8, f"IVF recall too low: {avg:.2f} (per-query {recalls})"
 
 
 def test_ann_scores_match_exact_for_shared_neighbors(spark):
