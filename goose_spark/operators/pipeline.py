@@ -471,3 +471,77 @@ def sp10(spark: SparkSession, sf: str) -> DataFrame:
         .limit(SP10_K)
         .select("doc_id", "n_chars", F.round("es_key", 8).alias("es_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sp13 — leakage-safe split (near-dup clusters never straddle splits)
+# ---------------------------------------------------------------------------
+
+
+def _sp13_oracle() -> str:
+    from goose_spark.operators.dedup import pairs_sql_ctes
+
+    return f"""
+WITH RECURSIVE {pairs_sql_ctes()},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+         FROM reach GROUP BY node),
+dx AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_TRAIN_LT}'
+            THEN 'train'
+            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_VAL_LT}'
+            THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM dx GROUP BY 1 ORDER BY split"""
+
+
+@register(
+    "sp13_leakage_safe_split",
+    _sp13_oracle(),
+    doc="Leakage-safe train/val/test split: the md5-bucket split key is "
+        "the doc's NEAR-DUP CLUSTER id (dd6's components; singletons = "
+        "own id), not the doc id — so a document and its near-duplicates "
+        "land in the SAME split by construction and the eval set can "
+        "never contain a paraphrase of a training doc (the train/test "
+        "contamination sp6/sp12 then only have to police across "
+        "DATASETS, not within one). Same ~80/10/10 bucketing as sp1; "
+        "the only extra cost over sp1 is the cluster-label join, and "
+        "the label table is the already-maintained dd6/IncrementalComponents "
+        "output at 100 TB. Leakage-zero is pinned in "
+        "tests/test_pipeline_ops.py (no verified near-dup pair straddles "
+        "two splits; the sp1 doc-id split DOES straddle).",
+    tags=("llm", "pipeline", "dedup"),
+)
+def sp13(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.clusters import components_of
+    from goose_spark.operators.dedup import lsh_pairs
+
+    d = t(spark, sf, "documents")
+    labels = components_of(lsh_pairs(spark, sf).select("a_id", "b_id"))
+    docs = d.join(
+        labels.select("doc_id", "cluster_id"), "doc_id", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    b = _bucket2(F.col("cluster_id"))
+    split = (
+        F.when(b < _TRAIN_LT, "train").when(b < _VAL_LT, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

@@ -622,3 +622,158 @@ def tx17(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx18 — PMI collocations (phrase mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # bigrams rarer than this are PMI noise
+
+
+_TX18_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter({_WORDS}, x -> x <> '') AS w
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> struct_pack(a := w[i], b := w[i + 1]))) AS p
+  FROM tk),
+big AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(list_filter({_WORDS}, x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY tok),
+tot AS (SELECT (SELECT SUM(c) FROM uni) AS t_tok,
+               (SELECT SUM(c_ab) FROM big) AS t_big)
+SELECT a, b, c_ab,
+       ua.c AS c_a, ub.c AS c_b,
+       ROUND((CAST(c_ab AS DOUBLE) / t_big)
+             / ((CAST(ua.c AS DOUBLE) / t_tok)
+                * (CAST(ub.c AS DOUBLE) / t_tok)), 4) AS pmi_ratio
+FROM big JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, tot
+WHERE c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi_ratio DESC, a, b LIMIT 50"""
+
+
+@register(
+    "tx18_pmi_bigrams",
+    _TX18_ORACLE,
+    doc="PMI-ranked collocations (phrase mining): adjacent-token bigram "
+        "counts vs unigram expectation — pmi_ratio = p(ab)/(p(a)p(b)), "
+        "the exp of pointwise mutual information, reported as the exact "
+        "ratio of integer counts so no transcendental function touches "
+        "the hash-matched output. Bigrams built JVM-side from the token "
+        "array (transform over an index sequence — no Python, no "
+        "per-row UDF), then two map-side-combinable hash-aggs; the "
+        "count-keyed joins back to the unigram vocabulary are ordinary "
+        "token-hash shuffles and the top-50 is a TakeOrdered O(k) "
+        "funnel. The phrase-discovery stage of a tokenizer/quality "
+        "pipeline (Mikolov-style word2phrase uses this exact score "
+        "with a discount).",
+    tags=("llm", "text"),
+)
+def tx18(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    tk = d.select(
+        F.filter(words(F.col("text")), lambda x: x != "").alias("w")
+    )
+    # size guard matters: Spark's sequence(0, -1) REVERSES instead of
+    # returning empty, so a 0/1-token doc would index w[-1] → nulls
+    bigrams = (
+        tk.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> named_struct('a', w[i], 'b', w[i + 1]))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    big = bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = (
+        tk.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("t_tok")).crossJoin(
+        big.agg(F.sum("c_ab").alias("t_big"))
+    )
+    ratio = F.round(
+        (F.col("c_ab").cast("double") / F.col("t_big"))
+        / (
+            (F.col("c_a").cast("double") / F.col("t_tok"))
+            * (F.col("c_b").cast("double") / F.col("t_tok"))
+        ),
+        4,
+    )
+    return (
+        big.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b")), "b")
+        .join(F.broadcast(tot))
+        .select("a", "b", "c_ab", "c_a", "c_b", ratio.alias("pmi_ratio"))
+        .orderBy(F.col("pmi_ratio").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx19 — lexical richness (type-token / hapax profile per language)
+# ---------------------------------------------------------------------------
+
+_TX19_ORACLE = rf"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter({_WORDS}, x -> x <> '')) AS tok
+  FROM documents),
+vocab AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_ratio
+FROM vocab GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "tx19_lexical_richness",
+    _TX19_ORACLE,
+    doc="Lexical-richness profile per language: type-token ratio and "
+        "hapax-legomenon ratio — the vocabulary-health gauges a corpus "
+        "audit reads before tokenizer training (a crawl slice whose TTR "
+        "collapses is template/boilerplate spam; one whose hapax ratio "
+        "explodes is OCR noise). COUNT(DISTINCT) is expressed as the "
+        "two-level (lang, tok) hash-agg, so both levels partially "
+        "aggregate map-side and the final shuffle carries only O(vocab) "
+        "count rows — never a distinct over raw token instances. All "
+        "outputs integers or exact int ratios.",
+    tags=("llm", "text"),
+)
+def tx19(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "lang", F.explode(words(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    hapax = F.sum((F.col("c") == 1).cast("long"))
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            hapax.alias("hapax"),
+            F.round(F.count("*").cast("double") / F.sum("c"), 6).alias("ttr"),
+            F.round(hapax.cast("double") / F.count("*"), 6).alias("hapax_ratio"),
+        )
+        .orderBy("lang")
+    )

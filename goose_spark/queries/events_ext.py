@@ -621,3 +621,93 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_H = 72  # lookback window per purchase
+
+_Q96_ORACLE = f"""
+WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value
+           FROM events WHERE event_type = 'purchase'),
+tch AS (SELECT user_id, ts AS t_ts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')),
+tp AS (SELECT p.p_id, p.value, tch.channel
+       FROM p JOIN tch ON tch.user_id = p.user_id
+        AND tch.t_ts < p.p_ts
+        AND tch.t_ts >= p.p_ts - INTERVAL '{ATTR_WINDOW_H}' HOUR),
+n AS (SELECT p_id, COUNT(*) AS n_t FROM tp GROUP BY p_id),
+contrib AS (SELECT tp.channel, tp.p_id,
+                   CAST(ROUND(tp.value / n.n_t, 6) AS DECIMAL(18,6)) AS c
+            FROM tp JOIN n USING (p_id)),
+direct AS (SELECT 'direct' AS channel, p.p_id,
+                  CAST(ROUND(p.value, 6) AS DECIMAL(18,6)) AS c
+           FROM p LEFT JOIN n ON n.p_id = p.p_id WHERE n.p_id IS NULL),
+allc AS (SELECT * FROM contrib UNION ALL SELECT * FROM direct)
+SELECT channel, COUNT(*) AS n_touchpoints,
+       COUNT(DISTINCT p_id) AS n_purchases,
+       ROUND(CAST(SUM(c) AS DOUBLE), 4) AS attributed_value
+FROM allc GROUP BY channel ORDER BY channel"""
+
+
+@register(
+    "q96_linear_attribution",
+    _Q96_ORACLE,
+    doc=f"Linear multi-touch attribution: each purchase's value is split "
+        f"evenly across every view/click touch in the preceding "
+        f"{ATTR_WINDOW_H} h (touchless purchases attribute to 'direct'), "
+        f"summed per channel — the marketing-attribution shape (q73's "
+        f"as-of join is last-touch; this is the multi-touch generality). "
+        f"Scale shape: the touch join is user_id-hashed with the window "
+        f"bound as a residual predicate (q74/q94's banded-join form, "
+        f"bounded per user-activity window, never time-cross); the "
+        f"per-purchase touch count is one p_id hash-agg; contributions "
+        f"round to DECIMAL(18,6) BEFORE summation, so the per-channel "
+        f"totals are order-independent and hash-match at any "
+        f"parallelism.",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    win = F.expr(f"INTERVAL {ATTR_WINDOW_H} HOURS")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value",
+    )
+    tch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    tp = (
+        p.join(tch, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - win)
+        )
+        .select("p_id", "value", "channel")
+    )
+    n = tp.groupBy("p_id").agg(F.count("*").alias("n_t"))
+    contrib = tp.join(n, "p_id").select(
+        "channel", "p_id",
+        F.round(F.col("value") / F.col("n_t"), 6)
+        .cast("decimal(18,6)").alias("c"),
+    )
+    direct = (
+        p.join(n, "p_id", "left_anti")
+        .select(
+            F.lit("direct").alias("channel"),
+            "p_id",
+            F.round(F.col("value"), 6).cast("decimal(18,6)").alias("c"),
+        )
+    )
+    return (
+        contrib.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touchpoints"),
+            F.count_distinct("p_id").alias("n_purchases"),
+            F.round(F.sum("c").cast("double"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -56,6 +56,18 @@ def get_spark(app_name: str = "gosling", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(max(32, n)))
+        # AQE splits only SKEWED partitions — a join whose partitions are
+        # all uniformly oversized (the 64x containment verify: array-heavy
+        # candidate rows) keeps the static count and OOMs the task heap.
+        # Start shuffles at 8x the core count and let AQE COALESCE down:
+        # small stages still end at a handful of reducers, array-heavy
+        # stages keep enough partitions to bound per-task memory
+        # (measured: tx14@64x scaled corpus — OOM at 32 static partitions
+        # on the 8g heap, 113 s at 256).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * max(32, n)),
+        )
         # -- scans ---------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -23,6 +23,7 @@ from tools.scale_smoke import SF, build_scaled  # noqa: E402
 
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    only = sys.argv[2:]
     from goose_spark.queries import load_all
     from goose_spark.session import get_spark
 
@@ -60,7 +61,8 @@ def main() -> None:
                 flush=True,
             )
 
-    for name in ("dd2_minhash_lsh", "tx14_containment", "q87_triangle_count"):
+    for name in (only or ("dd2_minhash_lsh", "tx14_containment",
+                          "q87_triangle_count")):
         timed(name, scaled)
 
 
