@@ -78,6 +78,11 @@ def get_spark(app_name: str = "gosling", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # deeper thread stacks: Catalyst TreeNode transforms and the
+        # JDK's backtracking regex both recurse with input length; the
+        # 30-min soak overflowed a stream-execution thread at the 1 MiB
+        # default (regex frames) — 4 MiB is cheap insurance local-mode
+        .config("spark.driver.extraJavaOptions", "-Xss4m")
     )
     return builder.getOrCreate()
 

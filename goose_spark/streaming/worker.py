@@ -64,6 +64,22 @@ def _now() -> datetime:
 DEFAULT_SCHEDULE_POP_LIMIT = 10_000
 
 
+
+def _coerce_log_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """pandas → Spark-log-schema dtype coercion: a toPandas()/pyarrow
+    round-trip renders nullable int columns as float64 with NaN, which
+    BOTH createDataFrame paths reject against IntegerType (Arrow refuses
+    the unsafe float→int cast, the row-based fallback refuses the NaN
+    object — found by the round-10 soak: one mixed retry/fresh batch
+    kills the stream). Nullable extension dtypes carry exact ints +
+    real nulls through Arrow."""
+    for name, dtype in (("priority", "Int32"), ("retry_count", "Int32"),
+                        ("max_retries", "Int32"), ("seq", "Int64")):
+        if name in pdf.columns and pdf[name].dtype.kind == "f":
+            pdf = pdf.assign(**{name: pd.array(pdf[name], dtype=dtype)})
+    return pdf
+
+
 def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,
                    middlewares: tuple = (), error_handler: str | None = None,
                    death_handler: str | None = None,
@@ -532,7 +548,7 @@ class Worker:
             ["priority", "enqueued_at"], ascending=[False, True]
         )
         due_df = self.spark.createDataFrame(
-            runnable, schema=self.ledger._spark_log_schema()
+            _coerce_log_pdf(runnable), schema=self.ledger._spark_log_schema()
         )
         self._execute_and_log(due_df, width=width, driver_commit=True,
                               pre_ordered=True)
@@ -837,7 +853,7 @@ class Worker:
             ),
         )
         due_df = self.spark.createDataFrame(
-            mine, schema=self.ledger._spark_log_schema()
+            _coerce_log_pdf(mine), schema=self.ledger._spark_log_schema()
         )
         self._execute_and_log(
             due_df, width=width, pre_ordered=True,

@@ -128,11 +128,16 @@ def main() -> None:
                     batch.append(("always-fail", (i,)))
                 else:
                     batch.append(("noop", (i,)))
-            for fn, args in batch:
-                if fn == "always-fail":
-                    client.perform_async(fn, *args, max_retries=1)
-                else:
-                    client.perform_async(fn, *args)
+            # one ledger append per second of offered load (a real
+            # producer pipelines; per-job perform_async = one parquet
+            # file per job, which floods the file source's metadata log
+            # long before any engine limit)
+            rows = [
+                client._job_row(fn, args, None,
+                                **({"max_retries": 1} if fn == "always-fail" else {}))
+                for fn, args in batch
+            ]
+            client.ledger.append_rows(rows)
             enq += len(batch)
             if i % (rate * 30) < rate:  # every ~30 s: a tracked batch
                 client.perform_batch("noop", [(j,) for j in range(20)],
