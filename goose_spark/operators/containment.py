@@ -110,6 +110,10 @@ def containment_pairs(docs_shingled: DataFrame, k_probe: int = K_PROBE,
         # lossless: |∩| ≤ |sb|, so containment ≥ τ ⟹ |sb| ≥ τ|sa|
         .filter(F.col("nb").cast("double") >= F.lit(threshold) * F.col("na"))
         .select("inner_id", "outer_id")
+        # plain distinct on purpose: HashAggregate partial-aggregates
+        # map-side BEFORE its exchange, so the shuffle carries near-
+        # result-size rows; an explicit repartition here was measured
+        # to ship the RAW candidate stream instead (64x: 361 → 448 s)
         .distinct()
     )
     hs = F.transform("sh", lambda x: F.xxhash64(x))
@@ -117,8 +121,20 @@ def containment_pairs(docs_shingled: DataFrame, k_probe: int = K_PROBE,
     b = sh.select(F.col("doc_id").alias("outer_id"), hs.alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb")).cast("double")
     cont = inter / F.size("ha")
+    # The two verify exchanges carry an ~8·|sh| byte array per row; at a
+    # densified corpus (64x smoke: ~10x the 22M result pairs in
+    # candidate rows) the session's 32 static shuffle partitions put
+    # GBs in one task and OOM the heap — and AQE only splits partitions
+    # it flags as SKEWED, so uniform oversize keeps the static count.
+    # Size these two joins explicitly (8x cores); pre-partitioning on
+    # each join key means the join REUSES the distribution (no extra
+    # exchange), and a global initialPartitionNum — the config-level
+    # alternative — was measured to tax every iterative/cached plan.
+    verify_parts = 8 * docs_shingled.sparkSession.sparkContext.defaultParallelism
     return (
-        cand.join(a, "inner_id")
+        cand.repartition(verify_parts, "inner_id")
+        .join(a, "inner_id")
+        .repartition(verify_parts, "outer_id")
         .join(b, "outer_id")
         .filter(cont >= threshold)
         .select("inner_id", "outer_id", F.round(cont, 6).alias("containment"))

@@ -56,18 +56,14 @@ def get_spark(app_name: str = "gosling", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(max(32, n)))
-        # AQE splits only SKEWED partitions — a join whose partitions are
-        # all uniformly oversized (the 64x containment verify: array-heavy
-        # candidate rows) keeps the static count and OOMs the task heap.
-        # Start shuffles at 8x the core count and let AQE COALESCE down:
-        # small stages still end at a handful of reducers, array-heavy
-        # stages keep enough partitions to bound per-task memory
-        # (measured: tx14@64x scaled corpus — OOM at 32 static partitions
-        # on the 8g heap, 113 s at 256).
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * max(32, n)),
-        )
+        # NOTE on initialPartitionNum: a global 8x-cores initial shuffle
+        # count fixes the uniformly-oversized-partition OOM (AQE splits
+        # only SKEWED partitions) but was measured to cost the iterative
+        # / cached-table family real time (q84 pagerank 7.4 → 12.5 s,
+        # dd2 12.8 → 16.9 s fresh-session at sf0.1: every cached pair
+        # table and per-iteration exchange inherits 256 partitions). The
+        # array-heavy verify stages that need wide shuffles size them
+        # EXPLICITLY instead (operators/containment.py VERIFY_PARTS).
         # -- scans ---------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
