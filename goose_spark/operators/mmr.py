@@ -41,6 +41,7 @@ from goose_spark.operators.similarity import (
     _dot,
     _embeddings,
 )
+from goose_spark.plans.guards import EMBEDDING_ROW_CAP, bounded_broadcast
 from goose_spark.queries.base import register
 
 #: Candidate pool size per query (3× the returned k).
@@ -122,7 +123,7 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, top_k: int = TOP_K,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     cand = (
-        F.broadcast(queries)
+        bounded_broadcast(queries, max_rows=EMBEDDING_ROW_CAP, label='mmr queries')
         .crossJoin(emb)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from goose_spark.plans.guards import EMBEDDING_ROW_CAP, bounded_broadcast
 from goose_spark.queries.base import register, t
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -99,7 +100,7 @@ def ss1(spark: SparkSession, sf: str) -> DataFrame:
         _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
     )
     scored = (
-        F.broadcast(q)
+        bounded_broadcast(q, max_rows=EMBEDDING_ROW_CAP, label='ss1 queries')
         .crossJoin(v)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
@@ -171,7 +172,7 @@ def ss2(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "band", "bkey"
     )
     cand = (
-        F.broadcast(q_bands)
+        bounded_broadcast(q_bands, max_rows=4 * EMBEDDING_ROW_CAP, label='ss2 q_bands')
         .join(bands, ["band", "bkey"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -184,7 +185,7 @@ def ss2(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        cand.join(F.broadcast(qe), "query_id")
+        cand.join(bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, label="qe"), "query_id")
         .join(ne, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
@@ -314,7 +315,7 @@ def ss3(spark: SparkSession, sf: str) -> DataFrame:
 
     q_probes = q.mapInPandas(probe, schema="query_id long, cluster int")
     cand = (
-        F.broadcast(q_probes)
+        bounded_broadcast(q_probes, max_rows=8 * EMBEDDING_ROW_CAP, label='ss3 q_probes')
         .join(assigned, "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -327,7 +328,7 @@ def ss3(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        cand.join(F.broadcast(qe), "query_id")
+        cand.join(bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, label="qe"), "query_id")
         .join(ne, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
