@@ -27,6 +27,7 @@ def load_all() -> dict:
         curation,
         dedup,
         heavyhitters,
+        hybrid,
         knn,
         layout,
         linkage,

@@ -102,3 +102,23 @@ def test_q96_attribution_conserves_value(spark, oracle):
     assert abs(total_attr - total_purchases[0]) < 0.05
     assert sum(r["n_purchases"] for r in rows) >= total_purchases[1]
     assert {r["channel"] for r in rows} <= {"view", "click", "direct"}
+
+
+def test_rrf_fuse_single_modality_docs_still_rank(spark):
+    """A doc in only ONE candidate list contributes only that list's
+    reciprocal term (null rank -> 0, never a null score), and a doc in
+    both lists outranks equals seen once."""
+    from goose_spark.operators.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, r_lex int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id long, doc_id long, r_vec int"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(lex, vec, k=60, c=50, top=10).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert abs(rows[10]["rrf"] - (1 / 61 + 1 / 62)) < 1e-8  # output rounds to 8dp
+    assert rows[11]["r_vec"] is None and abs(rows[11]["rrf"] - 1 / 62) < 1e-8
+    assert rows[12]["r_lex"] is None and abs(rows[12]["rrf"] - 1 / 61) < 1e-8
+    assert rows[10]["rank"] == 1  # fusion beats either single list
