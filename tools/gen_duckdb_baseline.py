@@ -78,6 +78,11 @@ _PREFIX_SUM = (
 #: Keep each one honest: name the structural reason, not hand-waving.
 JUSTIFICATIONS: dict[str, str] = {
     "q06_multiway_join_agg": _MULTI_STAGE,
+    # 7-exchange fusion plan (two token hash-aggs, posting-list join,
+    # pair agg, two per-query rank windows, full-outer fuse, final
+    # window) on a ~6 MB input — stages x floor; each exchange is the
+    # partitioning mechanism at corpus scale
+    "ss13_hybrid_rrf": _MULTI_STAGE,
     "q38_returned_items": _MULTI_STAGE,
     "q39_large_quantity_orders": _MULTI_STAGE,
     "q44_top_supplier": _MULTI_STAGE,
