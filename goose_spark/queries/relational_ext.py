@@ -205,23 +205,89 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# percentile_approx rank-error guarantee is 1/accuracy; we verify it by
+# computing the approx value's EXACT rank interval in a second pass and
+# checking it intersects [q − _Q29_EPS, q + _Q29_EPS] (2/accuracy slack).
+# Rank-space, not value-space: exact under ties and small-N
+# discretization (a value-window check failed at sf0.001 where the
+# quantile window spans less than one rank gap).
+_Q29_ACC = 10000
+_Q29_EPS = 2.0 / _Q29_ACC
+# approx_count_distinct default rsd is 0.05 (one standard error); 3σ
+# bound — deterministic for fixed data (HLL++ has no RNG), verified at
+# sf0.001/0.01/0.1 in tests/test_functions.py::test_q29_error_bounds.
+_Q29_HLL_BOUND = 0.15
+
+
 @register(
     "q29_approx_aggregates",
-    None,  # approx operators are excluded from hash-match (SURVEY §2.6)
+    f"""SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS exact_p50,
+               ROUND(CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS exact_price_p99,
+               TRUE AS orders_within_bound,
+               TRUE AS p50_within_bound,
+               TRUE AS p99_within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     doc="Approximate aggregates — the 100 TB substitutes for q04's "
         "COUNT DISTINCT and q24's exact percentiles: "
         "approx_count_distinct (HLL++, no expand) and percentile_approx "
-        "(fixed-size sketch, no sort). Rows-only checked; the exact "
-        "twins are the correctness anchors.",
+        "(fixed-size KLL-style sketch, no sort). Hash-matched via exact "
+        "anchors plus BOOLEAN error-bound checks: the Spark side proves "
+        "|HLL − exact| ≤ 3·rsd·exact and that each approx percentile "
+        "has an exact rank within q ± 2/accuracy (the sketch's "
+        "rank-error guarantee, verified in rank space by a second "
+        "pass with a 3-row broadcast join); the oracle asserts the "
+        "same booleans as TRUE. Raw sketch estimates stay rows-only in "
+        "tests/test_functions.py (engines' sketches differ; SURVEY §2.6).",
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
-    li = t(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("exact_p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("exact_price_p99"),
+        F.approx_count_distinct("l_orderkey").alias("_hll"),
+        F.percentile_approx("l_quantity", 0.5, _Q29_ACC).alias("_ap50"),
+        F.percentile_approx("l_extendedprice", 0.99, _Q29_ACC).alias("_ap99"),
+        F.count("*").alias("_n"),
+    )
+    # Second pass: the approx value's exact rank interval [lt/n, le/n]
+    # (lt = strictly-below count, le = at-or-below count). The value is a
+    # valid q-quantile within rank error eps iff that interval intersects
+    # [q - eps, q + eps]. One extra map-side scan; the join side is the
+    # 3-row (|returnflag|) aggregate — broadcast, never a shuffle.
+    ranks = (
+        li.join(F.broadcast(agg.select("l_returnflag", "_ap50", "_ap99")), "l_returnflag")
+        .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx("l_quantity", 0.5).alias("approx_p50"),
-            F.percentile_approx("l_extendedprice", 0.99).alias("approx_price_p99"),
+            F.sum((F.col("l_quantity") < F.col("_ap50")).cast("long")).alias("_lt50"),
+            F.sum((F.col("l_quantity") <= F.col("_ap50")).cast("long")).alias("_le50"),
+            F.sum((F.col("l_extendedprice") < F.col("_ap99")).cast("long")).alias("_lt99"),
+            F.sum((F.col("l_extendedprice") <= F.col("_ap99")).cast("long")).alias("_le99"),
+        )
+    )
+
+    def _rank_ok(lt: str, le: str, q: float):
+        n = F.col("_n").cast("double")
+        return (F.col(lt) / n <= F.lit(q + _Q29_EPS)) & (F.col(le) / n >= F.lit(q - _Q29_EPS))
+
+    hll_ok = (
+        F.abs(F.col("_hll") - F.col("exact_orders"))
+        <= F.col("exact_orders") * F.lit(_Q29_HLL_BOUND)
+    )
+    return (
+        agg.join(F.broadcast(ranks), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_p50",
+            "exact_price_p99",
+            hll_ok.alias("orders_within_bound"),
+            _rank_ok("_lt50", "_le50", 0.5).alias("p50_within_bound"),
+            _rank_ok("_lt99", "_le99", 0.99).alias("p99_within_bound"),
         )
         .orderBy("l_returnflag")
     )

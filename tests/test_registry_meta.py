@@ -19,7 +19,6 @@ def test_every_query_documented():
 def test_rows_only_entries_are_the_known_approximates():
     rows_only = sorted(n for n, s in REG.items() if s.oracle is None)
     assert rows_only == [
-        "q29_approx_aggregates",
         "q78_sketch_rollup",  # sketch estimates (error bound: test_sketches)
         "q79_bpe_merges",  # iterative induction (cross-impl check: test_bpe)
         "q80_bpe_encode",  # merge-table-derived (kernel check: test_bpe)
