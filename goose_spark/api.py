@@ -39,9 +39,11 @@ class LedgerAPI:
     console wants at 100 TB). Contract: the view has ONE writer (its
     maintenance stream); this API only APPENDS to the ledger, so a
     mutation (prioritise / replay / delete / purge) surfaces in
-    view-backed reads after the next micro-batch fold — point
-    read-your-own-writes flows at the derived backend, dashboards and
-    consoles at the view."""
+    view-backed reads after the next micro-batch fold. Mutations never
+    SELECT their victims from the view (``_mutation_state``): they
+    recompute from the ledger so repeated calls inside one fold
+    interval stay idempotent — dashboards and consoles at the view,
+    read-modify-write at the source of truth."""
 
     def __init__(self, spark: SparkSession, ledger: Ledger | str,
                  state_view=None):
@@ -54,6 +56,17 @@ class LedgerAPI:
             # manifest re-resolved per call (stateview.read's reader
             # contract) — never hold this frame across maintenance commits
             return self.state_view.read(self.spark)
+        return self.ledger.state(self.spark)
+
+    def _mutation_state(self) -> DataFrame:
+        """Victim selection for mutations (prioritise / replay / delete /
+        purge / pop) always recomputes from the LEDGER, bypassing the
+        view: the view lags by one fold interval, so picking victims
+        from it would let two ``replay_dead`` calls inside one interval
+        re-enqueue the same dead jobs twice, or ``prioritise_execution``
+        supersede a stale seq while a newer enqueued copy stays live.
+        Dashboards and consoles read the view; mutations read the
+        source of truth."""
         return self.ledger.state(self.spark)
 
     def state_as_of(self, seq: int | None = None, ts=None) -> DataFrame:
@@ -110,9 +123,12 @@ class LedgerAPI:
     # ---- Q7: top-k oldest dead --------------------------------------------
 
     def peek_dead(self, n: int = 1) -> list[dict]:
+        return self._oldest_dead(self.state(), n)
+
+    @staticmethod
+    def _oldest_dead(state: DataFrame, n: int) -> list[dict]:
         df = (
-            self.state()
-            .filter(F.col("status") == STATUS_DEAD)
+            state.filter(F.col("status") == STATUS_DEAD)
             .orderBy("died_at", "id")
             .limit(n)
         )
@@ -124,7 +140,7 @@ class LedgerAPI:
         """LREM+RPUSH / ZREM+RPUSH analog (commands.clj:145-164):
         re-emit as front-priority enqueued rows."""
         rows = (
-            self.state()
+            self._mutation_state()
             .filter(F.col("id").isin(job_ids) & F.col("status").isin(
                 STATUS_ENQUEUED, STATUS_SCHEDULED, STATUS_RETRYING))
             .collect()
@@ -152,7 +168,7 @@ class LedgerAPI:
         """Move n oldest dead jobs to the front of their ready queue
         (api/dead_jobs.clj:25-47)."""
         updates = []
-        for d in self.peek_dead(n):
+        for d in self._oldest_dead(self._mutation_state(), n):
             d.pop("seq", None)
             d.update(status=STATUS_ENQUEUED, priority=PRIORITY_FRONT,
                      died_at=None, run_at=None)
@@ -168,7 +184,7 @@ class LedgerAPI:
         state view AND record the ids in the deletion index so an
         undelivered enqueue row never executes. Returns jobs found."""
         rows = (
-            self.state()
+            self._mutation_state()
             .filter(F.col("id").isin(job_ids) & (F.col("status") != "deleted"))
             .collect()  # bounded by the explicit id list
         )
@@ -195,7 +211,7 @@ class LedgerAPI:
         if queue is not None:
             cond &= F.col("queue") == queue
         doomed = (
-            self.state()
+            self._mutation_state()
             .filter(cond)
             .withColumn("status", F.lit("deleted"))
             .withColumn(
@@ -213,7 +229,7 @@ class LedgerAPI:
     def pop_dead(self, n: int = 1) -> list[dict]:
         """ZPOPMIN analog (dead_jobs.clj:11-14): return + delete the n
         oldest dead jobs."""
-        jobs = self.peek_dead(n)
+        jobs = self._oldest_dead(self._mutation_state(), n)
         self.delete_jobs([j["id"] for j in jobs])
         return jobs
 
@@ -253,7 +269,7 @@ class LedgerAPI:
         from goose_spark.streaming.ledger import next_seq
 
         doomed = (
-            self.state()
+            self._mutation_state()
             .filter((F.col("status") == STATUS_DEAD) & (F.col("died_at") < F.lit(cutoff)))
             .withColumn("status", F.lit("deleted"))
             .withColumn(
@@ -315,7 +331,7 @@ class LedgerAPI:
 
     def delete_batch(self, batch_id: str) -> int:
         rows = (
-            self.state()
+            self._mutation_state()
             .filter(
                 (F.col("batch_id") == batch_id)
                 & F.col("status").isin(STATUS_ENQUEUED, STATUS_SCHEDULED, STATUS_RETRYING)

@@ -216,6 +216,44 @@ def test_console_api_runs_on_either_backend(spark, ledger, tmp_path):
     assert _state_tuples(view.read(spark)) == _state_tuples(ledger.state(spark))
 
 
+def test_mutations_bypass_lagging_view(spark, ledger, tmp_path):
+    """ADVICE r10 (medium): with state_view set, mutation methods must
+    pick victim rows from the LEDGER, not the view's lagging snapshot.
+    Two replay_dead calls within one fold interval must drain DIFFERENT
+    dead jobs (view-victim selection would re-enqueue the same two
+    twice); pop_dead after a delete must not return already-deleted
+    jobs; prioritise_execution must supersede the CURRENT seq."""
+    from goose_spark.api import LedgerAPI
+
+    view = MaterializedState(str(tmp_path / "view"))
+    ck = str(tmp_path / "ck")
+    ledger.append_rows(_rows([f"d{i}" for i in range(6)], "dead"))
+    ledger.append_rows(_rows(["e1", "e2"], "enqueued"))
+    _run_stream(spark, ledger, view, ck)
+    mat = LedgerAPI(spark, ledger, state_view=view)
+
+    # two replays, no fold in between: 2 + 2 distinct jobs, 2 left dead
+    assert mat.replay_dead(2) == 2
+    assert mat.replay_dead(2) == 2
+    derived = LedgerAPI(spark, ledger)
+    assert derived.size(status="dead") == 2
+    # all six ids exist exactly once in the ledger state (no dup enqueue)
+    st = ledger.state(spark)
+    ids = [r["id"] for r in st.filter(F.col("id").startswith("d")).collect()]
+    assert sorted(ids) == [f"d{i}" for i in range(6)]
+
+    # pop_dead twice within the same stale-view window: disjoint sets
+    first = {j["id"] for j in mat.pop_dead(1)}
+    second = {j["id"] for j in mat.pop_dead(1)}
+    assert first and second and first.isdisjoint(second)
+
+    # prioritise through the view-backed API supersedes the live seq:
+    # the job must not execute twice (exactly one live enqueued copy)
+    assert mat.prioritise_execution(["e1"]) == 1
+    live = derived.state().filter(F.col("id") == "e1").collect()
+    assert len(live) == 1 and live[0]["priority"] == 1  # PRIORITY_FRONT
+
+
 def test_retention_keeps_previous_version_for_one_commit(spark, ledger, tmp_path):
     """Delta-style retention: the files a commit replaces stay on disk
     (manifest `retired`) until the NEXT commit, so a reader holding the
