@@ -114,10 +114,13 @@ class IncrementalComponents:
         )
 
     @staticmethod
-    def _latest_for(lab_raw: DataFrame | None, docs: DataFrame) -> DataFrame:
+    def _latest_for(lab_raw: DataFrame | None, docs: DataFrame,
+                    n_docs: int | None = None) -> DataFrame:
         """Current (doc_id, cluster_id) for the given doc set ONLY:
         broadcast semi-join prunes the scan first, the latest-row window
-        runs over that bounded subset — never over the whole table."""
+        runs over that bounded subset — never over the whole table.
+        ``n_docs`` (an upper bound is fine) skips the guard's count job
+        when the caller already sized the doc set."""
         if lab_raw is None:
             return docs.sparkSession.createDataFrame(
                 [], "doc_id long, cluster_id long"
@@ -125,7 +128,8 @@ class IncrementalComponents:
         w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())
         return (
             lab_raw.join(
-                bounded_broadcast(docs.select("doc_id"), label="inc-cc batch ids"),
+                bounded_broadcast(docs.select("doc_id"), n_rows=n_docs,
+                                  label="inc-cc batch ids"),
                 "doc_id",
                 "left_semi",
             )
@@ -198,7 +202,9 @@ class IncrementalComponents:
                         new_bands.doc_id.alias("b_id"),
                     )
                     .distinct()
+                    .persist()  # reused: old-id probe + the verify join
                 )
+                pinned.append(cand)
                 old_sh = with_shingles(
                     self._read(spark, "corpus")
                     .join(
@@ -237,7 +243,10 @@ class IncrementalComponents:
                     .union(edges.select(F.col("b_id").alias("doc_id")))
                     .distinct()
                 )
-                ep_lab = self._latest_for(lab_raw, endpoints).persist()
+                # endpoint set ≤ 2·edges — a known upper bound, no count
+                ep_lab = self._latest_for(
+                    lab_raw, endpoints, n_docs=2 * n_edges
+                ).persist()
                 pinned.append(ep_lab)
                 la = ep_lab.select(
                     F.col("doc_id").alias("a_id"), F.col("cluster_id").alias("_la")
@@ -297,6 +306,7 @@ class IncrementalComponents:
                     lab_raw.join(
                         bounded_broadcast(
                             merge_map.select(F.col("_old").alias("cluster_id")),
+                            n_rows=n_merged,
                             label="inc-cc merge ids",
                         ),
                         "cluster_id",
@@ -304,11 +314,14 @@ class IncrementalComponents:
                     )
                     .select("doc_id")
                     .distinct()
-                )
+                    .persist()  # labels-table scan — share it between
+                )               # the guard's count and the semi-join
+                pinned.append(touched_docs)
                 relabel = (
                     self._latest_for(lab_raw, touched_docs)
                     .join(
-                        bounded_broadcast(merge_map, label="inc-cc merge_map"),
+                        bounded_broadcast(merge_map, n_rows=n_merged,
+                                          label="inc-cc merge_map"),
                         F.col("cluster_id") == F.col("_old"),
                     )
                     .select("doc_id", F.col("_new").alias("cluster_id"))

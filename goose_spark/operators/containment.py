@@ -42,6 +42,11 @@ from goose_spark.queries.base import register
 
 #: Rarest shingles each doc probes the inverted index with.
 K_PROBE = 3
+
+#: Width multiplier for the two array-heavy verify exchanges
+#: (VERIFY_PARTS × cores shuffle partitions) — the operator-scoped
+#: alternative to a global initialPartitionNum; see session.py NOTE.
+VERIFY_PARTS = 8
 #: Containment threshold (fraction of the inner doc inside the outer).
 CONTAIN_T = 0.8
 
@@ -126,11 +131,14 @@ def containment_pairs(docs_shingled: DataFrame, k_probe: int = K_PROBE,
     # candidate rows) the session's 32 static shuffle partitions put
     # GBs in one task and OOM the heap — and AQE only splits partitions
     # it flags as SKEWED, so uniform oversize keeps the static count.
-    # Size these two joins explicitly (8x cores); pre-partitioning on
-    # each join key means the join REUSES the distribution (no extra
-    # exchange), and a global initialPartitionNum — the config-level
-    # alternative — was measured to tax every iterative/cached plan.
-    verify_parts = 8 * docs_shingled.sparkSession.sparkContext.defaultParallelism
+    # Size these two joins explicitly (VERIFY_PARTS × cores);
+    # pre-partitioning on each join key means the join REUSES the
+    # distribution (no extra exchange), and a global initialPartitionNum
+    # — the config-level alternative — was measured to tax every
+    # iterative/cached plan.
+    verify_parts = (
+        VERIFY_PARTS * docs_shingled.sparkSession.sparkContext.defaultParallelism
+    )
     return (
         cand.repartition(verify_parts, "inner_id")
         .join(a, "inner_id")

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from goose_spark.plans.guards import EMBEDDING_ROW_CAP, bounded_broadcast
 from goose_spark.queries.base import register, t
 
 #: RRF smoothing constant (the SIGIR'09 default).
@@ -170,10 +171,10 @@ def ss13(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nd))
         .groupBy("query_id", "doc_id")
         .agg(
-            F.sum(
-                F.least("tfq", "tf")
-                * (F.col("nd").cast("long") / F.col("dfreq")).cast("long")
-            ).alias("lex_score")
+            # true integer floor division (`div`), matching the oracle's
+            # `//` exactly — double division + cast truncation only
+            # agrees while nd/dfreq stays inside double precision
+            F.sum(F.least("tfq", "tf") * F.expr("nd div dfreq")).alias("lex_score")
         )
     )
     wl = Window.partitionBy("query_id").orderBy(F.col("lex_score").desc(), "doc_id")
@@ -189,7 +190,8 @@ def ss13(spark: SparkSession, sf: str) -> DataFrame:
     )
     wv = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "doc_id")
     vec_r = (
-        F.broadcast(q)
+        bounded_broadcast(q, max_rows=EMBEDDING_ROW_CAP, n_rows=N_Q,
+                          label="ss13 queries")
         .crossJoin(emb)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("c"))

@@ -42,14 +42,21 @@ from pyspark.sql.window import Window
 
 from goose_spark.operators.dedup import _band_keys, _minhash_sig
 from goose_spark.operators.textlib import normalized_fingerprint, with_shingles
+from goose_spark.plans.guards import NARROW_ROW_CAP, bounded_broadcast
 
 #: Quality gate (tx3 buckets): accept medium+ docs.
 MIN_CHARS = 100
 #: Near-dup verify threshold (same as dd2).
 JACCARD_T = 0.5
+#: Broadcast-hint cap for every batch-bounded side in this module
+#: (round-10 directive #2: the micro-batch convention is enforced by
+#: ``plans.guards.bounded_broadcast``, not trusted — one oversized
+#: backfill batch degrades to a shuffle instead of OOM-ing executors).
+BROADCAST_CAP = NARROW_ROW_CAP
 
 
-def anti_join_history(batch: DataFrame, history: DataFrame, keys) -> DataFrame:
+def anti_join_history(batch: DataFrame, history: DataFrame, keys,
+                      n_batch_keys: int | None = None) -> DataFrame:
     """Drop batch rows whose key already exists in history, WITHOUT ever
     shuffling (or hash-building) the history side.
 
@@ -60,15 +67,30 @@ def anti_join_history(batch: DataFrame, history: DataFrame, keys) -> DataFrame:
     batch key set, semi-scan history once to find the ≤|batch| colliding
     keys, then anti-join the batch against that tiny hit set. History is
     read exactly once, map-side only — no exchange on the index.
+
+    Both broadcasts are guarded: an oversized batch (over
+    ``BROADCAST_CAP``) falls back to the planner's shuffle strategy.
+    Callers that already counted the batch pass ``n_batch_keys`` (an
+    upper bound on the distinct key count) to skip the guard's count
+    job.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     probe = batch.select(*keys).distinct()
     hits = (
         history.select(*keys)
-        .join(F.broadcast(probe), keys, "left_semi")
+        .join(
+            bounded_broadcast(probe, BROADCAST_CAP, n_rows=n_batch_keys,
+                              label="anti_join_history probe"),
+            keys, "left_semi",
+        )
         .distinct()
     )
-    return batch.join(F.broadcast(hits), keys, "left_anti")
+    # |hits| ≤ |probe|, so the same bound covers the hit set
+    return batch.join(
+        bounded_broadcast(hits, BROADCAST_CAP, n_rows=n_batch_keys,
+                          label="anti_join_history hits"),
+        keys, "left_anti",
+    )
 
 
 class _AtomicPublisher:
@@ -311,10 +333,17 @@ class CorpusIngest:
             if benchmark_grams is not None:
                 from goose_spark.operators.textlib import with_ngrams
 
+                # persist the gram set so the guard's count and the join
+                # share one materialization (eval suites are MBs, but the
+                # cap must not trust that — a caller handing a corpus-
+                # sized frame here degrades to a shuffle, not an OOM)
+                bg = benchmark_grams.select("g").distinct().persist()
+                pinned.append(bg)
                 hit = (
                     with_ngrams(passed.select("doc_id", "text"), decon_n)
                     .select("doc_id", F.explode("grams").alias("g"))
-                    .join(F.broadcast(benchmark_grams.select("g").distinct()),
+                    .join(bounded_broadcast(bg, BROADCAST_CAP,
+                                            label="benchmark grams"),
                           "g", "left_semi")
                     .select("doc_id")
                     .distinct()
@@ -330,7 +359,9 @@ class CorpusIngest:
             fp = fp.withColumn("_rn", w_first).filter(F.col("_rn") == 1).drop("_rn")
             idx = self._read(spark, "fingerprints")
             if idx is not None:
-                fp = anti_join_history(fp, idx, "fp")
+                # n_passed bounds the batch's distinct fps — skips the
+                # guard's count job
+                fp = anti_join_history(fp, idx, "fp", n_batch_keys=n_passed)
             fp = fp.persist()
             pinned.append(fp)
             exact_survivors = fp.count()
@@ -374,23 +405,33 @@ class CorpusIngest:
             if bands_idx is not None:
                 # Broadcast the batch's bands: the band index (rows ∝
                 # accepted corpus) is scanned map-side, never shuffled —
-                # the same inversion as anti_join_history.
+                # the same inversion as anti_join_history. new_bands is
+                # persisted, so the guard's count reads the cache.
                 cand = (
-                    bands_idx.join(F.broadcast(new_bands), ["band", "bkey"])
+                    bands_idx.join(
+                        bounded_broadcast(new_bands, BROADCAST_CAP,
+                                          label="batch bands"),
+                        ["band", "bkey"],
+                    )
                     .select(
                         new_bands.doc_id.alias("new_id"),
                         bands_idx.doc_id.alias("old_id"),
                     )
                     .distinct()
+                    .persist()  # reused: old-id probe + the verify join
                 )
+                pinned.append(cand)
                 # Candidate old-ids are bounded by band collisions —
-                # broadcast them so the corpus text scan stays map-side.
+                # broadcast them (guarded) so the corpus text scan stays
+                # map-side.
                 corpus_sh = with_shingles(
                     self.corpus(spark)
                     .select("doc_id", "text")
                     .join(
-                        F.broadcast(
-                            cand.select(F.col("old_id").alias("doc_id")).distinct()
+                        bounded_broadcast(
+                            cand.select(F.col("old_id").alias("doc_id")).distinct(),
+                            BROADCAST_CAP,
+                            label="candidate old ids",
                         ),
                         "doc_id",
                         "left_semi",

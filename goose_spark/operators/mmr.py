@@ -112,7 +112,8 @@ def _apply_mmr(cand: DataFrame, lam: float, top_k: int) -> DataFrame:
 
 
 def mmr_rerank(emb: DataFrame, queries: DataFrame, top_k: int = TOP_K,
-               cand_k: int = CAND_K, lam: float = MMR_LAMBDA) -> DataFrame:
+               cand_k: int = CAND_K, lam: float = MMR_LAMBDA,
+               n_queries: int | None = None) -> DataFrame:
     """``emb``: (vec_id, emb array<double>); ``queries``: (query_id, qe).
     Exact-cosine candidate stage (rank ≤ cand_k, WindowGroupLimit keeps
     the per-partition top below the shuffle), then the per-query MMR
@@ -123,7 +124,8 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, top_k: int = TOP_K,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     cand = (
-        bounded_broadcast(queries, max_rows=EMBEDDING_ROW_CAP, label='mmr queries')
+        bounded_broadcast(queries, max_rows=EMBEDDING_ROW_CAP, n_rows=n_queries,
+                          label='mmr queries')
         .crossJoin(emb)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"),
@@ -169,7 +171,7 @@ def ss9(spark: SparkSession, sf: str) -> DataFrame:
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
-    return mmr_rerank(v, q)
+    return mmr_rerank(v, q, n_queries=N_QUERIES)
 
 
 @register(

@@ -100,7 +100,8 @@ def ss1(spark: SparkSession, sf: str) -> DataFrame:
         _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
     )
     scored = (
-        bounded_broadcast(q, max_rows=EMBEDDING_ROW_CAP, label='ss1 queries')
+        bounded_broadcast(q, max_rows=EMBEDDING_ROW_CAP, n_rows=N_QUERIES,
+                          label='ss1 queries')
         .crossJoin(v)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
@@ -172,7 +173,8 @@ def ss2(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "band", "bkey"
     )
     cand = (
-        bounded_broadcast(q_bands, max_rows=4 * EMBEDDING_ROW_CAP, label='ss2 q_bands')
+        bounded_broadcast(q_bands, max_rows=4 * EMBEDDING_ROW_CAP,
+                          n_rows=N_QUERIES * N_SIG_BANDS, label='ss2 q_bands')
         .join(bands, ["band", "bkey"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -185,7 +187,8 @@ def ss2(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        cand.join(bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, label="qe"), "query_id")
+        cand.join(bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, n_rows=N_QUERIES,
+                                     label="qe"), "query_id")
         .join(ne, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
@@ -315,7 +318,8 @@ def ss3(spark: SparkSession, sf: str) -> DataFrame:
 
     q_probes = q.mapInPandas(probe, schema="query_id long, cluster int")
     cand = (
-        bounded_broadcast(q_probes, max_rows=8 * EMBEDDING_ROW_CAP, label='ss3 q_probes')
+        bounded_broadcast(q_probes, max_rows=8 * EMBEDDING_ROW_CAP,
+                          n_rows=N_QUERIES * IVF_NPROBE, label='ss3 q_probes')
         .join(assigned, "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -328,7 +332,8 @@ def ss3(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        cand.join(bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, label="qe"), "query_id")
+        cand.join(bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, n_rows=N_QUERIES,
+                                     label="qe"), "query_id")
         .join(ne, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))

@@ -51,7 +51,10 @@ def bounded_broadcast(
     at the cap, so an over-limit frame costs O(max_rows) scan, never a
     full count of an unbounded input. Callers that already know the
     cardinality (e.g. they counted the batch for other reasons) pass
-    ``n_rows`` and skip the job.
+    ``n_rows`` and skip the job; any UPPER BOUND is valid (it can only
+    make the guard more conservative). When the count is unknown and
+    the upstream stage is non-trivial, persist the frame first so the
+    count job and the real join share one materialization.
     """
     if n_rows is None:
         n_rows = df.limit(max_rows + 1).count()

@@ -72,12 +72,33 @@ def _coerce_log_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
     the unsafe float→int cast, the row-based fallback refuses the NaN
     object — found by the round-10 soak: one mixed retry/fresh batch
     kills the stream). Nullable extension dtypes carry exact ints +
-    real nulls through Arrow."""
-    for name, dtype in (("priority", "Int32"), ("retry_count", "Int32"),
-                        ("max_retries", "Int32"), ("seq", "Int64")):
+    real nulls through Arrow. The coercion list is DERIVED from the
+    integer-typed fields of the log schema, so a new nullable int
+    column added to JOB_SCHEMA later is covered automatically."""
+    for name, dtype in _int_log_fields():
         if name in pdf.columns and pdf[name].dtype.kind == "f":
             pdf = pdf.assign(**{name: pd.array(pdf[name], dtype=dtype)})
     return pdf
+
+
+def _int_log_fields() -> tuple[tuple[str, str], ...]:
+    """(column, pandas nullable dtype) for every integer field of the
+    ledger log schema — cached, it never changes within a process."""
+    global _INT_LOG_FIELDS
+    if _INT_LOG_FIELDS is None:
+        from pyspark.sql import types as T
+
+        from goose_spark.streaming.ledger import Ledger
+
+        _INT_LOG_FIELDS = tuple(
+            (f.name, "Int64" if isinstance(f.dataType, T.LongType) else "Int32")
+            for f in Ledger._spark_log_schema().fields
+            if isinstance(f.dataType, (T.IntegerType, T.LongType))
+        )
+    return _INT_LOG_FIELDS
+
+
+_INT_LOG_FIELDS: tuple[tuple[str, str], ...] | None = None
 
 
 def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,

@@ -106,3 +106,49 @@ def test_over_cap_via_count_or_hint(spark, n_rows):
     df = spark.range(7)
     out = bounded_broadcast(df, max_rows=5, n_rows=n_rows)
     assert out is df
+
+
+def test_oversized_ingest_batch_degrades_to_shuffle(spark, tmp_path, monkeypatch):
+    """Round-10 directive #2: the corpus-ingest hint sites (probe/hits
+    anti-join, benchmark-gram decontamination, against-history band join,
+    candidate old-ids) are guarded — an ingest batch over the cap makes
+    every broadcast degrade to the planner's strategy with IDENTICAL
+    accept/reject decisions."""
+    import goose_spark.operators.ingest as ing
+    from goose_spark.operators.ingest import CorpusIngest
+
+    base = (
+        "The quick brown fox jumps over the lazy dog while the band plays "
+        "on and every sentence here is long enough to clear the gate"
+    )
+    history = [(i, f"{base} variant {i} with unique trailing tokens {i}")
+               for i in range(3)]
+    batch = (
+        [(10, history[0][1])]                       # exact dup of history
+        + [(11, history[1][1] + " tiny extra tail clause")]  # near dup
+        + [(12 + i, f"Entirely new document number {i} about columnar "
+                    f"scans predicate pushdown and immutable parquet files "
+                    f"plus unique token {i}") for i in range(4)]
+    )
+    grams = spark.createDataFrame(
+        [("number 3 about columnar",)], "g string"  # 4-token, lowercased —
+        # unique to batch doc 15, so exactly one contamination reject
+    )
+
+    def run(root, cap):
+        monkeypatch.setattr(ing, "BROADCAST_CAP", cap)
+        st = CorpusIngest(str(tmp_path / root))
+        st.ingest_batch(spark, spark.createDataFrame(history, "doc_id long, text string"))
+        stats = st.ingest_batch(
+            spark,
+            spark.createDataFrame(batch, "doc_id long, text string"),
+            benchmark_grams=grams,
+        )
+        ids = sorted(r["doc_id"] for r in st.corpus(spark).collect())
+        return stats, ids
+
+    want_stats, want_ids = run("normal", ing.BROADCAST_CAP)
+    got_stats, got_ids = run("tiny", 1)  # every guarded side over the cap
+    assert got_stats == want_stats
+    assert got_ids == want_ids
+    assert want_stats["exact_dups"] == 1 and want_stats["contaminated"] >= 1
