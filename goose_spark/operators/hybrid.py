@@ -147,10 +147,36 @@ def rrf_fuse(lex_r: DataFrame, vec_r: DataFrame, k: int = RRF_K,
     tags=("llm", "similarity", "text"),
 )
 def ss13(spark: SparkSession, sf: str) -> DataFrame:
-    from goose_spark.operators.similarity import _embeddings, _dot
+    from goose_spark.operators.similarity import _dot, _embeddings
 
     emb = _embeddings(spark, sf)
     nv = emb.count()  # bounded: id-space size of the vector corpus
+    lex_r = _lexical_ranks(spark, sf, nv)
+
+    q = emb.filter(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    cos = _dot(F.col("qe"), F.col("emb")) / F.sqrt(
+        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "doc_id")
+    vec_r = (
+        bounded_broadcast(q, max_rows=EMBEDDING_ROW_CAP, n_rows=N_Q,
+                          label="ss13 queries")
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("c"))
+        .withColumn("r_vec", F.row_number().over(wv))
+        .drop("c")
+    )
+    return rrf_fuse(lex_r, vec_r)
+
+
+def _lexical_ranks(spark: SparkSession, sf: str, nv: int) -> DataFrame:
+    """The sparse half both hybrid forms share: rarity-weighted integer
+    token overlap over the inverted token index → (query_id, doc_id,
+    r_lex). Posting-list joins keyed on token, one (query, doc)
+    hash-agg — never doc×doc text comparison."""
     d = t(spark, sf, "documents").filter(F.col("doc_id") < nv)
 
     toks = (
@@ -178,24 +204,41 @@ def ss13(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     wl = Window.partitionBy("query_id").orderBy(F.col("lex_score").desc(), "doc_id")
-    lex_r = lex.select(
+    return lex.select(
         "query_id", "doc_id", F.row_number().over(wl).alias("r_lex")
     )
 
+
+@register(
+    "ss14_hybrid_indexed",
+    None,  # approximate (probed-cell dense ranks) — rows-only; fusion
+    # parity vs the exact ss13 pinned in tests/test_hybrid.py
+    doc=f"Hybrid retrieval SERVED FROM THE PERSISTED IVF INDEX — the "
+        f"ss13→ss14 move mirrors ss9→ss12 (MMR): the dense ranks come "
+        f"from the ss5 partition-pruned probed-cell read "
+        f"(ivf_index_query, top-{RRF_C}), so a query batch opens "
+        f"nprobe/k of the corpus instead of a corpus-wide cosine scan; "
+        f"the lexical posting-list half and the rank-only RRF fusion "
+        f"are byte-identical to ss13. This is the RAG serving "
+        f"composition at 100 TB; ss13 is its exact cross-check "
+        f"(fusion-parity ≥ 0.9 overlap pinned in tests/test_hybrid.py).",
+    tags=("llm", "similarity", "text"),
+)
+def ss14(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.annindex import ivf_index_query
+    from goose_spark.operators.similarity import _embeddings, ivf_index_for
+
+    emb = _embeddings(spark, sf)
+    nv = emb.count()
+    lex_r = _lexical_ranks(spark, sf, nv)
+
+    idx = ivf_index_for(spark, sf)
     q = emb.filter(F.col("vec_id") < N_Q).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
-    cos = _dot(F.col("qe"), F.col("emb")) / F.sqrt(
-        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
-    )
-    wv = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "doc_id")
-    vec_r = (
-        bounded_broadcast(q, max_rows=EMBEDDING_ROW_CAP, n_rows=N_Q,
-                          label="ss13 queries")
-        .crossJoin(emb)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("c"))
-        .withColumn("r_vec", F.row_number().over(wv))
-        .drop("c")
+    vec_r = ivf_index_query(spark, idx, q, topk=RRF_C).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
     )
     return rrf_fuse(lex_r, vec_r)
