@@ -28,7 +28,10 @@ def main() -> None:
     from goose_spark.queries import load_all
     from goose_spark.session import get_spark
 
-    spark = get_spark("gosling-bench")
+    # console_progress=False: the compact JSON line on stdout is the
+    # driver's bench channel; progress-bar escape codes on stderr were
+    # ~90% of BENCH_r10's captured tail — make the channel robust.
+    spark = get_spark("gosling-bench", console_progress=False)
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 

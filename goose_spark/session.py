@@ -32,18 +32,24 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
 
 
-def get_spark(app_name: str = "gosling", cpus: int | None = None) -> SparkSession:
+def get_spark(app_name: str = "gosling", cpus: int | None = None,
+              console_progress: bool = True) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for the engine.
 
     At 100 TB these settings translate directly: AQE handles skewed keys
     and post-shuffle coalescing, the 64 MB broadcast threshold keeps
     region/nation/part-class dims out of the shuffle, and
     ``maxPartitionBytes`` bounds scan-task memory.
+
+    ``console_progress=False`` suppresses Spark's stderr progress bars —
+    bench.py uses it so the driver's ~2 kB output-tail capture can never
+    be crowded out by escape codes (BENCH_r10's tail was ~90% bars).
     """
     n = cpus or default_cpus()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
+        .config("spark.ui.showConsoleProgress", str(console_progress).lower())
         # -- optimizer / runtime ------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         # local mode has ONE locality domain — any nonzero locality wait
