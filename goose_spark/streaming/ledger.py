@@ -74,6 +74,55 @@ def next_seq() -> int:
     return time.time_ns() + next(_seq_tiebreak)
 
 
+def _stream_committed_files(checkpoint: str) -> set[str] | None:
+    """Basenames of every source file a streaming query has COMMITTED
+    (its exactly-once horizon): union of the checkpoint's source
+    file-log entries for batch ids ≤ the last id present in commits/.
+    Returns None when the checkpoint has no committed batch yet.
+
+    This reads Spark's streaming-checkpoint layout
+    (``sources/0/<batchId>`` JSON-lines of {"path": ...},
+    ``commits/<batchId>``) — the same metadata the source itself replays
+    on restart, so a file listed here is durably part of a finished
+    micro-batch and safe to fold out of the directory."""
+    import json as _json
+    from urllib.parse import unquote, urlparse
+
+    commits = os.path.join(checkpoint, "commits")
+    sources = os.path.join(checkpoint, "sources", "0")
+    try:
+        done = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    except OSError:
+        return None
+    if not done:
+        return None
+    last = max(done)
+    out: set[str] = set()
+    try:
+        # Spark periodically folds its own source log into `<id>.compact`
+        # files (fileSource.log.compactInterval) — read those too
+        batch_files = [
+            f for f in os.listdir(sources)
+            if f.isdigit() or (f.endswith(".compact") and f.split(".")[0].isdigit())
+        ]
+    except OSError:
+        return None
+    for f in batch_files:
+        if int(f.split(".")[0]) > last:
+            continue
+        try:
+            with open(os.path.join(sources, f)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue  # the "v1" version header
+                    p = _json.loads(line).get("path", "")
+                    out.add(os.path.basename(unquote(urlparse(p).path)))
+        except (OSError, ValueError):
+            return None  # torn/unreadable source log — fold nothing
+    return out
+
+
 class Ledger:
     def __init__(self, root: str):
         self.root = root
@@ -188,6 +237,23 @@ class Ledger:
                 continue
             if os.path.isdir(os.path.join(self.root, staging)):
                 self._apply_manifest(manifest)
+                continue
+            # staging gone but the manifest's deletes still pending: a
+            # crash AFTER every rename landed but BEFORE the delete loop
+            # finished (the _AtomicPublisher precedent — log file names
+            # are uuid-unique, so "delete target still present" always
+            # means pending work, never a re-created file). Finish the
+            # deletes ONLY when every published dst is in place;
+            # otherwise deleting the originals would turn a recoverable
+            # torn commit into data loss.
+            deletes = manifest.get("deletes", [])
+            if deletes and any(
+                os.path.exists(os.path.join(self.log_dir, d)) for d in deletes
+            ) and all(
+                os.path.exists(os.path.join(self.log_dir, e["dst"]))
+                for e in manifest.get("files", [])
+            ):
+                self._apply_manifest(manifest)
 
     def _sweep_stale_staging(self, max_age_sec: int = 3600) -> None:
         """Remove orphaned `.staging-*` / `.compact-*` dirs left by a
@@ -277,12 +343,23 @@ class Ledger:
     # ---- Spark-side reads -------------------------------------------------
 
     def log(self, spark: SparkSession) -> DataFrame:
+        # batch readers see raw micro-batch files AND gen-* generations
+        # (compact_log moves rows between the two; each row lives in
+        # exactly one once the fold's deletes land)
         return spark.read.schema(self._spark_log_schema()).parquet(self.log_dir)
 
     def log_stream(self, spark: SparkSession) -> DataFrame:
+        # pathGlobFilter excludes compact_log's gen-* generations: every
+        # raw append is digit-leading ({seq}-{uuid}.parquet), so the
+        # stream consumes exactly the files generations are folded FROM —
+        # a fold is invisible to the source (the folded files were
+        # already committed in its checkpoint; the generation never
+        # matches the glob), which is what keeps the per-trigger listing
+        # cost bounded instead of growing with ledger age.
         return (
             spark.readStream.schema(self._spark_log_schema())
             .option("maxFilesPerTrigger", 512)
+            .option("pathGlobFilter", "[0-9]*.parquet")
             .parquet(self.log_dir)
         )
 
@@ -523,6 +600,87 @@ class Ledger:
             "files_before": before,
             "rows_after": rows_after,
             "expired_batches": len(expired),
+        }
+
+    # ---- live log-file compaction (generational fold) ----------------------
+
+    def compact_log(self, spark: SparkSession, checkpoints: list[str],
+                    min_files: int = 64, keep_recent: int = 8,
+                    target_files: int = 1) -> dict:
+        """Fold raw micro-batch log files into larger ``gen-*`` parquet
+        generations WHILE consumers run — the OPTIMIZE the corpus store
+        already has (``CorpusIngest.compact``), applied to the job
+        ledger. Rationale (SCALE.md §soak): a file-source stream re-lists
+        the log directory every trigger, so per-trigger cost grows with
+        the ledger's lifetime file count; the fold keeps the directory at
+        O(generations + recent files) forever.
+
+        Transparent to every stream whose checkpoint is passed in
+        ``checkpoints``: only files recorded as COMMITTED by ALL of them
+        are folded (read from the checkpoint's source file-log up to its
+        last committed batch), the generation file name (``gen-…``) never
+        matches ``log_stream``'s ``[0-9]*.parquet`` glob, and rows keep
+        their original seqs, so batch reads (`log`/`state`/`state_as_of`)
+        and the time-travel floor are unchanged. A stream NOT listed here
+        (or one restarted with a FRESH checkpoint) must bootstrap from
+        the batch read — same contract as ``compaction_floor``.
+
+        Crash-safe under the existing manifest protocol: generation
+        publish + raw-file deletes are one commit; a crash in between
+        leaves duplicate (id, seq) rows that the max-seq state view
+        collapses and the next Ledger open's roll-forward removes.
+        Always leaves the ``keep_recent`` newest raw files unfolded.
+        Returns fold stats; a no-op (too few eligible files) reports
+        ``folded: 0``.
+        """
+        raw = sorted(
+            f for f in os.listdir(self.log_dir)
+            if f.endswith(".parquet") and not f.startswith("gen-")
+            and not f.startswith(".")
+        )
+        eligible = set(raw[:-keep_recent] if keep_recent else raw)
+        for ck in checkpoints:
+            committed = _stream_committed_files(ck)
+            if committed is None:  # stream has no commits yet — fold nothing
+                return {"files": len(raw), "folded": 0, "generations": 0}
+            eligible &= committed
+        cand = sorted(eligible)
+        if len(cand) < min_files:
+            return {"files": len(raw), "folded": 0, "generations": 0}
+
+        df = spark.read.schema(self._spark_log_schema()).parquet(
+            *[os.path.join(self.log_dir, f) for f in cand]
+        ).coalesce(target_files)
+        staging = os.path.join(self.root, f".compact-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        import shutil as _shutil
+
+        try:
+            base = next_seq()
+            entries: list[dict] = []
+            rows = 0
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                n = pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+                if n == 0:
+                    continue
+                rows += n
+                entries.append(
+                    {"src": f, "dst": f"gen-{base}-{len(entries)}.parquet", "rows": n}
+                )
+            self._write_manifest(base, staging, entries, deletes=cand)
+            self._apply_manifest(
+                {"staging": os.path.basename(staging), "files": entries,
+                 "deletes": cand}
+            )
+        finally:
+            _shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "files": len(raw),
+            "folded": len(cand),
+            "generations": len(entries),
+            "rows": rows,
         }
 
     # ---- deletion tombstone index -----------------------------------------

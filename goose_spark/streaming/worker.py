@@ -361,7 +361,9 @@ class Worker:
             if sleep_sec:
                 _t.sleep(sleep_sec)
 
-    def start(self, trigger_sec: float = 0.25):
+    def start(self, trigger_sec: float = 0.25,
+              compact_log_every_sec: float | None = None,
+              compact_checkpoints: list[str] | None = None):
         """Continuous mode: a long-running streaming query (processingTime
         trigger) plus a driver-side timer thread for the scheduler/cron
         sweeps — the engine's shape of goose's N-threads-plus-scheduler
@@ -372,8 +374,16 @@ class Worker:
         Default trigger 0.25 s per the measured curve in BASELINE.md
         § trigger-interval: per-batch fixed cost floors latency, so the
         smallest practical trigger wins p50/p99 with no throughput
-        penalty (batch size self-adjusts under load)."""
+        penalty (batch size self-adjusts under load).
+
+        ``compact_log_every_sec`` turns on the periodic generational log
+        fold (``Ledger.compact_log``) from the timer thread — the knob
+        that keeps per-trigger file-listing cost flat over a long run
+        (SCALE.md §soak). ``compact_checkpoints`` lists EVERY streaming
+        checkpoint reading this ledger's log (the fold only touches
+        files committed by all of them); defaults to this worker's own."""
         import threading
+        import time as _t
 
         stream = self.ledger.log_stream(self.spark)
         query = (
@@ -385,11 +395,24 @@ class Worker:
         stop_flag = threading.Event()
 
         def ticker():
+            last_fold = _t.monotonic()
             while not stop_flag.wait(trigger_sec):
                 try:
                     self.tick()
                 except Exception:  # noqa: BLE001 — keep the timer alive
                     pass
+                if (
+                    compact_log_every_sec
+                    and _t.monotonic() - last_fold >= compact_log_every_sec
+                ):
+                    last_fold = _t.monotonic()
+                    try:
+                        self.ledger.compact_log(
+                            self.spark,
+                            compact_checkpoints or [self.checkpoint_dir],
+                        )
+                    except Exception:  # noqa: BLE001 — fold is best-effort
+                        pass
 
         thread = threading.Thread(target=ticker, daemon=True)
         thread.start()

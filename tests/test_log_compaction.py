@@ -1,0 +1,234 @@
+"""Generational ledger-log compaction (round-10 directive #5): fold
+stream-committed micro-batch files into gen-* generations WHILE
+consumers run — bounded per-trigger listing cost, zero behavior change.
+Transparency standard modeled on test_components_inc's corpus-store
+compaction tests."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from goose_spark.client import JobClient
+from goose_spark.functions.registry import reset_flaky
+from goose_spark.streaming.ledger import Ledger, _stream_committed_files
+from goose_spark.streaming.worker import Worker
+
+
+@pytest.fixture(autouse=True)
+def _reset_flaky():
+    reset_flaky()
+
+
+@pytest.fixture()
+def ledger(tmp_path):
+    return Ledger(str(tmp_path / "ledger"))
+
+
+def _raw_files(ledger):
+    return sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(ledger.log_dir, "*.parquet"))
+        if not os.path.basename(f).startswith("gen-")
+    )
+
+
+def _gen_files(ledger):
+    return sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(ledger.log_dir, "gen-*.parquet"))
+    )
+
+
+def test_fold_is_transparent_to_running_worker(spark, ledger):
+    """Fold after a worker pass: no re-execution on the same checkpoint,
+    state identical before/after, new appends still consumed — the
+    stream never notices the fold."""
+    client = JobClient(ledger)
+    for i in range(30):  # 30 separate appends → 30 raw log files
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    assert worker.executions == 30
+
+    before_state = sorted(
+        (r["id"], r["status"], r["seq"]) for r in ledger.state(spark).collect()
+    )
+    n_raw_before = len(_raw_files(ledger))
+    stats = ledger.compact_log(
+        spark, [worker.checkpoint_dir], min_files=10, keep_recent=4
+    )
+    assert stats["folded"] >= 10 and stats["generations"] >= 1
+    assert len(_gen_files(ledger)) == stats["generations"]
+    assert len(_raw_files(ledger)) == n_raw_before - stats["folded"]
+
+    # batch read: every row exactly once, same state
+    after_state = sorted(
+        (r["id"], r["status"], r["seq"]) for r in ledger.state(spark).collect()
+    )
+    assert after_state == before_state
+    log = ledger.log(spark)
+    assert log.count() == log.select("id", "seq").distinct().count()  # no dups
+
+    # stream: same checkpoint keeps working; the fold triggers NO
+    # re-execution and new jobs flow through
+    worker.process_available()
+    assert worker.executions == 30  # nothing re-executed
+    client.perform_async("noop", 999)
+    worker.process_available()
+    assert worker.executions == 31
+
+
+def test_fold_touches_only_committed_files(spark, ledger):
+    """Files appended AFTER the stream's last commit are never folded —
+    they must reach the worker as ordinary new input."""
+    client = JobClient(ledger)
+    for i in range(20):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+
+    for i in range(5):  # uncommitted tail
+        client.perform_async("noop", 100 + i)
+    uncommitted = set(_raw_files(ledger)) - (
+        _stream_committed_files(worker.checkpoint_dir) or set()
+    )
+    assert len(uncommitted) >= 5
+
+    ledger.compact_log(spark, [worker.checkpoint_dir], min_files=5, keep_recent=0)
+    assert uncommitted <= set(_raw_files(ledger))  # tail untouched
+    worker.process_available()
+    assert worker.executions == 25  # the tail executed exactly once
+
+
+def test_fold_respects_every_listed_checkpoint(spark, ledger, tmp_path):
+    """With a second (lagging) consumer listed, only the INTERSECTION of
+    committed files folds — a view stream that hasn't folded a file yet
+    keeps it on disk."""
+    from goose_spark.streaming.stateview import MaterializedState
+
+    client = JobClient(ledger)
+    for i in range(12):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+
+    # view stream commits the first 12 files
+    view = MaterializedState(str(tmp_path / "view"))
+    view_ck = str(tmp_path / "view-ck")
+    view.attach_stream(ledger.log_stream(spark), view_ck).awaitTermination()
+
+    # worker consumes MORE than the view has seen
+    for i in range(12, 24):
+        client.perform_async("noop", i)
+    worker.process_available()
+
+    view_committed = _stream_committed_files(view_ck)
+    before = set(_raw_files(ledger))
+    not_view_committed = {f for f in before if f not in view_committed}
+    assert not_view_committed  # precondition: the view genuinely lags
+
+    stats = ledger.compact_log(spark, [worker.checkpoint_dir, view_ck],
+                               min_files=1, keep_recent=0)
+    assert stats["folded"] > 0
+    # nothing the view hasn't committed was folded away
+    assert not_view_committed <= set(_raw_files(ledger))
+    # the lagging view catches up losslessly and equals the ledger state
+    view.attach_stream(ledger.log_stream(spark), view_ck).awaitTermination()
+    vt = sorted((r["id"], r["status"], r["seq"]) for r in view.read(spark).collect())
+    lt = sorted((r["id"], r["status"], r["seq"]) for r in ledger.state(spark).collect())
+    assert vt == lt
+
+
+def test_time_travel_survives_fold(spark, ledger):
+    """Generations keep original seqs: state_as_of a pre-fold cursor
+    returns the pre-fold answer after the fold."""
+    client = JobClient(ledger)
+    for i in range(10):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    cursor = ledger.mark()
+    want = sorted(
+        (r["id"], r["status"]) for r in ledger.state_as_of(spark, seq=cursor).collect()
+    )
+
+    client.perform_async("noop", 99)
+    worker.process_available()
+    ledger.compact_log(spark, [worker.checkpoint_dir], min_files=1, keep_recent=0)
+    assert len(_gen_files(ledger)) >= 1
+    got = sorted(
+        (r["id"], r["status"]) for r in ledger.state_as_of(spark, seq=cursor).collect()
+    )
+    assert got == want
+
+
+def test_torn_fold_finishes_deletes_on_reopen(spark, ledger, monkeypatch):
+    """Crash between generation publish and raw-file deletes: the next
+    Ledger open rolls the manifest forward (deletes finish), leaving
+    every (id, seq) exactly once — even though the staging dir is gone
+    (the delete-pending recovery path)."""
+    client = JobClient(ledger)
+    for i in range(8):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+
+    real_apply = Ledger._apply_manifest
+
+    def renames_only(self, manifest):
+        # simulate the crash: renames land, deletes don't
+        crippled = dict(manifest, deletes=[])
+        return real_apply(self, crippled)
+
+    monkeypatch.setattr(Ledger, "_apply_manifest", renames_only)
+    stats = ledger.compact_log(spark, [worker.checkpoint_dir],
+                               min_files=1, keep_recent=0)
+    monkeypatch.undo()
+    assert stats["folded"] > 0
+    # duplicates visible now (torn window): gen rows + undeleted raws
+    dup = ledger.log(spark).count() - ledger.log(spark).select("id", "seq").distinct().count()
+    assert dup > 0
+    # ... but the state view already collapses them
+    assert ledger.state(spark).count() == 8
+
+    reopened = Ledger(ledger.root)  # roll-forward runs in __init__
+    log = reopened.log(spark)
+    assert log.count() == log.select("id", "seq").distinct().count()
+    assert reopened.state(spark).count() == 8
+
+
+def test_fold_noop_below_min_files(spark, ledger):
+    client = JobClient(ledger)
+    for i in range(3):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+    stats = ledger.compact_log(spark, [worker.checkpoint_dir],
+                               min_files=1000, keep_recent=0)
+    assert stats["folded"] == 0 and not _gen_files(ledger)
+
+
+def test_committed_files_reader_handles_sparks_own_log_compaction(spark, ledger):
+    """Drive enough micro-batches that Spark folds its source metadata
+    into <id>.compact; _stream_committed_files must still see the early
+    files (they only exist inside the .compact entry after that)."""
+    client = JobClient(ledger)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    for i in range(12):  # > fileSource.log.compactInterval (10)
+        client.perform_async("noop", i)
+        worker.process_available()
+    sources = os.path.join(worker.checkpoint_dir, "sources", "0")
+    assert any(f.endswith(".compact") for f in os.listdir(sources)), (
+        "precondition: Spark compacted its source log"
+    )
+    committed = _stream_committed_files(worker.checkpoint_dir)
+    raw = set(_raw_files(ledger))
+    # every raw file was consumed (12 passes over 12 single appends +
+    # outcome rows of earlier passes) except at most the final pass's
+    # own outcome append
+    missing = raw - committed
+    assert len(missing) <= 1, sorted(missing)
