@@ -1,24 +1,30 @@
-"""Streaming-core soak (round-9 directive #7): sustained
-continuous-trigger run with steady offered load and every stateful
-subsystem attached — cron tick, retries, dead-lettering, batch
-callbacks, scheduler due-sweep, and materialized-state-view
-maintenance — sampling RSS and on-disk state growth over time.
+"""Streaming-core soak (round-9 directive #7; extended for round-11
+directives #4/#5): sustained continuous-trigger run with steady offered
+load and every stateful subsystem attached — cron tick, retries,
+dead-lettering, batch callbacks, scheduler due-sweep, materialized-
+state-view maintenance, and (new) the periodic generational log fold.
 
-What "passes" means: after the warm-up samples, RSS and
-checkpoint-bytes curves are FLAT (checkpoint offsets/commits grow by
-O(1) small files per trigger and are compacted by Spark; the ledger
-log grows linearly with offered load BY DESIGN — it is the append-only
-history, compaction is a separate retention job). A leak shows up as a
-superlinear RSS slope or unbounded checkpoint growth.
+What "passes" means: after the warm-up samples, RSS / checkpoint-bytes /
+per-trigger source-listing time are FLAT and the worker LAG (enqueued +
+retrying backlog) is bounded at the offered rate. Round 10 ran 50
+jobs/s and proved leak-freedom; round 11 runs 500–1000 jobs/s (the
+measured steady-state capacity of the 0.25 s trigger, BASELINE.md
+curve) and additionally measures backlog-recovery time after an induced
+worker stall.
 
-Usage: python3 tools/soak.py [duration_sec] [jobs_per_sec] [--out FILE]
-Defaults: 1800 s, 50 jobs/s (≈90k jobs over the soak). Prints one
-markdown sample row per interval; writes the raw samples as JSONL.
-Run on an idle host (bench-isolation rule).
+Usage:
+  python3 tools/soak.py [duration_sec] [jobs_per_sec] [--out FILE]
+                        [--stall-sec N] [--compact-every N]
+Defaults: 1800 s, 50 jobs/s, no stall, fold every 60 s (0 disables).
+The stall (when requested) stops the worker gracefully at the midpoint
+for N seconds while the producer keeps enqueueing, then restarts it on
+the same checkpoint and reports seconds until the backlog returns to
+its pre-stall level. Run on an idle host (bench-isolation rule).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -77,12 +83,35 @@ def du_mb(path: str) -> float:
     return total / 1e6
 
 
+def _listing_ms(handle) -> float | None:
+    """Per-trigger source cost from the streaming query's own progress:
+    latestOffset duration is where the file source pays its directory
+    listing (the metric round 10's soak saw growing with file count)."""
+    try:
+        p = handle.streaming_query.lastProgress
+        if not p:
+            return None
+        d = p.get("durationMs", {})
+        return float(d.get("latestOffset", 0)) + float(d.get("getBatch", 0))
+    except Exception:  # noqa: BLE001 — metric only, never kill the soak
+        return None
+
+
 def main() -> None:
-    duration = int(sys.argv[1]) if len(sys.argv) > 1 else 1800
-    rate = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    duration = int(args[0]) if len(args) > 0 else 1800
+    rate = int(args[1]) if len(args) > 1 else 50
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    stall_sec = (
+        int(sys.argv[sys.argv.index("--stall-sec") + 1])
+        if "--stall-sec" in sys.argv else 0
+    )
+    compact_every = (
+        int(sys.argv[sys.argv.index("--compact-every") + 1])
+        if "--compact-every" in sys.argv else 60
+    )
 
     from goose_spark.api import LedgerAPI
     from goose_spark.client import JobClient
@@ -91,21 +120,33 @@ def main() -> None:
     from goose_spark.streaming.worker import Worker
 
     root = tempfile.mkdtemp(prefix="goose-soak-")
-    spark = get_spark("gosling-soak")
+    spark = get_spark("gosling-soak", console_progress=False)
     spark.sparkContext.setLogLevel("ERROR")
 
     client = JobClient(root)
     # cron fires every minute for the whole soak
     client.perform_every("soak-cron", "* * * * *", "noop", 0)
-    worker = Worker(spark, root, retry_delay_fn=lambda n: 3)
-    handle = worker.start(trigger_sec=0.5)
     view = MaterializedState(os.path.join(root, "state-view"))
     view_ck = os.path.join(root, "view-checkpoint")
-    ledger = worker.ledger
 
-    print(f"# soak: {duration}s at {rate} jobs/s, ledger={root}")
-    print("| t_min | rss_mb | ckpt_mb | view_mb | log_mb | enq | done |")
-    print("|---|---|---|---|---|---|---|", flush=True)
+    def start_worker():
+        w = Worker(spark, root, retry_delay_fn=lambda n: 3)
+        h = w.start(
+            trigger_sec=0.25,
+            compact_log_every_sec=compact_every or None,
+            compact_checkpoints=[w.checkpoint_dir, view_ck],
+        )
+        return w, h
+
+    worker, handle = start_worker()
+    ledger = worker.ledger
+    log_dir = os.path.join(root, "log")
+
+    print(f"# soak: {duration}s at {rate} jobs/s, stall={stall_sec}s, "
+          f"fold-every={compact_every}s, ledger={root}")
+    print("| t_min | rss_mb | ckpt_mb | view_mb | log_mb | log_files "
+          "| list_ms | lag | enq | done |")
+    print("|---|---|---|---|---|---|---|---|---|---|", flush=True)
 
     samples = []
     start = time.time()
@@ -114,6 +155,8 @@ def main() -> None:
     last_sample = start
     last_view_fold = start
     api = LedgerAPI(spark, root)
+    stall_at = start + duration / 2 if stall_sec else None
+    stall_info: dict = {}
     try:
         while time.time() - start < duration:
             sec_start = time.time()
@@ -148,6 +191,48 @@ def main() -> None:
                 enq += 1
 
             now = time.time()
+
+            # ---- induced stall: stop consuming, keep producing --------
+            if stall_at and now >= stall_at:
+                counts = api.dashboard_counts()
+                pre_lag = counts.get("enqueued", 0) + counts.get("retrying", 0)
+                print(f"# stall: stopping worker for {stall_sec}s "
+                      f"(pre-stall lag {pre_lag})", flush=True)
+                handle.stop()
+                stall_start = time.time()
+                while time.time() - stall_start < stall_sec:
+                    loop_s = time.time()
+                    rows = [client._job_row("noop", (i + k,), None)
+                            for k in range(rate)]
+                    i += rate
+                    client.ledger.append_rows(rows)
+                    enq += rate
+                    sleep = 1.0 - (time.time() - loop_s)
+                    if sleep > 0:
+                        time.sleep(sleep)
+                counts = api.dashboard_counts()
+                stalled_lag = counts.get("enqueued", 0) + counts.get("retrying", 0)
+                print(f"# stall over: backlog {stalled_lag}; restarting worker",
+                      flush=True)
+                worker, handle = start_worker()
+                recover_start = time.time()
+                recovery_sec = None
+                while time.time() - recover_start < 600:
+                    time.sleep(5)
+                    counts = api.dashboard_counts()
+                    lag = counts.get("enqueued", 0) + counts.get("retrying", 0)
+                    if lag <= max(pre_lag, 2 * rate):
+                        recovery_sec = round(time.time() - recover_start, 1)
+                        break
+                stall_info = {
+                    "pre_stall_lag": pre_lag,
+                    "stalled_lag": stalled_lag,
+                    "recovery_sec": recovery_sec,
+                }
+                print(f"# recovered in {recovery_sec}s", flush=True)
+                stall_at = None  # once
+                continue
+
             if now - last_view_fold >= 15:  # incremental view maintenance
                 view.attach_stream(
                     ledger.log_stream(spark), view_ck
@@ -156,13 +241,19 @@ def main() -> None:
             if now - last_sample >= SAMPLE_SEC:
                 last_sample = now
                 counts = api.dashboard_counts()
+                lag = counts.get("enqueued", 0) + counts.get("retrying", 0)
+                n_files = len(glob.glob(os.path.join(log_dir, "*.parquet")))
+                lm = _listing_ms(handle)
                 s = {
                     "t_sec": round(now - start, 1),
                     "rss_mb": round(rss_mb(), 1),
                     "ckpt_mb": round(du_mb(worker.checkpoint_dir)
                                      + du_mb(view_ck), 2),
                     "view_mb": round(du_mb(view.root), 2),
-                    "log_mb": round(du_mb(os.path.join(root, "log")), 2),
+                    "log_mb": round(du_mb(log_dir), 2),
+                    "log_files": n_files,
+                    "listing_ms": None if lm is None else round(lm, 1),
+                    "lag": lag,
                     "enqueued": enq,
                     "success": counts.get("success", 0),
                     "dead": counts.get("dead", 0),
@@ -171,6 +262,7 @@ def main() -> None:
                 samples.append(s)
                 print(f"| {s['t_sec']/60:.1f} | {s['rss_mb']} "
                       f"| {s['ckpt_mb']} | {s['view_mb']} | {s['log_mb']} "
+                      f"| {s['log_files']} | {s['listing_ms']} | {s['lag']} "
                       f"| {s['enqueued']} | {s['success']} |", flush=True)
             sleep = 1.0 - (time.time() - sec_start)
             if sleep > 0:
@@ -187,6 +279,7 @@ def main() -> None:
         "offered_rate": rate,
         "enqueued": enq,
         "final_counts": counts,
+        "stall": stall_info or None,
         "samples": samples,
         "view_matches_state": None,
     }
