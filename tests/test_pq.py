@@ -12,9 +12,11 @@ REGISTRY = load_all()
 
 
 def test_pq_recall_vs_bruteforce(spark):
-    """ADC over 8-byte codes must recall most of the exact top-10 —
-    8 subspaces × 256 codes is a fine-grained quantizer, so the floor
-    is set well above the LSH path's 0.4."""
+    """ADC over 8-byte codes + the exact refine of topk×4 candidates
+    must recall most of the exact top-10. Floor raised 0.6 → 0.85 in
+    round 11 on the measured curve (RECALL_CURVES.md ss6 table: 0.95 @
+    sf0.001 / 0.97 @ sf0.01 at the production m=8, bits=8, refine=4
+    point; raw ADC alone measures 0.53-0.62)."""
     exact = REGISTRY["ss1_cosine_topk_bruteforce"].builder(spark, SF_CORRECT).collect()
     approx = REGISTRY["ss6_ann_pq"].builder(spark, SF_CORRECT).collect()
     truth, got = {}, {}
@@ -24,7 +26,7 @@ def test_pq_recall_vs_bruteforce(spark):
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     avg = sum(recalls) / len(recalls)
-    assert avg >= 0.6, f"PQ recall too low: {avg:.2f} ({recalls})"
+    assert avg >= 0.85, f"PQ recall too low: {avg:.2f} ({recalls})"
 
 
 def test_pq_codes_are_8_bytes(spark):
@@ -65,7 +67,10 @@ def test_ivfpq_recall_and_pruned_scan(spark):
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     avg = sum(recalls) / len(recalls)
-    assert avg >= 0.6, f"IVFPQ recall too low: {avg:.2f} ({recalls})"
+    # floor raised 0.6 → 0.75 in round 11 on the measured curve
+    # (RECALL_CURVES.md ss7 table: 0.84 @ sf0.001 / 0.82 @ sf0.01 at
+    # the production nprobe=3, refine=4 point)
+    assert avg >= 0.75, f"IVFPQ recall too low: {avg:.2f} ({recalls})"
 
     from goose_spark.operators.similarity import _IVFPQ_INDEX_DIRS
     from goose_spark.operators.pq import adc_topk, PQ_M
