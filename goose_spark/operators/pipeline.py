@@ -545,3 +545,58 @@ def sp13(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# sp14 — per-source contribution cap (source balancing)
+# ---------------------------------------------------------------------------
+
+#: Max docs any single source may contribute (the C4/RefinedWeb-style
+#: "no domain dominates the mixture" cap). Binds at every test SF
+#: (sources hold 25/250/2500 docs at sf0.001/0.01/0.1).
+SOURCE_CAP = 15
+
+
+@register(
+    "sp14_source_cap",
+    f"""WITH ranked AS (
+          SELECT source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+               CAST(SUM(CASE WHEN rn > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+               CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM ranked GROUP BY source ORDER BY source""",
+    doc=f"Per-source contribution cap (source balancing): every source "
+        f"keeps at most its top-{SOURCE_CAP} docs by a deterministic "
+        f"priority (n_chars DESC, doc_id — the 'keep the substantive "
+        f"docs' rule), so no domain dominates the training mixture — "
+        f"the C4/RefinedWeb-style domain cap every web-scale pipeline "
+        f"applies after dedup. This registered form is the audit REPORT "
+        f"(kept/dropped/chars per source): one source-keyed window + "
+        f"hash-agg over narrow columns. The production keep-the-docs "
+        f"form is the same window followed by rn <= cap, where "
+        f"WindowGroupLimit pushes the per-partition top-{SOURCE_CAP} "
+        f"below the shuffle; at 100 TB the shuffle key is the source "
+        f"and a pathological mega-source is exactly what AQE "
+        f"skew-split handles.",
+    tags=("llm", "pipeline"),
+)
+def sp14(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    kept = (F.col("rn") <= SOURCE_CAP).cast("long")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(kept).alias("kept"),
+            F.sum(1 - kept).alias("dropped"),
+            F.sum(F.col("n_chars") * kept).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

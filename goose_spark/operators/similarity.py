@@ -519,3 +519,76 @@ def ss7(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
     return ivfpq_query(spark, idx, q)
+
+
+# ---------------------------------------------------------------------------
+# ss15 — attribute-filtered vector search (exact, oracled)
+# ---------------------------------------------------------------------------
+
+#: Attribute predicate for the filtered search: the corpus side keeps
+#: only vectors whose same-id document is this language.
+FILTER_LANG = "en"
+
+_SS15_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+allowed AS (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}'),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_dot_product(q.qe, v.emb)
+           / sqrt(list_dot_product(q.qe, q.qe) * list_dot_product(v.emb, v.emb)) AS cos
+  FROM q
+  JOIN v ON v.vec_id <> q.query_id
+  JOIN allowed a ON a.doc_id = v.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS score
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+@register(
+    "ss15_filtered_topk",
+    _SS15_ORACLE,
+    doc=f"Attribute-FILTERED vector search (the production RAG feature "
+        f"every vector store grew in 2023): exact cosine top-k where "
+        f"the corpus side keeps only vectors whose document has "
+        f"lang='{FILTER_LANG}' — pre-filter semantics (filter, then "
+        f"rank), never post-filter (rank, then drop — which silently "
+        f"returns < k and biased neighbors). The lang predicate is a "
+        f"semi-join pushed below the scoring stage, so the candidate "
+        f"set shrinks BEFORE any cosine is computed; at 100 TB the "
+        f"same shape runs against the ss5 index with the predicate "
+        f"applied inside the probed-cell read (cells store doc "
+        f"attributes columnar, so the filter prunes pages before the "
+        f"distance kernel).",
+    tags=("llm", "similarity"),
+)
+def ss15(spark: SparkSession, sf: str) -> DataFrame:
+    v = _embeddings(spark, sf)
+    allowed = (
+        t(spark, sf, "documents")
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = v.join(allowed, "vec_id", "left_semi")
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    cos = _dot(F.col("qe"), F.col("emb")) / F.sqrt(
+        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        bounded_broadcast(q, max_rows=EMBEDDING_ROW_CAP, n_rows=N_QUERIES,
+                          label="ss15 queries")
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+        .orderBy("query_id", "rank")
+    )

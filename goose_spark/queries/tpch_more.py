@@ -529,3 +529,59 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_both").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "q97_pareto_frontier",
+    """SELECT a.p_brand, a.p_partkey,
+              ROUND(CAST(a.p_retailprice AS DOUBLE), 2) AS price,
+              a.p_size
+       FROM part a
+       WHERE NOT EXISTS (
+         SELECT 1 FROM part b
+         WHERE b.p_brand = a.p_brand
+           AND b.p_retailprice <= a.p_retailprice
+           AND b.p_size >= a.p_size
+           AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+       ORDER BY p_brand, price, p_size, p_partkey""",
+    doc="Per-group Pareto frontier (skyline): within each brand, the "
+        "parts no other part dominates on (price low, size high) — the "
+        "multi-criteria shortlist query (cheapest-per-capability). The "
+        "oracle is the O(n²) NOT-EXISTS dominance SPEC; the Spark plan "
+        "is the O(n log n) sweep — collapse to per-(brand, price) max "
+        "size, one brand-partitioned running-max window over the price "
+        "order (strict prefix), keep rows that beat the prefix max and "
+        "match their price-group max. No self-join, no NOT EXISTS "
+        "decorrelation, no global sort: windows parallelize across "
+        "brands; at 100 TB a mega-brand adds a range-bucketed prefix "
+        "(per-bucket maxima broadcast, same sweep per bucket) — the "
+        "standard distributed-skyline refinement.",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = t(spark, sf, "part").select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy("p_brand", "p_retailprice").agg(F.max("p_size").alias("_mx"))
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pm = per_price.withColumn("_pfx", F.max("_mx").over(w))
+    return (
+        p.join(pm, ["p_brand", "p_retailprice"])
+        # dominated iff a strictly-cheaper row has size >= ours (_pfx)
+        # or a same-price row has size > ours (_mx); ties on both
+        # criteria don't dominate, so duplicate (price, size) rows all
+        # survive — same as the NOT EXISTS spec
+        .filter(
+            (F.col("p_size") == F.col("_mx"))
+            & (F.col("_pfx").isNull() | (F.col("_pfx") < F.col("p_size")))
+        )
+        .select(
+            "p_brand", "p_partkey",
+            F.round(F.col("p_retailprice").cast("double"), 2).alias("price"),
+            "p_size",
+        )
+        .orderBy("p_brand", "price", "p_size", "p_partkey")
+    )

@@ -71,13 +71,34 @@ def _coerce_log_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
     BOTH createDataFrame paths reject against IntegerType (Arrow refuses
     the unsafe float→int cast, the row-based fallback refuses the NaN
     object — found by the round-10 soak: one mixed retry/fresh batch
-    kills the stream). Nullable extension dtypes carry exact ints +
-    real nulls through Arrow. The coercion list is DERIVED from the
-    integer-typed fields of the log schema, so a new nullable int
-    column added to JOB_SCHEMA later is covered automatically."""
-    for name, dtype in _int_log_fields():
-        if name in pdf.columns and pdf[name].dtype.kind == "f":
-            pdf = pdf.assign(**{name: pd.array(pdf[name], dtype=dtype)})
+    kills the stream).
+
+    Coercion target is OBJECT dtype holding python ints + None — not a
+    nullable extension array. Round 11's stress soak found why: when
+    the Arrow upload inside ``createDataFrame`` is interrupted (e.g.
+    ``query.stop()`` lands mid-batch → ClosedByInterruptException),
+    PySpark retries on the NON-Arrow row path, and an Int32 extension
+    array degrades to float NaN there — resurrecting the exact crash
+    the round-10 fix addressed, but only on the fallback path. Object
+    ints + None satisfy BOTH paths (Arrow casts them per the explicit
+    schema; the row verifier accepts int/None), so an interrupted batch
+    completes instead of killing the query. The column list is DERIVED
+    from the integer-typed fields of the log schema, so a new nullable
+    int column added to JOB_SCHEMA later is covered automatically."""
+    for name, _dtype in _int_log_fields():
+        if name in pdf.columns and pdf[name].dtype.kind in ("f", "O"):
+            col = pdf[name]
+            # explicit object dtype up front — Series.map would re-infer
+            # int+None back to float64/NaN before any astype(object)
+            pdf = pdf.assign(
+                **{
+                    name: pd.Series(
+                        [None if pd.isna(v) else int(v) for v in col],
+                        index=col.index,
+                        dtype=object,
+                    )
+                }
+            )
     return pdf
 
 
@@ -422,11 +443,18 @@ class Worker:
         class Handle:
             def stop(self, timeout: float = 30.0) -> None:
                 stop_flag.set()
-                query.stop()
-                query.awaitTermination(int(timeout))
-                thread.join(timeout)
-                worker.tick()  # final sweep after the stream drains
-                worker.registry.deregister(worker.worker_id)
+                try:
+                    query.stop()
+                    query.awaitTermination(int(timeout))
+                finally:
+                    # cleanup must run even if the query terminated with
+                    # an error (an un-deregistered worker would keep its
+                    # queues claimed and its heartbeat row live forever)
+                    thread.join(timeout)
+                    try:
+                        worker.tick()  # final sweep after the stream drains
+                    finally:
+                        worker.registry.deregister(worker.worker_id)
 
             @property
             def streaming_query(self):

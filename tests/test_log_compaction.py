@@ -232,3 +232,60 @@ def test_committed_files_reader_handles_sparks_own_log_compaction(spark, ledger)
     # own outcome append
     missing = raw - committed
     assert len(missing) <= 1, sorted(missing)
+
+
+def test_coerced_log_pdf_survives_both_createDataFrame_paths(spark):
+    """Round-11 stress-soak regression: when query.stop() interrupts the
+    Arrow upload inside createDataFrame, PySpark retries on the
+    NON-Arrow row path — a nullable-Int32 extension array degrades to
+    float NaN there and kills the stream (the round-10 NaN crash, back
+    on the fallback path only). The coerced frame (object ints + None)
+    must satisfy BOTH paths."""
+    import pandas as pd
+    import numpy as np
+
+    from goose_spark.streaming.ledger import Ledger
+    from goose_spark.streaming.worker import _coerce_log_pdf
+
+    pdf = pd.DataFrame(
+        {
+            "id": ["a", "b"],
+            "queue": ["default", "default"],
+            "execute_fn": ["noop", "noop"],
+            "args": ["[]", "[]"],
+            "status": ["enqueued", "retrying"],
+            # the soak's mixed retry/fresh shape: nullable ints arrive
+            # as float64 with NaN after a toPandas round-trip (priority
+            # and max_retries are NOT NULL in JOB_SCHEMA — only
+            # retry_count/seq may be null)
+            "priority": np.array([0.0, 1.0]),
+            "enqueued_at": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+            "run_at": pd.to_datetime([None, "2026-01-01"]),
+            "cron_name": [None, None],
+            "batch_id": [None, None],
+            "retry_count": np.array([np.nan, 1.0]),
+            "max_retries": np.array([27.0, 27.0]),
+            "retry_queue": [None, None],
+            "error": [None, "boom"],
+            "first_failed_at": pd.to_datetime([None, None]),
+            "last_retried_at": pd.to_datetime([None, None]),
+            "died_at": pd.to_datetime([None, None]),
+            "worker_id": [None, None],
+            "seq": np.array([1.0, 2.0]),
+        }
+    )
+    coerced = _coerce_log_pdf(pdf)
+    schema = Ledger._spark_log_schema()
+
+    old = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled")
+    try:
+        for arrow in ("true", "false"):  # false = the fallback row path
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", arrow)
+            rows = spark.createDataFrame(coerced, schema=schema).collect()
+            by_id = {r["id"]: r for r in rows}
+            assert by_id["a"]["retry_count"] is None
+            assert by_id["b"]["retry_count"] == 1
+            assert by_id["b"]["max_retries"] == 27
+            assert by_id["b"]["seq"] == 2
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old)

@@ -1,0 +1,119 @@
+"""Round-11 sixth-wave operators: per-source cap (sp14), per-group
+Pareto frontier (q97), attribute-filtered vector search (ss15) —
+independent-implementation and invariant checks beyond the DuckDB
+oracle gate."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from goose_spark.queries import load_all
+from goose_spark.queries.base import t
+from tests.conftest import SF_CORRECT
+
+REG = load_all()
+
+
+def test_source_cap_invariants(spark):
+    from goose_spark.operators.pipeline import SOURCE_CAP
+
+    rows = REG["sp14_source_cap"].builder(spark, SF_CORRECT).collect()
+    assert rows
+    totals = {
+        r["source"]: r for r in
+        t(spark, SF_CORRECT, "documents").groupBy("source")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["source"] for r in rows} == set(totals)
+    for r in rows:
+        assert r["kept"] + r["dropped"] == r["total"] == totals[r["source"]]["n"]
+        assert r["kept"] <= SOURCE_CAP
+        assert r["kept"] == min(SOURCE_CAP, r["total"])  # cap binds exactly
+        assert r["kept_chars"] > 0
+
+
+def test_source_cap_keeps_the_largest_docs(spark):
+    """kept_chars must equal the sum of the top-cap n_chars per source
+    (the deterministic keep-the-substantive-docs rule) — checked
+    against a driver-side recompute."""
+    from goose_spark.operators.pipeline import SOURCE_CAP
+
+    rows = {r["source"]: r["kept_chars"]
+            for r in REG["sp14_source_cap"].builder(spark, SF_CORRECT).collect()}
+    docs = t(spark, SF_CORRECT, "documents").select("source", "n_chars", "doc_id").collect()
+    by_src: dict = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append((-d["n_chars"], d["doc_id"]))
+    for src, lst in by_src.items():
+        lst.sort()
+        want = sum(-c for c, _ in lst[:SOURCE_CAP])
+        assert rows[src] == want, src
+
+
+def test_pareto_frontier_matches_naive_dominance(spark):
+    """The O(n log n) sweep must return exactly the rows the O(n²)
+    dominance definition keeps — checked with an independent numpy
+    recompute per brand."""
+    got = [
+        (r["p_brand"], r["p_partkey"], r["price"], r["p_size"])
+        for r in REG["q97_pareto_frontier"].builder(spark, SF_CORRECT).collect()
+    ]
+    parts = t(spark, SF_CORRECT, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    want = []
+    by_brand: dict = {}
+    for p in parts:
+        by_brand.setdefault(p["p_brand"], []).append(p)
+    for brand, rows in by_brand.items():
+        pr = np.asarray([r["p_retailprice"] for r in rows])
+        sz = np.asarray([r["p_size"] for r in rows])
+        for i, r in enumerate(rows):
+            dominated = np.any(
+                (pr <= pr[i]) & (sz >= sz[i]) & ((pr < pr[i]) | (sz > sz[i]))
+            )
+            if not dominated:
+                want.append((brand, r["p_partkey"],
+                             round(float(pr[i]), 2), int(sz[i])))
+    assert sorted(got) == sorted(want)
+    assert len(got) > 0
+
+
+def test_pareto_plan_has_no_self_join_or_cartesian(spark):
+    """The point of q97: the plan is windows + one equi-join back, not
+    the oracle's quadratic NOT EXISTS."""
+    from goose_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(REG["q97_pareto_frontier"].builder(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_filtered_topk_is_prefilter_not_postfilter(spark):
+    """Every returned neighbor satisfies the predicate AND each query
+    still gets a full k (pre-filter semantics); an ss1 post-filter
+    would return fewer rows for queries whose unfiltered top-k is
+    mostly non-en."""
+    from goose_spark.operators.similarity import FILTER_LANG, TOP_K
+
+    en = {
+        r["doc_id"]
+        for r in t(spark, SF_CORRECT, "documents")
+        .filter(F.col("lang") == FILTER_LANG).select("doc_id").collect()
+    }
+    rows = REG["ss15_filtered_topk"].builder(spark, SF_CORRECT).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert r["neighbor_id"] in en
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1)), qid
+
+    # post-filtering ss1's unfiltered top-k genuinely loses rows for at
+    # least one query (i.e. the operator is not equivalent to ss1+filter)
+    ss1 = REG["ss1_cosine_topk_bruteforce"].builder(spark, SF_CORRECT).collect()
+    post: dict = {}
+    for r in ss1:
+        if r["neighbor_id"] in en:
+            post.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert any(len(v) < TOP_K for v in post.values())

@@ -238,6 +238,19 @@ def main() -> None:
                     ledger.log_stream(spark), view_ck
                 ).awaitTermination()
                 last_view_fold = now
+            # fail fast and loud if the streaming query died — a soak
+            # that keeps producing against a dead consumer measures
+            # nothing (and the exception would otherwise be lost)
+            try:
+                if not handle.streaming_query.isActive:
+                    exc = handle.streaming_query.exception()
+                    print(f"# STREAM DIED: {exc}", flush=True)
+                    raise RuntimeError(f"worker stream died: {exc}")
+            except RuntimeError:
+                raise
+            except Exception:  # noqa: BLE001 — introspection only
+                pass
+
             if now - last_sample >= SAMPLE_SEC:
                 last_sample = now
                 counts = api.dashboard_counts()
