@@ -777,3 +777,87 @@ def tx19(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx20 — vocabulary growth curve (Heaps' law profile)
+# ---------------------------------------------------------------------------
+
+_TX20_ORACLE = rf"""
+WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+tok AS (
+  SELECT doc_id, unnest(list_filter({_WORDS}, x -> x <> '')) AS tok
+  FROM documents),
+db AS (SELECT (doc_id * 10) // n AS b, COUNT(*) AS d
+       FROM documents, mx GROUP BY 1),
+tb AS (SELECT (doc_id * 10) // n AS b, COUNT(*) AS tk
+       FROM tok, mx GROUP BY 1),
+nb AS (SELECT (fd * 10) // n AS b, COUNT(*) AS nt
+       FROM (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok), mx
+       GROUP BY 1)
+SELECT CAST((b + 1) * 10 AS BIGINT) AS pct,
+       CAST(SUM(d) OVER w AS BIGINT) AS n_docs,
+       CAST(SUM(tk) OVER w AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(nt, 0)) OVER w AS BIGINT) AS n_types,
+       CAST(COALESCE(nt, 0) AS BIGINT) AS new_types,
+       ROUND(CAST(SUM(COALESCE(nt, 0)) OVER w AS DOUBLE)
+             / SUM(tk) OVER w, 6) AS ttr
+FROM db JOIN tb USING (b) LEFT JOIN nb USING (b)
+WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY pct"""
+
+
+@register(
+    "tx20_vocab_growth",
+    _TX20_ORACLE,
+    doc="Vocabulary-growth (Heaps' law) curve: cumulative distinct types "
+        "vs cumulative token instances at corpus deciles, plus the "
+        "NEW-types delta per decile — the tokenizer-sizing / corpus-"
+        "novelty gauge (a crawl slice whose new_types flatlines is "
+        "adding no vocabulary; one that explodes is noise). Cumulative "
+        "distinct is NOT computed as a running set: each type collapses "
+        "to its FIRST-occurrence doc (one token-keyed min-agg), docs and "
+        "first-occurrences bucket into deciles by pure row arithmetic "
+        "((doc_id*10) div n — no inequality join, no NestedLoop), and "
+        "the cumulative curve is a running sum over the 10 bucket rows. "
+        "Scale shape: one explode + two map-side-combinable hash-aggs "
+        "over O(vocab)/O(docs) rows; the window touches 10 rows. All "
+        "outputs integers or exact int ratios.",
+    tags=("llm", "text"),
+)
+def tx20(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    n = F.broadcast(d.agg((F.max("doc_id") + 1).alias("n")))
+    bucket = F.expr("(doc_id * 10) div n")
+    tok = d.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    db = d.join(n).groupBy(bucket.alias("b")).agg(F.count("*").alias("d"))
+    tb = tok.join(n).groupBy(bucket.alias("b")).agg(F.count("*").alias("tk"))
+    nb = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .join(n)
+        .groupBy(F.expr("(fd * 10) div n").alias("b"))
+        .agg(F.count("*").alias("nt"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        db.join(tb, "b").join(nb, "b", "left")
+        .withColumn("nt", F.coalesce("nt", F.lit(0)))
+        .select(
+            ((F.col("b") + 1) * 10).cast("long").alias("pct"),
+            F.sum("d").over(w).cast("long").alias("n_docs"),
+            F.sum("tk").over(w).cast("long").alias("n_tokens"),
+            F.sum("nt").over(w).cast("long").alias("n_types"),
+            F.col("nt").cast("long").alias("new_types"),
+            F.round(
+                F.sum("nt").over(w).cast("double") / F.sum("tk").over(w), 6
+            ).alias("ttr"),
+        )
+        .orderBy("pct")
+    )

@@ -711,3 +711,155 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — time-decayed engagement score (half-life recency weighting)
+# ---------------------------------------------------------------------------
+
+DECAY_TOPK = 100  # report size (TakeOrdered funnel, O(k) to the driver)
+
+_Q98_ORACLE = f"""
+WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+w AS (SELECT user_id,
+             DATE_DIFF('day', CAST(ts AS DATE), h) AS age_d,
+             CAST(ROUND((CASE WHEN event_type = 'purchase'
+                              THEN value
+                              ELSE value * CAST(0.1 AS DOUBLE) END)
+                        / CAST(CAST(1 AS BIGINT)
+                               << LEAST(DATE_DIFF('day', CAST(ts AS DATE), h), 60)
+                               AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS contrib
+      FROM events, horizon)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(age_d) AS BIGINT) AS freshest_d,
+       ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS score
+FROM w GROUP BY user_id
+ORDER BY score DESC, user_id LIMIT {DECAY_TOPK}"""
+
+
+@register(
+    "q98_decayed_engagement",
+    _Q98_ORACLE,
+    doc="Recency-weighted engagement score per user with a 1-day "
+        "half-life: each event contributes value x 2^(-age_days) "
+        "(purchases at full weight, other events at 10%), the feature-"
+        "store recency feature every ranking/churn model consumes. "
+        "Hash-match despite float weights: the decay factor is an EXACT "
+        "power of two (1 / (1 << age), never a transcendental pow), the "
+        "age exponent is an integer day difference, and per-event "
+        "contributions round to DECIMAL(18,6) BEFORE the sum, so the "
+        "per-user total is order-independent at any parallelism (q96's "
+        "trick). Plan: one user_id hash-agg over arithmetic-only "
+        "columns with the 1-row horizon broadcast; top-k is a "
+        "TakeOrdered funnel. At 100 TB the agg is map-side-combinable "
+        "and the horizon would come from partition stats.",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    age = F.datediff(F.col("h"), F.col("ts").cast("date"))
+    # exact binary weight: contributions below 2^-60 round to 0 at the
+    # 6-decimal quantum anyway, and the shift stays inside a long
+    den = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), "
+        "CAST(least(datediff(h, CAST(ts AS DATE)), 60) AS INT)) AS DOUBLE)"
+    )
+    base = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+        F.col("value") * F.lit(0.1)
+    )
+    contrib = F.round(base / den, 6).cast("decimal(18,6)")
+    return (
+        e.join(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(age).cast("long").alias("freshest_d"),
+            F.round(F.sum(contrib).cast("double"), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "user_id")
+        .limit(DECAY_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — churn cohorts (inactivity x spend-tier lifecycle grid)
+# ---------------------------------------------------------------------------
+
+_Q99_ORACLE = """
+WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+u AS (SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(18,6)) AS ltv
+      FROM events GROUP BY user_id),
+g AS (SELECT user_id, n_events, ltv,
+             (epoch_us(h) - epoch_us(last_ts)) // 3600000000 AS idle_h
+      FROM u, horizon)
+SELECT CASE WHEN idle_h <= 6 THEN 'active'
+            WHEN idle_h <= 24 THEN 'lapsing' ELSE 'churned' END AS lifecycle,
+       CASE WHEN ltv >= 900 THEN 'whale'
+            WHEN ltv >= 500 THEN 'regular' ELSE 'casual' END AS spend_tier,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) // COUNT(*) AS events_per_user,
+       ROUND(CAST(SUM(ltv) AS DOUBLE), 4) AS cohort_ltv
+FROM g GROUP BY 1, 2 ORDER BY lifecycle, spend_tier"""
+
+
+@register(
+    "q99_churn_cohorts",
+    _Q99_ORACLE,
+    doc="Lifecycle-cohort grid: users bucketed by inactivity age (hours "
+        "since last event vs the corpus horizon: active/lapsing/churned) "
+        "x purchase-LTV spend tier (casual/regular/whale), with "
+        "per-cohort event volume and LTV — the churn dashboard every "
+        "retention team reads. Two map-side-combinable hash-aggs "
+        "(per-user max/count/sum, then the 9-cell cohort rollup) with "
+        "the 1-row horizon broadcast between them; LTV rounds to "
+        "DECIMAL(18,6) per event before summation so cohort totals "
+        "hash-match at any parallelism; events_per_user is exact "
+        "integer floor division (DuckDB // == Spark div). Inactivity age is exact "
+        "epoch-microsecond integer arithmetic (floor hours), identical on "
+        "both engines — never calendar boundary-crossing date_diff.",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    horizon = e.agg(F.max("ts").alias("h"))
+    purchase_val = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value"), 6).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    u = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.sum(purchase_val).cast("decimal(18,6)").alias("ltv"),
+    )
+    idle_h = F.expr("(unix_micros(h) - unix_micros(last_ts)) div 3600000000")
+    lifecycle = (
+        F.when(idle_h <= 6, "active")
+        .when(idle_h <= 24, "lapsing")
+        .otherwise("churned")
+    )
+    tier = (
+        F.when(F.col("ltv") >= 900, "whale")
+        .when(F.col("ltv") >= 500, "regular")
+        .otherwise("casual")
+    )
+    return (
+        u.join(F.broadcast(horizon))
+        .groupBy(lifecycle.alias("lifecycle"), tier.alias("spend_tier"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.expr("CAST(SUM(n_events) AS BIGINT) div COUNT(*)").alias(
+                "events_per_user"
+            ),
+            F.round(F.sum("ltv").cast("double"), 4).alias("cohort_ltv"),
+        )
+        .orderBy("lifecycle", "spend_tier")
+    )
