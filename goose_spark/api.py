@@ -27,6 +27,32 @@ from goose_spark.streaming.ledger import Ledger
 PAGE_SIZE = 10  # src/goose/defaults.clj:82
 
 
+def _retry_stale_listing(fn):
+    """Retry a read-only API method ONCE when a live ``compact_log``
+    fold deleted a raw log file between this read's file listing and
+    its execution (Spark raises FAILED_READ_FILE / FileNotFound). The
+    fold moved those rows into a ``gen-*`` generation, so a fresh
+    listing sees every row — this is the same OCC-read contract a
+    lakehouse client applies around OPTIMIZE. Mutations are NOT
+    wrapped: their victim read happens before any append, so callers
+    retry those whole (idempotent by the supersession protocol).
+    In-worker reads never need this — the worker serializes its fold
+    with its micro-batch lock."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(self, *args, **kwargs):
+        try:
+            return fn(self, *args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — inspect and re-raise
+            msg = str(exc)
+            if "FAILED_READ_FILE" not in msg and "FileNotFoundException" not in msg:
+                raise
+            return fn(self, *args, **kwargs)
+
+    return wrap
+
+
 def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
@@ -78,6 +104,7 @@ class LedgerAPI:
 
     # ---- Q1/Q2: queue listing & sizes ------------------------------------
 
+    @_retry_stale_listing
     def list_queues(self) -> list[str]:
         """SCAN goose/queue:* analog (api/enqueued_jobs.clj:7-10)."""
         rows = (
@@ -90,6 +117,7 @@ class LedgerAPI:
         )
         return [r["queue"] for r in rows]
 
+    @_retry_stale_listing
     def size(self, queue: str | None = None, status: str = STATUS_ENQUEUED) -> int:
         df = self.state().filter(F.col("status") == status)
         if queue:
@@ -98,10 +126,12 @@ class LedgerAPI:
 
     # ---- Q3/Q4/Q5: finds ---------------------------------------------------
 
+    @_retry_stale_listing
     def find_by_id(self, job_id: str) -> dict | None:
         rows = self.state().filter(F.col("id") == job_id).limit(1).collect()
         return rows[0].asDict() if rows else None
 
+    @_retry_stale_listing
     def find_by_pattern(self, predicate, limit: int = 10) -> list[dict]:
         """Arbitrary-predicate find with bounded result — the lazy
         scan-seq + take analog (commands.clj:205-210). ``predicate`` is a
@@ -110,6 +140,7 @@ class LedgerAPI:
 
     # ---- Q6: pagination ------------------------------------------------------
 
+    @_retry_stale_listing
     def page(self, queue: str, page: int = 1, status: str = STATUS_ENQUEUED) -> list[dict]:
         df = (
             self.state()
@@ -122,6 +153,7 @@ class LedgerAPI:
 
     # ---- Q7: top-k oldest dead --------------------------------------------
 
+    @_retry_stale_listing
     def peek_dead(self, n: int = 1) -> list[dict]:
         return self._oldest_dead(self.state(), n)
 
@@ -242,6 +274,7 @@ class LedgerAPI:
         scheduled and retrying members."""
         return self.purge(None, (STATUS_SCHEDULED, STATUS_RETRYING))
 
+    @_retry_stale_listing
     def get_by_range(self, queue: str, start: int, stop: int,
                      status: str = STATUS_ENQUEUED) -> list[dict]:
         """LRANGE/ZRANGE start..stop inclusive (enqueued_jobs.clj:56-60,
@@ -284,9 +317,11 @@ class LedgerAPI:
     # (src/goose/brokers/redis/cron.clj:23-27,105-119: size / get / get-all /
     #  delete / purge)
 
+    @_retry_stale_listing
     def cron_size(self) -> int:
         return len(self.cron_entries())
 
+    @_retry_stale_listing
     def cron_entries(self) -> list[dict]:
         import os
 
@@ -297,6 +332,7 @@ class LedgerAPI:
             return []
         return pq.read_table(path).to_pylist()
 
+    @_retry_stale_listing
     def cron_get(self, name: str) -> dict | None:
         return next((e for e in self.cron_entries() if e["cron_name"] == name), None)
 
@@ -349,12 +385,14 @@ class LedgerAPI:
 
     # ---- Q12/Q13: dashboard ----------------------------------------------------
 
+    @_retry_stale_listing
     def dashboard_counts(self) -> dict[str, int]:
         rows = self.state().groupBy("status").agg(F.count("*").alias("n")).collect()
         return {r["status"]: r["n"] for r in rows}
 
     # ---- W9: worker process registry (heartbeat.clj:10-20) -----------------
 
+    @_retry_stale_listing
     def workers(self) -> list[dict]:
         """Registered worker processes with an alive flag (beat within
         the heartbeat expiry) — the console's process-set view."""
@@ -362,6 +400,7 @@ class LedgerAPI:
 
         return ProcessRegistry(self.ledger.root).workers()
 
+    @_retry_stale_listing
     def workers_count(self) -> int:
         from goose_spark.streaming.heartbeat import ProcessRegistry
 

@@ -600,3 +600,81 @@ def sp14(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# sp15 — temperature-scaled mixture allocation (multilingual up/down-sampling)
+# ---------------------------------------------------------------------------
+
+#: Training-token budget the allocation distributes (arbitrary fixed
+#: constant — the op reports the allocation, callers scale it).
+MIXTURE_BUDGET = 1_000_000
+
+_SP15_ORACLE = f"""
+WITH s AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+                       AS BIGINT) AS n_tok
+           FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, n_tok,
+             CAST(ROUND(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wt
+      FROM s),
+tot AS (SELECT CAST(SUM(wt) AS DECIMAL(18,6)) AS tw,
+               CAST(SUM(n_tok) AS BIGINT) AS tt FROM w)
+SELECT source, n_docs, n_tok,
+       ROUND(CAST(n_tok AS DOUBLE) / tt, 6) AS natural_share,
+       ROUND(CAST(wt AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS temp_share,
+       CAST(FLOOR(({MIXTURE_BUDGET} * CAST(wt AS DOUBLE))
+                  / CAST(tw AS DOUBLE)) AS BIGINT) AS alloc_tokens
+FROM w, tot ORDER BY source"""
+
+
+@register(
+    "sp15_temperature_mixture",
+    _SP15_ORACLE,
+    doc="Temperature-scaled mixture allocation (alpha = 0.5): each "
+        "source's training-token budget is proportional to "
+        "n_tokens^alpha instead of n_tokens — the XLM-R/mT5 "
+        "up/down-sampling rule that keeps low-resource sources from "
+        "vanishing and head sources from dominating (sp14 is the hard "
+        "cap; this is the smooth version). Hash-match despite the float "
+        "weights: sqrt is IEEE-correctly-rounded on both engines, each "
+        "weight rounds to DECIMAL(18,6) BEFORE the sum (order-"
+        "independent exact total), and the shares divide two exactly-"
+        "representable decimals as doubles. Plan: one source hash-agg "
+        "over a per-row token-count expression (no explode), a 1-row "
+        "total broadcast back — O(sources) rows after the scan at any "
+        "corpus size.",
+    tags=("llm", "pipeline"),
+)
+def sp15(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import token_count_ws
+
+    d = t(spark, sf, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = s.withColumn(
+        "wt", F.round(F.sqrt(F.col("n_tok").cast("double")), 6).cast("decimal(18,6)")
+    )
+    tot = w.agg(
+        F.sum("wt").cast("decimal(18,6)").alias("tw"),
+        F.sum("n_tok").cast("long").alias("tt"),
+    )
+    return (
+        w.join(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tok",
+            F.round(F.col("n_tok").cast("double") / F.col("tt"), 6).alias(
+                "natural_share"
+            ),
+            F.round(
+                F.col("wt").cast("double") / F.col("tw").cast("double"), 6
+            ).alias("temp_share"),
+            F.floor(
+                (MIXTURE_BUDGET * F.col("wt").cast("double"))
+                / F.col("tw").cast("double")
+            ).cast("long").alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

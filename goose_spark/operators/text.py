@@ -861,3 +861,79 @@ def tx20(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx21 — duplication audit per source (lead-prefix dup + cross-source rates)
+# ---------------------------------------------------------------------------
+
+#: Leading-token window the prefix fingerprint covers. Exact full-text
+#: dups are rare at small SFs; shared LEADS (boilerplate openings,
+#: syndicated lead paragraphs) are the signal a crawl audit reads.
+LEAD_TOKENS = 8
+
+_TX21_ORACLE = rf"""
+WITH f AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+               list_slice({_WORDS}, 1, {LEAD_TOKENS}), ' ')) AS fp
+  FROM documents),
+c AS (SELECT fp, COUNT(*) AS n, COUNT(DISTINCT source) AS ns
+      FROM f GROUP BY fp)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(SUM(CASE WHEN c.ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cross_source_docs,
+       ROUND(CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate
+FROM f JOIN c USING (fp)
+GROUP BY source ORDER BY source"""
+
+
+@register(
+    "tx21_dup_audit_by_source",
+    _TX21_ORACLE,
+    doc=f"Per-source duplication audit on the LEAD-prefix fingerprint "
+        f"(md5 of the first {LEAD_TOKENS} tokens — the C4-style "
+        f"boilerplate-opening / syndicated-lead signal, which fires "
+        f"long before full-text dups do): for every source, how many "
+        f"of its docs share a lead with ANY other doc (dup_docs / "
+        f"dup_rate) and how many collide across source boundaries "
+        f"(cross_source_docs — the syndication/mirror signal that "
+        f"tells a crawl team which domains republish each other). The "
+        f"provenance-level report on top of dd1's mechanism: one "
+        f"fingerprint hash-agg (count + distinct-source count collapse "
+        f"map-side), one fp-keyed join back, one source rollup — the "
+        f"fp shuffle IS dd1's scale mechanism, and the count table is "
+        f"O(unique fingerprints). All outputs integers or exact int "
+        f"ratios.",
+    tags=("llm", "text"),
+)
+def tx21(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    lead_fp = F.md5(
+        F.concat_ws(" ", F.slice(words(F.col("text")), 1, LEAD_TOKENS))
+    )
+    f = d.select("doc_id", "source", lead_fp.alias("fp"))
+    c = f.groupBy("fp").agg(
+        F.count("*").alias("n"), F.count_distinct("source").alias("ns")
+    )
+    return (
+        f.join(c, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").cast("long").alias("n_fingerprints"),
+            F.sum((F.col("n") > 1).cast("long")).alias("dup_docs"),
+            F.sum((F.col("ns") > 1).cast("long")).alias("cross_source_docs"),
+            F.round(
+                F.sum((F.col("n") > 1).cast("long")).cast("double")
+                / F.count("*"), 6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

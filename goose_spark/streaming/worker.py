@@ -428,10 +428,21 @@ class Worker:
                 ):
                     last_fold = _t.monotonic()
                     try:
-                        self.ledger.compact_log(
-                            self.spark,
-                            compact_checkpoints or [self.checkpoint_dir],
-                        )
+                        # MUST hold the micro-batch lock: the fold's
+                        # committed-files rule makes it invisible to the
+                        # STREAMING read, but _for_each_batch also runs
+                        # driver-side BATCH reads over the log dir
+                        # (tombstone anti-join, batch callbacks, due
+                        # sweep) whose file listing resolves at plan
+                        # time — a fold deleting a listed raw file
+                        # mid-batch kills the stream with
+                        # FAILED_READ_FILE (found by the round-11
+                        # 750 jobs/s stress soak at minute 14).
+                        with self._lock:
+                            self.ledger.compact_log(
+                                self.spark,
+                                compact_checkpoints or [self.checkpoint_dir],
+                            )
                     except Exception:  # noqa: BLE001 — fold is best-effort
                         pass
 

@@ -289,3 +289,85 @@ def test_coerced_log_pdf_survives_both_createDataFrame_paths(spark):
             assert by_id["b"]["seq"] == 2
     finally:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old)
+
+
+def test_live_fold_serializes_with_the_micro_batch_lock(spark, ledger):
+    """The round-11 stress soak (750 jobs/s) killed the stream at
+    minute 14: the ticker-thread fold deleted a committed raw file
+    while _for_each_batch's driver-side batch reads (tombstone
+    anti-join, batch callbacks) were executing against a listing taken
+    before the fold. The fix: the ticker runs compact_log under the
+    worker's micro-batch RLock. This test pins the serialization —
+    while another thread holds the lock, a due fold must NOT run; it
+    runs after release."""
+    import threading
+    import time
+
+    client = JobClient(ledger)
+    for i in range(40):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+
+    folds: list[dict] = []
+    real = ledger.compact_log
+
+    def counting_fold(*a, **k):
+        stats = real(*a, **k)
+        folds.append(stats)
+        return stats
+
+    worker.ledger.compact_log = counting_fold
+    # neutralize tick(): it takes the same lock, so a blocked tick would
+    # keep the ticker from ever REACHING the fold branch and the test
+    # would pass even without the fix
+    worker.tick = lambda: None
+    # hold the micro-batch lock from this thread while the ticker's
+    # fold window elapses several times over
+    with worker._lock:
+        handle = worker.start(
+            trigger_sec=0.1,
+            compact_log_every_sec=0.2,
+            compact_checkpoints=[worker.checkpoint_dir],
+        )
+        time.sleep(1.5)
+        assert folds == []  # fold blocked on the lock — never ran
+    deadline = time.time() + 10
+    while not folds and time.time() < deadline:
+        time.sleep(0.1)
+    handle.stop()
+    assert folds, "fold never ran after the lock was released"
+
+
+def test_api_read_retries_once_on_stale_listing(spark, ledger):
+    """An out-of-process console/API reader racing a live fold sees
+    FAILED_READ_FILE exactly once (its listing predates the fold's
+    deletes); the read-only surface retries with a fresh listing — the
+    lakehouse OCC-read contract. Unrelated errors propagate."""
+    from goose_spark.api import LedgerAPI
+
+    client = JobClient(ledger)
+    client.perform_async("noop", 1)
+    api = LedgerAPI(spark, ledger)
+
+    real_state, calls = api.state, []
+
+    def flaky_state():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError(
+                "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error "
+                "while reading file ...parquet. File does not exist."
+            )
+        return real_state()
+
+    api.state = flaky_state
+    assert api.size(status="enqueued") == 1  # retried through the error
+    assert len(calls) == 2
+
+    def broken_state():
+        raise RuntimeError("unrelated failure")
+
+    api.state = broken_state
+    with pytest.raises(RuntimeError, match="unrelated"):
+        api.list_queues()
