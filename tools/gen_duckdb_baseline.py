@@ -110,6 +110,13 @@ JUSTIFICATIONS: dict[str, str] = {
         "shuffles → score join: 4 exchanges over a ~1 MB token stream, "
         "so stages×floor dominates (1.1 s absolute). " + _MULTI_STAGE
     ),
+    "tx18_pmi_bigrams": (
+        "bigram explode + unigram explode → two count hash-aggs → two "
+        "count-keyed joins back + scalar-totals broadcast + TakeOrdered: "
+        "5 exchanges over a ~1 MB token stream, stages×floor at ~1.2 s "
+        "absolute (hovers around the 1.0 s auto-floor across runs). "
+        + _MULTI_STAGE
+    ),
     "tx5_tfidf_top_terms": (
         "token explode → tf agg → df agg → idf join → per-doc top-k "
         "window: 5 exchanges over a ~1 MB token stream, stages×floor "
