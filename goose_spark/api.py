@@ -45,8 +45,17 @@ def _retry_stale_listing(fn):
         try:
             return fn(self, *args, **kwargs)
         except Exception as exc:  # noqa: BLE001 — inspect and re-raise
+            # Spark spells the stale-listing failure FAILED_READ_FILE /
+            # java FileNotFoundException; the pyarrow-backed reads
+            # (workers registry, cron registry) surface the same
+            # transient race — a concurrent deregister/rewrite removing
+            # a just-listed file — as Python FileNotFoundError.
             msg = str(exc)
-            if "FAILED_READ_FILE" not in msg and "FileNotFoundException" not in msg:
+            if (
+                not isinstance(exc, FileNotFoundError)
+                and "FAILED_READ_FILE" not in msg
+                and "FileNotFoundException" not in msg
+            ):
                 raise
             return fn(self, *args, **kwargs)
 
@@ -317,8 +326,8 @@ class LedgerAPI:
     # (src/goose/brokers/redis/cron.clj:23-27,105-119: size / get / get-all /
     #  delete / purge)
 
-    @_retry_stale_listing
     def cron_size(self) -> int:
+        # no decorator: delegates to the already-retried cron_entries
         return len(self.cron_entries())
 
     @_retry_stale_listing
@@ -332,8 +341,8 @@ class LedgerAPI:
             return []
         return pq.read_table(path).to_pylist()
 
-    @_retry_stale_listing
     def cron_get(self, name: str) -> dict | None:
+        # no decorator: delegates to the already-retried cron_entries
         return next((e for e in self.cron_entries() if e["cron_name"] == name), None)
 
     def cron_delete(self, name: str) -> bool:

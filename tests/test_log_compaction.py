@@ -371,3 +371,27 @@ def test_api_read_retries_once_on_stale_listing(spark, ledger):
     api.state = broken_state
     with pytest.raises(RuntimeError, match="unrelated"):
         api.list_queues()
+
+
+def test_api_read_retries_on_python_filenotfound(spark, ledger, monkeypatch):
+    """The pyarrow-backed reads (workers registry, cron registry) hit
+    the same transient race as Spark reads but spell it as Python
+    FileNotFoundError (e.g. Handle.stop's deregister os.remove between
+    a listing and pq.read_table) — the retry must absorb that spelling
+    too (round-11 review finding)."""
+    from goose_spark.api import LedgerAPI
+    from goose_spark.streaming.heartbeat import ProcessRegistry
+
+    api = LedgerAPI(spark, ledger)
+    calls = []
+    real = ProcessRegistry.workers
+
+    def flaky(self):
+        calls.append(1)
+        if len(calls) == 1:
+            raise FileNotFoundError(2, "No such file or directory", "w.parquet")
+        return real(self)
+
+    monkeypatch.setattr(ProcessRegistry, "workers", flaky)
+    assert api.workers() == []  # retried through the deregister race
+    assert len(calls) == 2
