@@ -246,13 +246,11 @@ def ss6(spark: SparkSession, sf: str) -> DataFrame:
         "query_id long, qe array<double>",
     )
     ne = v.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
-    dot = F.aggregate(
-        F.zip_with("qe", "ne", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    from goose_spark.operators.similarity import _dot
+
+    cos = _dot("qe", "ne") / F.sqrt(
+        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("ne"), F.col("ne"))
     )
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    ))
-    cos = dot / (nrm(F.col("qe")) * nrm(F.col("ne")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         F.broadcast(cand.select("query_id", "neighbor_id"))

@@ -254,6 +254,11 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.99, _Q29_ACC).alias("_ap99"),
         F.count("*").alias("_n"),
     )
+    # materialize the 3-row aggregate ONCE: it feeds both the ranks
+    # broadcast and the final join, and column pruning makes the two
+    # subplans non-identical, so without this Spark re-runs the full
+    # exact-percentile aggregation (a whole extra lineitem pass)
+    agg = agg.localCheckpoint(eager=False)
     # Second pass: the approx value's exact rank interval [lt/n, le/n]
     # (lt = strictly-below count, le = at-or-below count). The value is a
     # valid q-quantile within rank error eps iff that interval intersects

@@ -85,7 +85,7 @@ def _coerce_log_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
     completes instead of killing the query. The column list is DERIVED
     from the integer-typed fields of the log schema, so a new nullable
     int column added to JOB_SCHEMA later is covered automatically."""
-    for name, _dtype in _int_log_fields():
+    for name in _int_log_fields():
         if name in pdf.columns and pdf[name].dtype.kind in ("f", "O"):
             col = pdf[name]
             # explicit object dtype up front — Series.map would re-infer
@@ -102,9 +102,12 @@ def _coerce_log_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
     return pdf
 
 
-def _int_log_fields() -> tuple[tuple[str, str], ...]:
-    """(column, pandas nullable dtype) for every integer field of the
-    ledger log schema — cached, it never changes within a process."""
+def _int_log_fields() -> tuple[str, ...]:
+    """Column names of every integer field of the ledger log schema —
+    cached, it never changes within a process. (Names only: the
+    coercion target is object dtype holding python ints + None; a
+    per-field extension dtype here would invite reintroducing the
+    non-Arrow-fallback crash this replaced.)"""
     global _INT_LOG_FIELDS
     if _INT_LOG_FIELDS is None:
         from pyspark.sql import types as T
@@ -112,14 +115,14 @@ def _int_log_fields() -> tuple[tuple[str, str], ...]:
         from goose_spark.streaming.ledger import Ledger
 
         _INT_LOG_FIELDS = tuple(
-            (f.name, "Int64" if isinstance(f.dataType, T.LongType) else "Int32")
+            f.name
             for f in Ledger._spark_log_schema().fields
             if isinstance(f.dataType, (T.IntegerType, T.LongType))
         )
     return _INT_LOG_FIELDS
 
 
-_INT_LOG_FIELDS: tuple[tuple[str, str], ...] | None = None
+_INT_LOG_FIELDS: tuple[str, ...] | None = None
 
 
 def _make_executor(retry_delay_fn: Callable[[int], int] | None, worker_id: str,

@@ -98,7 +98,17 @@ def _listing_ms(handle) -> float | None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # positional args = argv minus flags AND their values (a bare
+    # `--stall-sec 30` must not turn 30 into the duration)
+    _FLAGS_WITH_VALUES = {"--out", "--stall-sec", "--compact-every"}
+    args, _skip = [], False
+    for a in sys.argv[1:]:
+        if _skip:
+            _skip = False
+        elif a in _FLAGS_WITH_VALUES:
+            _skip = True
+        elif not a.startswith("--"):
+            args.append(a)
     duration = int(args[0]) if len(args) > 0 else 1800
     rate = int(args[1]) if len(args) > 1 else 50
     out_path = None
