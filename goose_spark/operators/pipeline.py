@@ -654,9 +654,11 @@ def sp15(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tok"),
     )
+    # w feeds both the totals and the final select; materialize the
+    # O(sources) rows once instead of re-running the token-count scan
     w = s.withColumn(
         "wt", F.round(F.sqrt(F.col("n_tok").cast("double")), 6).cast("decimal(18,6)")
-    )
+    ).localCheckpoint(eager=False)
     tot = w.agg(
         F.sum("wt").cast("decimal(18,6)").alias("tw"),
         F.sum("n_tok").cast("long").alias("tt"),

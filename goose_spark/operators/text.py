@@ -696,11 +696,17 @@ def tx18(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("p.a", "p.b")
     )
-    big = bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    # each count table feeds BOTH its total and the score joins; the
+    # lazy localCheckpoint computes the explode+agg once (q29's fix)
+    big = (
+        bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
     uni = (
         tk.select(F.explode("w").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("c").alias("t_tok")).crossJoin(
         big.agg(F.sum("c_ab").alias("t_big"))
@@ -831,18 +837,28 @@ def tx20(spark: SparkSession, sf: str) -> DataFrame:
     from goose_spark.operators.textlib import words
 
     d = t(spark, sf, "documents")
-    n = F.broadcast(d.agg((F.max("doc_id") + 1).alias("n")))
+    n = F.broadcast(d.agg((F.max("doc_id") + 1).alias("n")).localCheckpoint(eager=False))
     bucket = F.expr("(doc_id * 10) div n")
     tok = d.select(
         "doc_id", F.explode(words(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
     db = d.join(n).groupBy(bucket.alias("b")).agg(F.count("*").alias("d"))
-    tb = tok.join(n).groupBy(bucket.alias("b")).agg(F.count("*").alias("tk"))
+    # ONE pass over the token explode: per-(tok, bucket) counts carry
+    # everything both curves need — token volume per bucket (sum) and
+    # the first-occurrence bucket per type (min b == bucket of min
+    # doc_id, because the bucket expression is monotone in doc_id).
+    # O(vocab x 10) rows, materialized once.
+    tk1 = (
+        tok.join(n)
+        .groupBy("tok", bucket.alias("b"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tb = tk1.groupBy("b").agg(F.sum("c").alias("tk"))
     nb = (
-        tok.groupBy("tok")
-        .agg(F.min("doc_id").alias("fd"))
-        .join(n)
-        .groupBy(F.expr("(fd * 10) div n").alias("b"))
+        tk1.groupBy("tok")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
         .agg(F.count("*").alias("nt"))
     )
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
