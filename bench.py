@@ -61,6 +61,10 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # drop persist_shared() frames between queries (plans/guards.py):
+        # each query pays its own materialization, none leaks storage
+        # memory into the next one's measurement
+        spark.catalog.clearCache()
 
     ok = [v for v in timings.values() if v >= 0]
     full = {

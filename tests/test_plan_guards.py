@@ -152,3 +152,44 @@ def test_oversized_ingest_batch_degrades_to_shuffle(spark, tmp_path, monkeypatch
     assert got_stats == want_stats
     assert got_ids == want_ids
     assert want_stats["exact_dups"] == 1 and want_stats["contaminated"] >= 1
+
+
+def test_persist_shared_materializes_and_keeps_lineage(spark):
+    """persist_shared returns a cached, recomputable frame with the same
+    rows; bench/oracle-gate clearCache() between queries drops it."""
+    from goose_spark.plans.guards import persist_shared
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    out = persist_shared(df)
+    assert out.storageLevel.useMemory  # persisted, not checkpointed
+    assert out.count() == 100
+    # two consumers see consistent data from the one materialization
+    assert out.agg({"k": "sum"}).collect()[0][0] == 4950
+    spark.catalog.clearCache()
+    assert not out.storageLevel.useMemory or out.count() == 100
+
+
+def test_local_relation_roundtrip_and_cap(spark):
+    """local_relation rebuilds a tiny frame as a driver-local relation
+    (schema + values exact, incl. decimals) and REFUSES unbounded ones."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from goose_spark.plans.guards import local_relation
+
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("decimal(18,6)").alias("d"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    out = local_relation(df)
+    assert out.schema == df.schema
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+    # lineage cut: the plan is a driver-local row scan (LogicalRDD /
+    # LocalRelation), never the original lineage — consumers re-scan
+    # a handful of parallelized rows, not the upstream aggregation
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert any(s in plan for s in ("LocalRelation", "LocalTableScan", "LogicalRDD"))
+    assert "Range" not in plan
+    with pytest.raises(ValueError, match="exceeds"):
+        local_relation(spark.range(50), max_rows=10)

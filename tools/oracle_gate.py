@@ -64,6 +64,8 @@ def main() -> int:
         if status != "OK":
             bad.append(name)
             print(f"FAIL {name}: {status}")
+        # drop persist_shared() frames between queries (plans/guards.py)
+        spark.catalog.clearCache()
     print(f"checked {len(osql)} oracled queries, {len(bad)} failing")
     return 1 if bad else 0
 
