@@ -1,0 +1,76 @@
+"""Round-over-round bench regression gate (tools/bench_regression.py).
+
+VERDICT r11 directive #3: the gate must catch a deliberately-injected
+slowdown — a query whose wall-clock grows >2x at constant plan — while
+NOT flagging plan-changed rewrites, sub-floor jitter, or cross-sf runs.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from bench_regression import (  # noqa: E402
+    ABS_FLOOR_SEC,
+    RATIO_CAP,
+    compare,
+    plan_rows,
+)
+
+PLAN_A = "2 | 0 | 0 | 0 | yes | —"
+PLAN_B = "1 | 1 | 0 | 0 | yes | ArrowKernel"
+
+
+def _snap(queries, plans, sf="/root/testdata/sf0.1"):
+    return {"sf": sf, "queries": queries, "plans": plans, "value": sum(queries.values())}
+
+
+def test_injected_slowdown_is_caught():
+    base = _snap({"q_fast": 1.0, "q_ok": 3.0}, {"q_fast": PLAN_A, "q_ok": PLAN_A})
+    cur = _snap({"q_fast": 1.0, "q_ok": 3.0}, {"q_fast": PLAN_A, "q_ok": PLAN_A})
+    cur["queries"]["q_ok"] = 9.5  # the injected regression: 3.2x, same plan
+    fails, notes = compare(cur, base)
+    assert [f["query"] for f in fails] == ["q_ok"]
+    assert fails[0]["ratio"] > RATIO_CAP
+    assert not notes
+
+
+def test_plan_changed_rewrite_is_note_not_failure():
+    base = _snap({"q_rw": 2.0}, {"q_rw": PLAN_A})
+    cur = _snap({"q_rw": 6.0}, {"q_rw": PLAN_B})
+    fails, notes = compare(cur, base)
+    assert not fails
+    assert [n["query"] for n in notes] == ["q_rw"]
+
+
+def test_jitter_below_floor_and_new_queries_pass():
+    base = _snap({"q_tiny": 0.1}, {"q_tiny": PLAN_A})
+    # 5x ratio but +0.4 s absolute — under ABS_FLOOR_SEC, warm-JVM noise
+    cur = _snap({"q_tiny": 0.1 + ABS_FLOOR_SEC / 2, "q_new": 30.0},
+                {"q_tiny": PLAN_A, "q_new": PLAN_A})
+    fails, notes = compare(cur, base)
+    assert not fails and not notes
+
+
+def test_cross_sf_runs_do_not_compare():
+    base = _snap({"q": 1.0}, {"q": PLAN_A}, sf="/root/testdata/sf0.01")
+    cur = _snap({"q": 50.0}, {"q": PLAN_A}, sf="/root/testdata/sf0.1")
+    fails, notes = compare(cur, base)
+    assert not fails
+    assert notes and notes[0]["query"] == "<sf-mismatch>"
+
+
+def test_plan_rows_parse_real_plans_md():
+    rows = plan_rows()
+    assert len(rows) >= 150  # the full inventory is tabled
+    assert "dd1_exact_dedup" in rows
+
+
+def test_r11_seed_snapshot_is_valid():
+    with open("/root/repo/bench_history/bench_full_r11.json") as fh:
+        snap = json.load(fh)
+    assert snap["sf"] == "/root/testdata/sf0.1"
+    assert snap["queries"]["q29_approx_aggregates"] == 13.4183
+    assert snap["plans"]["q29_approx_aggregates"]
