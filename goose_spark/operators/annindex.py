@@ -533,14 +533,23 @@ def attach_index_stream(stream: DataFrame, index_dir: str, checkpoint: str,
 
 
 def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
-                       nprobe: int) -> DataFrame:
+                       nprobe: int, allowed: DataFrame | None = None) -> DataFrame:
     """The shared IVF serve stage: probes computed per Arrow batch (one
     matmul against the ≤k×dim broadcast centroid matrix), probed cells
     collected as a ≤k-value STATIC partition filter (guaranteed
     ``PartitionFilters`` pruning on the assignments scan), exact cosine
     within the pruned cells. Returns (query_id, qe, neighbor_id, ne,
     cos) unranked — ``_ranked_candidates`` adds the per-query top-k
-    window, ``ivf_range_search`` filters by threshold instead."""
+    window, ``ivf_range_search`` filters by threshold instead.
+
+    ``allowed`` (optional, one ``vec_id`` column) is the attribute
+    PRE-filter of filtered vector search (ss15/ss16): a semi-join
+    applied to the probed-cell read BEFORE any cosine is computed —
+    pre-filter semantics (filter, then rank), never post-filter (rank,
+    then drop, which silently returns < k and biased neighbors). At
+    100 TB the semi-join keys on the same vec_id the cells are stored
+    by, so the filter prunes candidates at the cell scan, and the
+    distance kernel only ever sees admissible vectors."""
     import numpy as np
 
     cent = (
@@ -562,6 +571,10 @@ def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
     # what guarantees partition pruning at ANY query volume
     probed = sorted({r["cluster"] for r in q_probes.select("cluster").distinct().collect()})
     cells = _live_cells(spark, index_dir, probed)
+    if allowed is not None:
+        # attribute pre-filter INSIDE the probed-cell read: candidates
+        # shrink before the distance kernel (ss16 filtered serve)
+        cells = cells.join(allowed.select("vec_id"), "vec_id", "left_semi")
     # the query-batch convention (≤ ~20k queries per serve call) is
     # ENFORCED here, not assumed: one limit-bounded count job sizes the
     # batch; an oversized batch drops the hints and degrades to the
@@ -593,12 +606,13 @@ def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
 
 
 def _ranked_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
-                       nprobe: int, limit: int) -> DataFrame:
+                       nprobe: int, limit: int,
+                       allowed: DataFrame | None = None) -> DataFrame:
     """``_scored_candidates`` + the per-query WindowGroupLimit rank ≤
     limit. Returns (query_id, qe, neighbor_id, ne, cos, rank)."""
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        _scored_candidates(spark, index_dir, queries, nprobe)
+        _scored_candidates(spark, index_dir, queries, nprobe, allowed=allowed)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= limit)
     )
@@ -639,12 +653,16 @@ def ivf_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
 
 
 def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
-                    nprobe: int = IVF_NPROBE, topk: int = TOP_K) -> DataFrame:
+                    nprobe: int = IVF_NPROBE, topk: int = TOP_K,
+                    allowed: DataFrame | None = None) -> DataFrame:
     """Top-k cosine neighbors for ``queries`` (``query_id``, ``qe``)
     against a built index — the shared ``_ranked_candidates`` serve
-    stage with the embeddings projected away."""
+    stage with the embeddings projected away. ``allowed`` turns it
+    into the FILTERED serve (ss16): the attribute predicate is a
+    semi-join inside the probed-cell read, before the distance kernel
+    (see ``_scored_candidates``)."""
     return (
-        _ranked_candidates(spark, index_dir, queries, nprobe, topk)
+        _ranked_candidates(spark, index_dir, queries, nprobe, topk, allowed=allowed)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
         .orderBy("query_id", "rank")
     )

@@ -592,3 +592,53 @@ def ss15(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ss16_filtered_ann_serve",
+    None,  # approximate (probed-cell candidates) — rows-only; recall
+    # parity vs the exact ss15 pinned in tests/test_similarity_ext.py
+    doc=f"FILTERED vector search SERVED FROM THE PERSISTED IVF INDEX — "
+        f"the ss9→ss12 / ss13→ss14 move repeated for ss15: the "
+        f"lang='{FILTER_LANG}' predicate becomes a vec_id semi-join "
+        f"applied INSIDE the probed-cell read (annindex._scored_"
+        f"candidates), so candidates shrink before any cosine is "
+        f"computed and the scan still partition-prunes to nprobe/k of "
+        f"the corpus. Pre-filter semantics exactly like ss15 (filter "
+        f"then rank — never rank-then-drop, which under-returns and "
+        f"biases); approximate exactly like ss5 (a true neighbor in an "
+        f"unprobed cell is missed; every returned cosine is exact). "
+        f"This is filtered ANN at the 100 TB shape — the production "
+        f"RAG feature (per-tenant / per-language / per-license corpus "
+        f"slices) served off one shared index instead of one index per "
+        f"predicate. ss15 is its exact cross-check (recall-parity ≥0.9 "
+        f"pinned in tests).",
+    tags=("llm", "similarity"),
+)
+def ss16(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    from goose_spark.operators.annindex import ivf_index_query
+
+    v = _embeddings(spark, sf)
+    allowed = (
+        t(spark, sf, "documents")
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    # selectivity-scaled probing (the filtered-search rule every vector
+    # store applies): a predicate keeping fraction s of the corpus
+    # thins each probed cell to ~s·|cell| admissible candidates, so
+    # matching the UNfiltered serve's candidate volume needs ~nprobe/s
+    # cells (capped at the index's k — a very selective predicate
+    # degrades to scanning all cells of the pruned column, which is
+    # exactly ss15's exact form). Two count() scalars, both metadata-
+    # cheap next to the serve itself.
+    n_all = v.count()
+    n_ok = max(allowed.count(), 1)
+    nprobe = min(IVF_K, math.ceil(IVF_NPROBE * n_all / n_ok))
+    idx = ivf_index_for(spark, sf)
+    return ivf_index_query(spark, idx, q, nprobe=nprobe, topk=TOP_K, allowed=allowed)

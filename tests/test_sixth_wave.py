@@ -117,3 +117,41 @@ def test_filtered_topk_is_prefilter_not_postfilter(spark):
         if r["neighbor_id"] in en:
             post.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert any(len(v) < TOP_K for v in post.values())
+
+
+def test_ss16_filtered_serve_parity_and_semantics(spark):
+    """ss16 (index-side filtered serve) vs the exact ss15: recall
+    parity >= 0.9 per the ss12/ss14 convention, every neighbor
+    satisfies the predicate (pre-filter semantics survive the probed-
+    cell read), schema identical, and each query returns a full
+    rank 1..k run (contiguous ranks — the window runs AFTER the
+    filter, so approximation loses candidates, never rank slots)."""
+    from goose_spark.operators.similarity import FILTER_LANG, TOP_K
+
+    en = {
+        r["doc_id"]
+        for r in t(spark, SF_CORRECT, "documents")
+        .filter(F.col("lang") == FILTER_LANG).select("doc_id").collect()
+    }
+    exact = REG["ss15_filtered_topk"].builder(spark, SF_CORRECT).collect()
+    served = REG["ss16_filtered_ann_serve"].builder(spark, SF_CORRECT).collect()
+    assert {f.name for f in REG["ss16_filtered_ann_serve"]
+            .builder(spark, SF_CORRECT).schema} == {
+        "query_id", "neighbor_id", "rank", "score"}
+
+    per_q: dict = {}
+    for r in served:
+        assert r["neighbor_id"] in en
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+
+    want: dict = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in served:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.9, f"filtered-serve recall parity {hits}/{total}"
