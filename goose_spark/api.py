@@ -27,6 +27,35 @@ from goose_spark.streaming.ledger import Ledger
 PAGE_SIZE = 10  # src/goose/defaults.clj:82
 
 
+def _is_stale_listing(exc: Exception) -> bool:
+    """Typed-first detection of the stale-file-listing race.
+
+    The pyarrow-backed reads (workers registry, cron registry) surface
+    a concurrent deregister/rewrite removing a just-listed file as
+    Python ``FileNotFoundError``; Spark raises a typed
+    ``PySparkException`` whose error class is ``FAILED_READ_FILE.*``
+    (``FILE_NOT_EXIST`` being the compaction spelling). The substring
+    check stays only as the fallback for wrapped/java-side forms
+    (Py4JJavaError nesting a ``FileNotFoundException``) whose error
+    class is not surfaced — matching types first keeps the check
+    stable across Spark versions and message locales."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    try:
+        from pyspark.errors import PySparkException
+
+        if isinstance(exc, PySparkException):
+            ec = exc.getErrorClass() or ""
+            if ec.startswith("FAILED_READ_FILE"):
+                return True
+            # fall through: a generic error class can still nest a
+            # java FileNotFoundException cause in its message
+    except ImportError:  # pragma: no cover — pyspark always present here
+        pass
+    msg = str(exc)
+    return "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg
+
+
 def _retry_stale_listing(fn):
     """Retry a read-only API method ONCE when a live ``compact_log``
     fold deleted a raw log file between this read's file listing and
@@ -45,17 +74,7 @@ def _retry_stale_listing(fn):
         try:
             return fn(self, *args, **kwargs)
         except Exception as exc:  # noqa: BLE001 — inspect and re-raise
-            # Spark spells the stale-listing failure FAILED_READ_FILE /
-            # java FileNotFoundException; the pyarrow-backed reads
-            # (workers registry, cron registry) surface the same
-            # transient race — a concurrent deregister/rewrite removing
-            # a just-listed file — as Python FileNotFoundError.
-            msg = str(exc)
-            if (
-                not isinstance(exc, FileNotFoundError)
-                and "FAILED_READ_FILE" not in msg
-                and "FileNotFoundException" not in msg
-            ):
+            if not _is_stale_listing(exc):
                 raise
             return fn(self, *args, **kwargs)
 

@@ -431,7 +431,8 @@ class Worker:
                 ):
                     last_fold = _t.monotonic()
                     try:
-                        # MUST hold the micro-batch lock: the fold's
+                        # The fold's PUBLISH (raw-file deletes) must
+                        # hold the micro-batch lock: the fold's
                         # committed-files rule makes it invisible to the
                         # STREAMING read, but _for_each_batch also runs
                         # driver-side BATCH reads over the log dir
@@ -440,12 +441,17 @@ class Worker:
                         # time — a fold deleting a listed raw file
                         # mid-batch kills the stream with
                         # FAILED_READ_FILE (found by the round-11
-                        # 750 jobs/s stress soak at minute 14).
-                        with self._lock:
-                            self.ledger.compact_log(
-                                self.spark,
-                                compact_checkpoints or [self.checkpoint_dir],
-                            )
+                        # 750 jobs/s stress soak at minute 14). Only
+                        # the publish is serialized (publish_lock):
+                        # the BUILD reads immutable committed files and
+                        # runs lock-free, so triggers stall for a file
+                        # rename+delete, not the whole Spark fold (the
+                        # r11 shape stalled every trigger ~6.3 s).
+                        self.ledger.compact_log(
+                            self.spark,
+                            compact_checkpoints or [self.checkpoint_dir],
+                            publish_lock=self._lock,
+                        )
                     except Exception:  # noqa: BLE001 — fold is best-effort
                         pass
 

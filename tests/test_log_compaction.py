@@ -299,7 +299,10 @@ def test_live_fold_serializes_with_the_micro_batch_lock(spark, ledger):
     before the fold. The fix: the ticker runs compact_log under the
     worker's micro-batch RLock. This test pins the serialization —
     while another thread holds the lock, a due fold must NOT run; it
-    runs after release."""
+    runs after release. Since the build/publish split, the contract is
+    scoped to folds that PUBLISH (delete raw files): the lock-free
+    build may run and a no-op fold may return while the lock is held —
+    neither touches any file a batch read could have listed."""
     import threading
     import time
 
@@ -313,6 +316,10 @@ def test_live_fold_serializes_with_the_micro_batch_lock(spark, ledger):
     real = ledger.compact_log
 
     def counting_fold(*a, **k):
+        # the ticker calls with production defaults (min_files=64);
+        # force a real, publishing fold so the serialization is exercised
+        k.setdefault("min_files", 5)
+        k.setdefault("keep_recent", 4)
         stats = real(*a, **k)
         folds.append(stats)
         return stats
@@ -331,12 +338,13 @@ def test_live_fold_serializes_with_the_micro_batch_lock(spark, ledger):
             compact_checkpoints=[worker.checkpoint_dir],
         )
         time.sleep(1.5)
-        assert folds == []  # fold blocked on the lock — never ran
+        # no PUBLISHING fold completed — the deletes blocked on the lock
+        assert [f for f in folds if f["folded"]] == []
     deadline = time.time() + 10
-    while not folds and time.time() < deadline:
+    while not any(f["folded"] for f in folds) and time.time() < deadline:
         time.sleep(0.1)
     handle.stop()
-    assert folds, "fold never ran after the lock was released"
+    assert any(f["folded"] for f in folds), "fold never published after release"
 
 
 def test_api_read_retries_once_on_stale_listing(spark, ledger):
@@ -395,3 +403,81 @@ def test_api_read_retries_on_python_filenotfound(spark, ledger, monkeypatch):
     monkeypatch.setattr(ProcessRegistry, "workers", flaky)
     assert api.workers() == []  # retried through the deregister race
     assert len(calls) == 2
+
+
+def test_is_stale_listing_matches_typed_error_class():
+    """_is_stale_listing matches PySparkException by ERROR CLASS first
+    (stable across Spark versions/locales), keeps the substring check
+    only as the nested-java fallback, and rejects unrelated typed
+    errors even when their message mentions files."""
+    from pyspark.errors import AnalysisException
+
+    from goose_spark.api import _is_stale_listing
+
+    assert _is_stale_listing(FileNotFoundError("gone.parquet"))
+    # typed: error class carries the contract, message needn't
+    assert _is_stale_listing(
+        AnalysisException("localized message", errorClass="FAILED_READ_FILE.FILE_NOT_EXIST")
+    )
+    # typed but unrelated class, message mentions a file — NOT matched
+    assert not _is_stale_listing(
+        AnalysisException("cannot resolve column in file foo.parquet",
+                          errorClass="UNRESOLVED_COLUMN")
+    )
+    # untyped java-side nesting still caught by the fallback
+    assert _is_stale_listing(
+        RuntimeError("java.io.FileNotFoundException: part-0000.parquet")
+    )
+    assert not _is_stale_listing(RuntimeError("unrelated failure"))
+
+
+def test_fold_build_runs_outside_the_publish_lock(spark, ledger):
+    """The fold's expensive BUILD (Spark read + staged generation
+    write) must complete BEFORE publish_lock is acquired; the critical
+    section is only the manifest publish + deletes. This is what keeps
+    trigger stalls at file-metadata cost instead of the whole fold
+    duration (the r11 shape stalled every trigger ~6.3 s), and it also
+    pins max_files as the per-fold slice bound."""
+    client = JobClient(ledger)
+    for i in range(30):
+        client.perform_async("noop", i)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    worker.process_available()
+
+    events: list[str] = []
+
+    class SpyLock:
+        def __enter__(self):
+            staged = glob.glob(os.path.join(ledger.root, ".compact-*", "*.parquet"))
+            events.append("acquire-staged" if staged else "acquire-UNSTAGED")
+
+        def __exit__(self, *a):
+            events.append("release")
+            return False
+
+    real_apply = ledger._apply_manifest
+
+    def spy_apply(*a, **k):
+        events.append("apply")
+        return real_apply(*a, **k)
+
+    ledger._apply_manifest = spy_apply
+    stats = ledger.compact_log(
+        spark, [worker.checkpoint_dir], min_files=5, keep_recent=4,
+        max_files=12, publish_lock=SpyLock(),
+    )
+    assert stats["folded"] == 12  # max_files bounds one fold's slice
+    # build finished (staging populated) before the lock was taken, and
+    # the publish happened inside the critical section
+    assert events == ["acquire-staged", "apply", "release"]
+
+    # the remaining backlog drains on the next fold invocation
+    stats2 = ledger.compact_log(
+        spark, [worker.checkpoint_dir], min_files=5, keep_recent=4,
+        max_files=100, publish_lock=SpyLock(),
+    )
+    assert stats2["folded"] > 0
+    after = sorted(
+        (r["id"], r["status"]) for r in ledger.state(spark).collect()
+    )
+    assert len(after) == 30  # state intact across both sliced folds

@@ -98,30 +98,25 @@ def _listing_ms(handle) -> float | None:
 
 
 def main() -> None:
-    # positional args = argv minus flags AND their values (a bare
-    # `--stall-sec 30` must not turn 30 into the duration)
-    _FLAGS_WITH_VALUES = {"--out", "--stall-sec", "--compact-every"}
-    args, _skip = [], False
-    for a in sys.argv[1:]:
-        if _skip:
-            _skip = False
-        elif a in _FLAGS_WITH_VALUES:
-            _skip = True
-        elif not a.startswith("--"):
-            args.append(a)
-    duration = int(args[0]) if len(args) > 0 else 1800
-    rate = int(args[1]) if len(args) > 1 else 50
-    out_path = None
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
-    stall_sec = (
-        int(sys.argv[sys.argv.index("--stall-sec") + 1])
-        if "--stall-sec" in sys.argv else 0
-    )
-    compact_every = (
-        int(sys.argv[sys.argv.index("--compact-every") + 1])
-        if "--compact-every" in sys.argv else 60
-    )
+    # argparse declares every flag exactly once — a value-taking flag
+    # can no longer silently leak its value into the positionals (the
+    # bug class the old hand-rolled _FLAGS_WITH_VALUES set re-created
+    # every time a new flag was added in one place but not the other)
+    import argparse
+
+    ap = argparse.ArgumentParser(description="ledger/worker soak harness")
+    ap.add_argument("duration", nargs="?", type=int, default=1800,
+                    help="soak wall-clock seconds")
+    ap.add_argument("rate", nargs="?", type=int, default=50,
+                    help="offered enqueue load, jobs/sec")
+    ap.add_argument("--out", default=None, help="JSON results path")
+    ap.add_argument("--stall-sec", type=int, default=0,
+                    help="induce a worker stall of this length mid-soak")
+    ap.add_argument("--compact-every", type=int, default=60,
+                    help="live log-fold interval sec (0 disables)")
+    ns = ap.parse_args()
+    duration, rate = ns.duration, ns.rate
+    out_path, stall_sec, compact_every = ns.out, ns.stall_sec, ns.compact_every
 
     from goose_spark.api import LedgerAPI
     from goose_spark.client import JobClient
