@@ -687,3 +687,125 @@ def sp15(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# sp16 — temperature-mixture MATERIALIZATION (the sampled corpus itself)
+# ---------------------------------------------------------------------------
+
+#: Fraction of total corpus tokens the materialized mixture targets.
+#: A fraction (not an absolute budget) keeps the op meaningful at every
+#: SF: the per-source rate is alloc_i / n_tok_i with alloc_i distributed
+#: by the sp15 temperature rule over SAMPLE_FRAC x total tokens.
+SAMPLE_FRAC = 0.35
+
+_SP16_ORACLE = f"""
+WITH s AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+                       AS BIGINT) AS n_tok
+           FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, n_tok,
+             CAST(ROUND(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wt
+      FROM s),
+tot AS (SELECT CAST(SUM(wt) AS DECIMAL(18,6)) AS tw,
+               CAST(SUM(n_tok) AS BIGINT) AS tt FROM w),
+r AS (SELECT source, n_docs, n_tok,
+             CAST(FLOOR(({SAMPLE_FRAC} * tt * CAST(wt AS DOUBLE))
+                        / CAST(tw AS DOUBLE)) AS BIGINT) AS target_tokens
+      FROM w, tot),
+r2 AS (SELECT *, LEAST(1.0, CAST(target_tokens AS DOUBLE) / n_tok) AS rate
+       FROM r),
+samp AS (
+  SELECT d.source,
+         len(string_split_regex(lower(d.text), '\\s+')) AS tk
+  FROM documents d JOIN r2 USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        < FLOOR(rate * 65536)),
+g AS (SELECT source, COUNT(*) AS n_sampled,
+             CAST(SUM(tk) AS BIGINT) AS sampled_tokens
+      FROM samp GROUP BY source)
+SELECT r2.source, r2.n_docs AS n_docs_in,
+       CAST(COALESCE(g.n_sampled, 0) AS BIGINT) AS n_sampled,
+       r2.target_tokens,
+       CAST(COALESCE(g.sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+       ROUND(rate, 6) AS rate
+FROM r2 LEFT JOIN g USING (source) ORDER BY source"""
+
+
+@register(
+    "sp16_mixture_materialize",
+    _SP16_ORACLE,
+    doc=f"MATERIALIZE the sp15 temperature mixture: per-source doc "
+        f"sampling at rate alloc_i/n_tok_i, where alloc_i distributes "
+        f"{SAMPLE_FRAC} x total corpus tokens by the alpha=0.5 "
+        f"temperature rule — the op that turns sp15's budget TABLE "
+        f"into the training corpus itself. Membership is the portable "
+        f"md5 threshold (first 4 hex chars as a 16-bit uniform u; keep "
+        f"iff u < floor(rate*65536)), so the same doc set falls out of "
+        f"any engine, any run — reproducible subsets are the point. "
+        f"Scale shape: one O(sources) agg (collected like sp15 — "
+        f"bounded by the source enum), the tiny rate table broadcast "
+        f"back onto the scan, the sample predicate evaluated map-side "
+        f"inside codegen (no doc-level shuffle anywhere), and one "
+        f"final per-source agg over surviving rows. At 100 TB the "
+        f"sample IS the filter pushed through the scan: ~{SAMPLE_FRAC}"
+        f" of bytes ever leave the mappers. Exact hash-match oracle: "
+        f"identical md5 hex, identical IEEE double rate arithmetic, "
+        f"identical floor on both engines.",
+    tags=("llm", "pipeline"),
+)
+def sp16(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = local_relation(
+        s.withColumn(
+            "wt",
+            F.round(F.sqrt(F.col("n_tok").cast("double")), 6).cast("decimal(18,6)"),
+        )
+    )
+    tot = w.agg(
+        F.sum("wt").cast("decimal(18,6)").alias("tw"),
+        F.sum("n_tok").cast("long").alias("tt"),
+    )
+    # mirrors the oracle's op order exactly: (frac * tt * wt) / tw,
+    # floored; then rate = least(1, target / n_tok) — IEEE-identical
+    r2 = w.join(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tok",
+        F.floor(
+            (F.lit(SAMPLE_FRAC) * F.col("tt") * F.col("wt").cast("double"))
+            / F.col("tw").cast("double")
+        ).cast("long").alias("target_tokens"),
+    ).withColumn(
+        "rate",
+        F.least(F.lit(1.0), F.col("target_tokens").cast("double") / F.col("n_tok")),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10,
+    ).cast("long")
+    g = (
+        d.join(
+            F.broadcast(r2.select("source", "rate")), "source"
+        )
+        .filter(u < F.floor(F.col("rate") * 65536))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(token_count_ws(F.col("text"))).cast("long").alias("sampled_tokens"),
+        )
+    )
+    return (
+        r2.join(g, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").alias("n_docs_in"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            "target_tokens",
+            F.coalesce("sampled_tokens", F.lit(0)).cast("long").alias("sampled_tokens"),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
