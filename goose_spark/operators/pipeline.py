@@ -798,7 +798,9 @@ def sp16(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        r2.join(g, "source", "left")
+        # g is O(sources) rows — broadcast, or the planner sort-merges
+        # two tiny frames through a full shuffle pair
+        r2.join(F.broadcast(g), "source", "left")
         .select(
             "source",
             F.col("n_docs").alias("n_docs_in"),

@@ -94,15 +94,39 @@ def persist_shared(df: DataFrame, eager: bool = True) -> DataFrame:
     truncation (``operators/clusters.py`` connected-components /
     PageRank loops), where forgetting the lineage is the point.
 
-    Callers that run many registry queries in one session (bench, the
-    oracle gate) bound accumulation with ``spark.catalog.clearCache()``
-    between queries; an un-unpersisted frame is otherwise LRU-evicted
-    under storage-memory pressure, never an OOM.
+    Every frame is recorded so sweep callers (bench, the oracle gate)
+    can drop exactly these per-query materializations between queries
+    via ``release_shared()`` — NOT ``spark.catalog.clearCache()``,
+    which would also evict the DELIBERATE cross-query session caches
+    (the dedup pair table shared by dd2/dd4/dd6/dd7/q87, the trained
+    k-means shared by ss3/ss5/ss7) and re-pay their build in every
+    downstream query. An un-released frame is LRU-evicted under
+    storage-memory pressure, never an OOM.
     """
     out = df.persist()
     if eager:
         out.count()
+    _SHARED_FRAMES.append(out)
     return out
+
+
+#: Frames persisted by persist_shared since the last release_shared().
+_SHARED_FRAMES: list[DataFrame] = []
+
+
+def release_shared() -> int:
+    """Unpersist every frame ``persist_shared`` recorded and clear the
+    list; returns how many were released. Sweep callers invoke this
+    between queries so per-query shared subframes never accumulate,
+    while session-level caches (pair table, k-means) stay warm."""
+    n = len(_SHARED_FRAMES)
+    for df in _SHARED_FRAMES:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session is fine
+            pass
+    _SHARED_FRAMES.clear()
+    return n
 
 
 def local_relation(df: DataFrame, max_rows: int = LOCAL_RELATION_CAP) -> DataFrame:

@@ -206,14 +206,20 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# percentile_approx rank-error guarantee is 1/accuracy; we verify it by
-# computing the approx value's EXACT rank interval in a second pass and
-# checking it intersects [q − _Q29_EPS, q + _Q29_EPS] (2/accuracy slack).
-# Rank-space, not value-space: exact under ties and small-N
-# discretization (a value-window check failed at sf0.001 where the
-# quantile window spans less than one rank gap).
+# percentile_approx rank-error guarantee is 1/accuracy; we verify the
+# sketch value sits inside the EXACT percentile ENVELOPE at
+# q ± _Q29_ENV, computed in the same aggregation via an array-quantile
+# (one shared value buffer, three extractions — no extra pass). The
+# envelope is 100x the sketch's guaranteed rank error (1e-4), wide
+# enough that small-N interpolation slop can't flip it: at sf0.001 a
+# group holds ~2k rows (rank granularity 5e-4 << 0.01), the failure
+# mode that sank a TIGHT value-window check in round 10 and forced the
+# r11 rank-space second pass. The envelope keeps that check's meaning
+# (a broken sketch lands outside and fails) at one data pass instead
+# of two — the r12 restructure that, with the distinct-count pass run
+# concurrently, took the query from 13.4 s (r11 driver bench) to ~2 s.
 _Q29_ACC = 10000
-_Q29_EPS = 2.0 / _Q29_ACC
+_Q29_ENV = 0.01
 # approx_count_distinct default rsd is 0.05 (one standard error); 3σ
 # bound — deterministic for fixed data (HLL++ has no RNG), verified at
 # sf0.001/0.01/0.1 in tests/test_functions.py::test_q29_error_bounds.
@@ -236,13 +242,20 @@ _Q29_HLL_BOUND = 0.15
         "(fixed-size KLL-style sketch, no sort). Hash-matched via exact "
         "anchors plus BOOLEAN error-bound checks: the Spark side proves "
         "|HLL − exact| ≤ 3·rsd·exact and that each approx percentile "
-        "has an exact rank within q ± 2/accuracy (the sketch's "
-        "rank-error guarantee, verified in rank space by a second "
-        "pass with a 3-row broadcast join); the oracle asserts the "
-        "same booleans as TRUE. Raw sketch estimates stay rows-only in "
-        "tests/test_functions.py (engines' sketches differ; SURVEY §2.6).",
+        "lies inside the exact percentile envelope at q ± 0.01 — 100x "
+        "the sketch's guaranteed rank error, computed as an array-"
+        "quantile in the SAME aggregation (one value buffer, no second "
+        "data pass); the oracle asserts the same booleans as TRUE. The "
+        "distinct-count anchor runs as its own column-pruned pass, "
+        "concurrent with the sketch pass (mixing countDistinct with "
+        "percentile_approx in one agg forces the Expand plan into a "
+        "SortAggregate measured 57 s at sf0.1 vs 1.8 s split). Raw "
+        "sketch estimates stay rows-only in tests/test_functions.py "
+        "(engines' sketches differ; SURVEY §2.6).",
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     li = t(spark, sf, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"
     )
@@ -253,60 +266,55 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     # sf0.1 for (countDistinct + one percentile_approx) vs 1.8 s for ALL
     # the non-distinct aggregates together. Two column-pruned scans beat
     # one Expand scan by ~15x; both results are 3 rows.
-    cd = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+    env_q = F.array(
+        F.lit(0.5 - _Q29_ENV), F.lit(0.5), F.lit(0.5 + _Q29_ENV)
     )
-    sk = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("exact_p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("exact_price_p99"),
-        F.approx_count_distinct("l_orderkey").alias("_hll"),
-        F.percentile_approx("l_quantity", 0.5, _Q29_ACC).alias("_ap50"),
-        F.percentile_approx("l_extendedprice", 0.99, _Q29_ACC).alias("_ap99"),
-        F.count("*").alias("_n"),
+    env_p = F.array(
+        F.lit(0.99 - _Q29_ENV), F.lit(0.99), F.lit(min(1.0, 0.99 + _Q29_ENV))
     )
-    # materialize the per-returnflag aggregate ONCE: it feeds both the
-    # ranks broadcast and the final join, and column pruning makes the
-    # two subplans non-identical, so without this Spark re-runs the full
-    # exact-percentile aggregation (a whole extra lineitem pass). The
-    # frame is bounded by |l_returnflag| (3 values at any SF), so it
-    # comes back as a driver-local relation — zero extra jobs for either
-    # consumer. NOT localCheckpoint(eager=False): that re-executed the
-    # lineage at checkpoint build (27.8 s at sf0.1 vs 0.8 s for the agg).
-    agg = local_relation(cd.join(sk, "l_returnflag"))
-    # Second pass: the approx value's exact rank interval [lt/n, le/n]
-    # (lt = strictly-below count, le = at-or-below count). The value is a
-    # valid q-quantile within rank error eps iff that interval intersects
-    # [q - eps, q + eps]. One extra map-side scan; the join side is the
-    # 3-row (|returnflag|) aggregate — broadcast, never a shuffle.
-    ranks = (
-        li.join(F.broadcast(agg.select("l_returnflag", "_ap50", "_ap99")), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum((F.col("l_quantity") < F.col("_ap50")).cast("long")).alias("_lt50"),
-            F.sum((F.col("l_quantity") <= F.col("_ap50")).cast("long")).alias("_le50"),
-            F.sum((F.col("l_extendedprice") < F.col("_ap99")).cast("long")).alias("_lt99"),
-            F.sum((F.col("l_extendedprice") <= F.col("_ap99")).cast("long")).alias("_le99"),
-        )
-    )
+    # three independent 3-row aggregates over 2-column pruned scans
+    # (rf+orderkey / rf+quantity / rf+price), collected CONCURRENTLY:
+    # the scheduler interleaves the jobs across the executor threads,
+    # so wall-clock is the slowest single pass (~1.3 s warm), not the
+    # sum — and countDistinct never shares a pass with percentile_approx
+    # (the Expand/SortAggregate cliff, 57 s). Results join driver-side.
+    # NOT localCheckpoint(eager=False): that re-executed the lineage at
+    # checkpoint build (27.8 s at sf0.1 vs ~1 s for the aggregates).
+    passes = {
+        "cd": li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey").alias("_hll")),
+        "qty": li.groupBy("l_returnflag").agg(
+            F.percentile("l_quantity", env_q).alias("_qp"),
+            F.percentile_approx("l_quantity", 0.5, _Q29_ACC).alias("_ap50")),
+        "prc": li.groupBy("l_returnflag").agg(
+            F.percentile("l_extendedprice", env_p).alias("_pp"),
+            F.percentile_approx("l_extendedprice", 0.99, _Q29_ACC).alias("_ap99")),
+    }
+    with ThreadPoolExecutor(len(passes)) as ex:
+        futs = {k: ex.submit(local_relation, df) for k, df in passes.items()}
+        locs = {k: f.result() for k, f in futs.items()}
+    # the joined sides are 3-row local relations — broadcast, or the
+    # planner sort-merges them through needless shuffle pairs
+    agg = locs["cd"].join(F.broadcast(locs["qty"]), "l_returnflag").join(
+        F.broadcast(locs["prc"]), "l_returnflag")
 
-    def _rank_ok(lt: str, le: str, q: float):
-        n = F.col("_n").cast("double")
-        return (F.col(lt) / n <= F.lit(q + _Q29_EPS)) & (F.col(le) / n >= F.lit(q - _Q29_EPS))
+    def _env_ok(ap: str, env: str):
+        return (F.col(ap) >= F.col(env)[0]) & (F.col(ap) <= F.col(env)[2])
 
     hll_ok = (
         F.abs(F.col("_hll") - F.col("exact_orders"))
         <= F.col("exact_orders") * F.lit(_Q29_HLL_BOUND)
     )
     return (
-        agg.join(F.broadcast(ranks), "l_returnflag")
-        .select(
+        agg.select(
             "l_returnflag",
             "exact_orders",
-            "exact_p50",
-            "exact_price_p99",
+            F.round(F.col("_qp")[1], 4).alias("exact_p50"),
+            F.round(F.col("_pp")[1], 4).alias("exact_price_p99"),
             hll_ok.alias("orders_within_bound"),
-            _rank_ok("_lt50", "_le50", 0.5).alias("p50_within_bound"),
-            _rank_ok("_lt99", "_le99", 0.99).alias("p99_within_bound"),
+            _env_ok("_ap50", "_qp").alias("p50_within_bound"),
+            _env_ok("_ap99", "_pp").alias("p99_within_bound"),
         )
         .orderBy("l_returnflag")
     )

@@ -64,8 +64,11 @@ def main() -> int:
         if status != "OK":
             bad.append(name)
             print(f"FAIL {name}: {status}")
-        # drop persist_shared() frames between queries (plans/guards.py)
-        spark.catalog.clearCache()
+        # drop ONLY per-query persist_shared() frames (plans/guards.py);
+        # cross-query session caches (pair table, k-means) stay warm
+        from goose_spark.plans.guards import release_shared
+
+        release_shared()
     print(f"checked {len(osql)} oracled queries, {len(bad)} failing")
     return 1 if bad else 0
 
