@@ -156,7 +156,7 @@ def test_oversized_ingest_batch_degrades_to_shuffle(spark, tmp_path, monkeypatch
 
 def test_persist_shared_materializes_and_keeps_lineage(spark):
     """persist_shared returns a cached, recomputable frame with the same
-    rows; bench/oracle-gate clearCache() between queries drops it."""
+    rows; sweep callers drop it between queries via release_shared()."""
     from goose_spark.plans.guards import persist_shared
 
     df = spark.range(100).withColumnRenamed("id", "k")
@@ -193,3 +193,21 @@ def test_local_relation_roundtrip_and_cap(spark):
     assert "Range" not in plan
     with pytest.raises(ValueError, match="exceeds"):
         local_relation(spark.range(50), max_rows=10)
+
+
+def test_release_shared_drops_only_tracked_frames(spark):
+    """release_shared unpersists exactly the persist_shared frames —
+    session-level caches other code persisted deliberately (the dedup
+    pair table, trained k-means) survive a sweep's between-query
+    cleanup."""
+    from goose_spark.plans.guards import persist_shared, release_shared
+
+    release_shared()  # drain anything earlier tests recorded
+    session_cache = spark.range(50).persist()
+    session_cache.count()
+    tracked = persist_shared(spark.range(20))
+    assert release_shared() == 1
+    assert not tracked.storageLevel.useMemory
+    assert session_cache.storageLevel.useMemory  # untouched
+    session_cache.unpersist()
+    assert release_shared() == 0  # list drained
