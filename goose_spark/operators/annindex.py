@@ -619,7 +619,8 @@ def _ranked_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
 
 
 def ivf_range_search(spark: SparkSession, index_dir: str, queries: DataFrame,
-                     tau: float, nprobe: int = IVF_NPROBE) -> DataFrame:
+                     tau: float, nprobe: int = IVF_NPROBE,
+                     allowed: DataFrame | None = None) -> DataFrame:
     """RANGE search against a built index: every indexed vector with
     cosine ≥ ``tau`` of each query — the radius twin of the top-k serve
     path (FAISS ``range_search``). Same partition-pruned read and exact
@@ -631,9 +632,11 @@ def ivf_range_search(spark: SparkSession, index_dir: str, queries: DataFrame,
 
     Approximate exactly like top-k: a true neighbor assigned to an
     unprobed cell is missed (recall-tested); every RETURNED cosine is
-    exact full-precision (exactness-tested)."""
+    exact full-precision (exactness-tested). ``allowed`` adds the
+    attribute pre-filter inside the probed-cell read (ss17), exactly
+    as in ``ivf_index_query``."""
     return (
-        _scored_candidates(spark, index_dir, queries, nprobe)
+        _scored_candidates(spark, index_dir, queries, nprobe, allowed=allowed)
         .filter(F.col("cos") >= tau)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("score"))
         .orderBy("query_id", F.col("score").desc(), "neighbor_id")

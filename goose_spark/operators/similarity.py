@@ -642,3 +642,41 @@ def ss16(spark: SparkSession, sf: str) -> DataFrame:
     nprobe = min(IVF_K, math.ceil(IVF_NPROBE * n_all / n_ok))
     idx = ivf_index_for(spark, sf)
     return ivf_index_query(spark, idx, q, nprobe=nprobe, topk=TOP_K, allowed=allowed)
+
+
+@register(
+    "ss17_filtered_range_search",
+    None,  # approximate (probed-cell recall) — rows-only; parity vs
+    # the exact filtered range scan pinned in tests/test_sixth_wave.py
+    doc=f"FILTERED range search over the persisted IVF index — the "
+        f"last cell of the serve matrix (top-k/range x unfiltered/"
+        f"filtered): every indexed vector with cosine ≥ {RANGE_TAU} of "
+        f"each query AND lang='{FILTER_LANG}', the predicate applied "
+        f"as a vec_id semi-join inside the probed-cell read before any "
+        f"cosine (pre-filter semantics, same seam as ss16) with "
+        f"selectivity-scaled probing. Answer-bound like ss11 — the "
+        f"'everything this similar among admissible docs' shape that "
+        f"per-license / per-language near-dup retrieval needs. "
+        f"Returned cosines exact; only cell recall approximate.",
+    tags=("llm", "similarity"),
+)
+def ss17(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    from goose_spark.operators.annindex import ivf_range_search
+
+    v = _embeddings(spark, sf)
+    allowed = (
+        t(spark, sf, "documents")
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    n_all = v.count()
+    n_ok = max(allowed.count(), 1)
+    nprobe = min(IVF_K, math.ceil(IVF_NPROBE * n_all / n_ok))
+    idx = ivf_index_for(spark, sf)
+    return ivf_range_search(spark, idx, q, tau=RANGE_TAU, nprobe=nprobe,
+                            allowed=allowed)

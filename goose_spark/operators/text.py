@@ -958,3 +958,76 @@ def tx21(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx22 — OOV rate against the top-V corpus vocabulary (quality signal)
+# ---------------------------------------------------------------------------
+
+#: Vocabulary size the OOV rate is measured against. Rank cut is
+#: deterministic in both engines: ORDER BY count DESC, token ASC.
+VOCAB_V = 1000
+
+_TX22_ORACLE = rf"""
+WITH toks AS (
+  SELECT lang, source, unnest(list_filter({_WORDS}, x -> x <> '')) AS tok
+  FROM documents),
+vc AS (SELECT tok FROM (
+         SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+         ORDER BY c DESC, tok LIMIT {VOCAB_V})),
+f AS (SELECT lang, source, tok,
+             CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks LEFT JOIN vc USING (tok))
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate,
+       CAST(COUNT(DISTINCT CASE WHEN oov = 1 THEN tok END) AS BIGINT)
+         AS oov_types
+FROM f GROUP BY lang, source ORDER BY lang, source"""
+
+
+@register(
+    "tx22_oov_rate",
+    _TX22_ORACLE,
+    doc=f"Out-of-vocabulary rate per (lang, source) against the top-"
+        f"{VOCAB_V} corpus vocabulary — the CCNet/Gopher-style quality "
+        f"signal (a slice whose tokens mostly miss the head vocabulary "
+        f"is boilerplate, code, or noise; one at ~0 adds no lexical "
+        f"novelty — read WITH tx20's new-types curve). Deterministic "
+        f"vocabulary cut: ORDER BY count DESC, token ASC LIMIT "
+        f"{VOCAB_V}, identical in both engines. Scale shape: one "
+        f"token hash-agg (map-side combinable) feeding a TakeOrdered "
+        f"O(V) head, the {VOCAB_V}-row vocabulary broadcast back onto "
+        f"the token stream as a left join, one (lang, source) agg — "
+        f"the corpus is never shuffled by token twice, and the "
+        f"token explode stays map-side into the first partial agg.",
+    tags=("llm", "text"),
+)
+def tx22(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "lang", "source", F.explode(words(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(VOCAB_V)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    oov = F.when(F.col("_in").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
+            F.count_distinct(
+                F.when(oov == 1, F.col("tok"))
+            ).cast("long").alias("oov_types"),
+        )
+        .orderBy("lang", "source")
+    )

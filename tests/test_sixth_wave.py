@@ -155,3 +155,47 @@ def test_ss16_filtered_serve_parity_and_semantics(spark):
     hits = sum(len(want[q] & got.get(q, set())) for q in want)
     total = sum(len(v) for v in want.values())
     assert hits / total >= 0.9, f"filtered-serve recall parity {hits}/{total}"
+
+
+def test_ss17_filtered_range_parity(spark):
+    """ss17 (filtered range search off the index) vs the exact filtered
+    range scan computed directly: every returned pair satisfies the
+    predicate AND the threshold with an EXACT cosine, and recall vs the
+    exact answer set is >= 0.9 at the selectivity-scaled nprobe."""
+    import numpy as np
+
+    from goose_spark.operators.similarity import (
+        FILTER_LANG,
+        N_QUERIES,
+        RANGE_TAU,
+        _embeddings,
+    )
+
+    en = {
+        r["doc_id"]
+        for r in t(spark, SF_CORRECT, "documents")
+        .filter(F.col("lang") == FILTER_LANG).select("doc_id").collect()
+    }
+    rows = _embeddings(spark, SF_CORRECT).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["emb"] for r in rows], dtype=np.float64)
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = set()
+    for qi in range(N_QUERIES):
+        qrow = np.flatnonzero(ids == qi)[0]
+        cs = nrm @ nrm[qrow]
+        for j in np.flatnonzero(cs >= RANGE_TAU):
+            nid = int(ids[j])
+            if nid != qi and nid in en:
+                want.add((qi, nid))
+
+    got = {}
+    for r in REG["ss17_filtered_range_search"].builder(spark, SF_CORRECT).collect():
+        assert r["neighbor_id"] in en
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in want or r["score"] >= RANGE_TAU  # exact cosine, in radius
+        got[key] = r["score"]
+    # every returned pair is a true in-radius admissible pair
+    assert set(got) <= want
+    # and the probed-cell read recovers >= 0.9 of the exact answer set
+    assert want and len(got) / len(want) >= 0.9, (len(got), len(want))
