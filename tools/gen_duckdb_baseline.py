@@ -97,6 +97,18 @@ JUSTIFICATIONS: dict[str, str] = {
         "exchange per window spec plus the Arrow collect; per-stage "
         "floor dominates at 600k rows. " + _MULTI_STAGE
     ),
+    "q29_approx_aggregates": (
+        "three CONCURRENT 3-row aggregates (countDistinct+HLL / "
+        "quantity envelope+sketch / price envelope+sketch) so the "
+        "distinct aggregate never shares a pass with percentile_approx "
+        "(the Expand/SortAggregate cliff, measured 57 s combined) — "
+        "wall-clock is the slowest pass (~1.3 s warm) plus three "
+        "plans' scheduling floor, ~2-3.5 s absolute on a 40 MB input. "
+        "DuckDB computes the same anchors in one in-process sort-agg; "
+        "at corpus scale the sketch pass is the only one that scales "
+        "with data and the floor amortizes (ratio slope shrinks "
+        "sf0.01 -> sf0.1, gate-checked)."
+    ),
     "q76_peak_concurrency": _PREFIX_SUM,
     "q77_zorder_quadrants": (
         "Morton-key + repartitionByRange: the range exchange (sampling "
