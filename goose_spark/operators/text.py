@@ -844,7 +844,17 @@ def tx20(spark: SparkSession, sf: str) -> DataFrame:
     # (the join existed only to carry the scalar). doc_id is cast to
     # long BEFORE the *10 so the bucket arithmetic cannot wrap at
     # >~214M docs if a source ships 32-bit ids (the oracle casts too).
-    n_docs = int(d.agg((F.max("doc_id") + 1).alias("n")).collect()[0]["n"])
+    n_row = d.agg((F.max("doc_id") + 1).alias("n")).collect()[0]["n"]
+    if n_row is None:
+        # empty documents table: max() is NULL — return the empty curve
+        # with the output schema instead of TypeError-ing on int(None)
+        # (r12 advice; the earlier broadcast-join form degraded to empty)
+        return spark.createDataFrame(
+            [],
+            "pct long, n_docs long, n_tokens long, n_types long, "
+            "new_types long, ttr double",
+        )
+    n_docs = int(n_row)
     bucket = F.expr(f"(CAST(doc_id AS BIGINT) * 10) div {n_docs}")
     tok = d.select(
         "doc_id", F.explode(words(F.col("text"))).alias("tok")

@@ -20,6 +20,7 @@ frame to the serve/ingest paths.
 from __future__ import annotations
 
 import logging
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -106,12 +107,21 @@ def persist_shared(df: DataFrame, eager: bool = True) -> DataFrame:
     out = df.persist()
     if eager:
         out.count()
-    _SHARED_FRAMES.append(out)
+    with _SHARED_LOCK:
+        _SHARED_FRAMES.append(out)
     return out
 
 
 #: Frames persisted by persist_shared since the last release_shared().
+#: Registration/release are lock-guarded so concurrent query builders
+#: (e.g. the console serving two requests) can't race the list; the
+#: LIFECYCLE contract is still sweep-scoped: bench.py and
+#: tools/oracle_gate.py call release_shared() between queries, and a
+#: caller running queries outside a sweep should call it when done —
+#: un-released frames are LRU-evicted under storage pressure (never an
+#: OOM), but they stay pinned in the JVM CacheManager until then.
 _SHARED_FRAMES: list[DataFrame] = []
+_SHARED_LOCK = threading.Lock()
 
 
 def release_shared() -> int:
@@ -119,14 +129,14 @@ def release_shared() -> int:
     list; returns how many were released. Sweep callers invoke this
     between queries so per-query shared subframes never accumulate,
     while session-level caches (pair table, k-means) stay warm."""
-    n = len(_SHARED_FRAMES)
-    for df in _SHARED_FRAMES:
+    with _SHARED_LOCK:
+        frames, _SHARED_FRAMES[:] = list(_SHARED_FRAMES), []
+    for df in frames:
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — a stopped session is fine
             pass
-    _SHARED_FRAMES.clear()
-    return n
+    return len(frames)
 
 
 def local_relation(df: DataFrame, max_rows: int = LOCAL_RELATION_CAP) -> DataFrame:

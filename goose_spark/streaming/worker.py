@@ -268,10 +268,17 @@ class Worker:
                  skip_dead_queue: bool = False,
                  schedule_pop_limit: int = DEFAULT_SCHEDULE_POP_LIMIT,
                  small_batch_rows: int = 10_000,
-                 rows_per_task: int = 64):
+                 rows_per_task: int = 64,
+                 now_fn: Callable[[], datetime] | None = None):
         import threading
 
         self.spark = spark
+        # Injectable clock for every DRIVER-side time decision (due-sweep
+        # cutoffs, cron tick, latency bases). Tests freeze it so cron
+        # materialization never races a real minute boundary (the one
+        # mid-round flake of r12); executor-side outcome stamps keep the
+        # real clock — they are data, not scheduling decisions.
+        self._now = now_fn or _now
         self.ledger = ledger if isinstance(ledger, Ledger) else Ledger(ledger)
         self.worker_id = worker_id
         # Per-pop bound on the due-sweep (W7). Goose pops 50 jobs per
@@ -755,7 +762,7 @@ class Worker:
                 ["status", "retry_count", "cron_name", "run_at",
                  "enqueued_at", "last_retried_at"]
             ).to_pandas()
-            self.metrics.record_latency_classes(latency_classes_ms(lat_pdf, _now()))
+            self.metrics.record_latency_classes(latency_classes_ms(lat_pdf, self._now()))
         self._batch_callbacks(out_tbl)
 
     def _commit_distributed(self, outcome: DataFrame, exec_start: float) -> None:
@@ -786,7 +793,7 @@ class Worker:
             .when(F.col("run_at").isNotNull(), F.col("run_at"))
             .otherwise(F.col("enqueued_at"))
         )
-        wait_ms = (F.lit(_now()).cast("double") - basis.cast("double")) * 1000
+        wait_ms = (F.lit(self._now()).cast("double") - basis.cast("double")) * 1000
         summary = (
             out.groupBy("status", "batch_id", lcls.alias("_lcls"))
             .agg(F.count("*").alias("n"), F.avg(wait_ms).alias("avg_wait_ms"))
@@ -866,7 +873,7 @@ class Worker:
         # parked row whose job was since re-parked into a later bucket
         # fails the latest-seq guard below, so per-bucket sweeping stays
         # exactly-once.
-        tbl, files, more = self.ledger.pop_due(_now(), self.schedule_pop_limit)
+        tbl, files, more = self.ledger.pop_due(self._now(), self.schedule_pop_limit)
         if tbl is None or tbl.num_rows == 0:
             if files:  # zero-row husk files: drop them
                 self.ledger.replace_scheduled(None, files)
@@ -897,7 +904,7 @@ class Worker:
         if len(pdf) == 0:
             self.ledger.replace_scheduled(None, files)
             return more
-        due_mask = pdf["run_at"] <= pd.Timestamp(_now())
+        due_mask = pdf["run_at"] <= pd.Timestamp(self._now())
         due, remaining = pdf[due_mask], pdf[~due_mask]
         remaining_tbl = pa.Table.from_pandas(remaining, schema=ARROW_LOG_SCHEMA, preserve_index=False)
         self.ledger.replace_scheduled(remaining_tbl if len(remaining) else None, files)
@@ -964,7 +971,7 @@ class Worker:
         tbl = pq.read_table(path)
         if tbl.num_rows == 0:
             return
-        now = _now()
+        now = self._now()
         # vectorized due-scan: the common tick (nothing due) costs one
         # Arrow compare over the registry, NOT a Python loop — the
         # per-entry Python below runs only over entries actually firing
@@ -1059,7 +1066,7 @@ class Worker:
                 # the derived status + create→terminal completion time
                 created = current.get("created_at")
                 comp_ms = (
-                    (_now() - created).total_seconds() * 1000
+                    (self._now() - created).total_seconds() * 1000
                     if created is not None else None
                 )
                 self.metrics.record_batch_terminal(derived, comp_ms)
@@ -1073,7 +1080,7 @@ class Worker:
                             "args": json.dumps([current["id"], derived]),
                             "status": STATUS_ENQUEUED,
                             "priority": PRIORITY_FRONT,
-                            "enqueued_at": _now(),
+                            "enqueued_at": self._now(),
                             "max_retries": 27,
                         }
                     ]

@@ -41,6 +41,7 @@ EMPTY_OK = [
     "q58_customer_distribution",
     "q60_order_priority_check",
     "tx14_containment",
+    "tx20_vocab_growth",  # r12 advice: max(doc_id) NULL guard, not TypeError
     "tx15_bigram_lm",
     "tx16_distribution_drift",
     "q82_ohlc_downsample",

@@ -152,3 +152,57 @@ def test_streaming_rollup_matches_batch_and_replays_idempotently(spark, tmp_path
     # replay: merging the first half AGAIN changes nothing
     rollup_upsert(spark, half, rollup)
     assert estimates(rollup) == streamed
+
+
+def test_q29_percentile_approx_rank_space(spark):
+    """Tight rank-space property for q29's sketches (r12 advice #2): the
+    gate's value envelope at q ± 0.01 is ~100x looser than
+    percentile_approx's published guarantee (rank error ≤ 1/accuracy),
+    so a sketch violating its contract by an order of magnitude could
+    still pass the gate. This second pass — test-only, sf0.01 — pins the
+    tight bound: for each returnflag group, the returned value's rank
+    interval [#rows < v, #rows <= v] must intersect
+    [N*(q − 2/acc), N*(q + 2/acc)] (±2/accuracy: the sketch guarantee
+    plus one rank of tie/interpolation slack, the r11 bound)."""
+    from goose_spark.queries.relational_ext import _Q29_ACC
+
+    li = t(spark, SF_CORRECT, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    eps = 2.0 / _Q29_ACC
+    approx = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag").agg(
+            F.percentile_approx("l_quantity", 0.5, _Q29_ACC).alias("p50q"),
+            F.percentile_approx("l_extendedprice", 0.99, _Q29_ACC).alias("p99p"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    assert len(approx) == 3
+    # one rank-counting pass per (column, quantile), all three groups at once
+    checks = [("l_quantity", "p50q", 0.5), ("l_extendedprice", "p99p", 0.99)]
+    for col, key, q in checks:
+        by_rf = {
+            r["l_returnflag"]: r
+            for r in li.groupBy("l_returnflag").agg(
+                *[
+                    F.sum(
+                        (F.col(col) < F.lit(float(approx[rf][key]))).cast("long")
+                    ).alias(f"lt_{i}")
+                    for i, rf in enumerate(sorted(approx))
+                ],
+                *[
+                    F.sum(
+                        (F.col(col) <= F.lit(float(approx[rf][key]))).cast("long")
+                    ).alias(f"le_{i}")
+                    for i, rf in enumerate(sorted(approx))
+                ],
+            ).collect()
+        }
+        for i, rf in enumerate(sorted(approx)):
+            n = approx[rf]["n"]
+            lo_rank, hi_rank = by_rf[rf][f"lt_{i}"], by_rf[rf][f"le_{i}"]
+            want_lo, want_hi = n * (q - eps), n * (q + eps)
+            assert lo_rank <= want_hi and hi_rank >= want_lo, (
+                rf, col, q, lo_rank, hi_rank, want_lo, want_hi, n,
+            )

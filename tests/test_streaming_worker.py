@@ -193,18 +193,18 @@ def test_batch_member_death_respects_skip_dead_queue(spark, ledger):
 # --- cron: registration upsert + tick materializes a job -------------------
 
 def test_cron_tick_materializes_job(spark, ledger):
+    """r12 de-flake (VERDICT r12 directive #4): the worker clock is
+    INJECTED (frozen 10 min ahead), so the registration's next_run_at is
+    deterministically due and the re-arm target is an exact minute — no
+    dependence on where in a real minute the test happens to run."""
     client = JobClient(ledger)
     client.perform_every("tick-test", "* * * * *", "noop", queue="cron-q")
-    # force the entry due
     import pyarrow.parquet as pq
-    import pyarrow as pa
 
-    tbl = pq.read_table(ledger.cron_path).to_pylist()
-    tbl[0]["next_run_at"] = utcnow() - timedelta(minutes=1)
-    pq.write_table(pa.Table.from_pylist(tbl, schema=pq.read_schema(ledger.cron_path)),
-                   ledger.cron_path)
+    from goose_spark.functions import cron as cronlib
 
-    worker = Worker(spark, ledger, rand_int=lambda n: 0)
+    frozen = (utcnow() + timedelta(minutes=10)).replace(second=0, microsecond=0)
+    worker = Worker(spark, ledger, rand_int=lambda n: 0, now_fn=lambda: frozen)
     worker.tick()            # materialize due cron job
     worker.process_available()  # consume + execute it
     from pyspark.sql import functions as F
@@ -212,10 +212,10 @@ def test_cron_tick_materializes_job(spark, ledger):
     api = LedgerAPI(spark, ledger)
     jobs = api.find_by_pattern(F.col("cron_name") == "tick-test", limit=10)
     assert len(jobs) == 1 and jobs[0]["status"] == "success"
-    # re-armed into the future
+    # re-armed to the exact next occurrence after the frozen clock
     entries = pq.read_table(ledger.cron_path).to_pylist()
-    assert entries[0]["next_run_at"] > utcnow() - timedelta(seconds=60)
-    assert entries[0]["last_run_at"] is not None
+    assert entries[0]["next_run_at"] == cronlib.next_run("* * * * *", "UTC", frozen)
+    assert entries[0]["last_run_at"] == cronlib.prev_run("* * * * *", "UTC", frozen)
 
 
 def test_cron_registration_overwrite(spark, ledger):
