@@ -9,6 +9,14 @@ and their DataFrame handles pin storage bookkeeping. This helper evicts
 any entry whose applicationId no longer matches the active session
 (unpersisting it, best-effort — a dead JVM already freed the blocks) and
 exposes an explicit clear hook.
+
+Every build is timed into ``BUILD_LOG`` (label → seconds, including the
+eager materialization) so sweep harnesses can attribute first-use build
+cost: a shared cache bills its build to whichever query runs first in a
+sweep (dd2 oscillated 1.3–6.3 s across bench records purely on sweep
+order), and bench.py's ``cache_builds`` sidecar map makes that visible
+instead of leaving the per-query numbers order-dependent mysteries
+(VERDICT r12 directive #6).
 """
 
 from __future__ import annotations
@@ -20,9 +28,21 @@ from pyspark.sql import DataFrame, SparkSession
 #: every cache dict registered through get_or_persist, for clear_caches()
 _ALL_CACHES: list[dict] = []
 
+#: label → build seconds for every cache build THIS process performed
+#: (misses only; hits cost nothing and are not logged). Sweep harnesses
+#: snapshot the keys around each query to attribute first-use cost.
+BUILD_LOG: dict[str, float] = {}
+
+
+def _log_key(label: str | None, extra_key) -> str:
+    return f"{label or 'cache'}@{extra_key}"
+
 
 def get_or_persist(cache: dict, spark: SparkSession, extra_key,
-                   build: Callable[[], DataFrame]) -> DataFrame:
+                   build: Callable[[], DataFrame],
+                   label: str | None = None) -> DataFrame:
+    import time
+
     from pyspark import StorageLevel
 
     if not any(c is cache for c in _ALL_CACHES):
@@ -37,17 +57,29 @@ def get_or_persist(cache: dict, spark: SparkSession, extra_key,
     key = (app, extra_key)
     df = cache.get(key)
     if df is None:
+        start = time.perf_counter()
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        # eager: every consumer full-scans these intermediates anyway,
+        # and materializing here (a) stops two consumers racing to
+        # compute the same partitions twice and (b) makes the build cost
+        # a measurable unit instead of smearing into the first consumer
+        df.count()
+        BUILD_LOG[_log_key(label, extra_key)] = round(
+            time.perf_counter() - start, 4
+        )
         cache[key] = df
     return df
 
 
-def get_or_compute(cache: dict, spark: SparkSession, extra_key, build: Callable):
+def get_or_compute(cache: dict, spark: SparkSession, extra_key,
+                   build: Callable, label: str | None = None):
     """Session-scoped cache for plain (non-DataFrame) values — trained
     IVF centroids, PQ codebooks. Same keying/eviction contract as
     get_or_persist, minus the persist/unpersist (nothing pins JVM
     storage). Lets ss3/ss5/ss7 share ONE k-means per (session, sf)
     instead of re-training per query."""
+    import time
+
     if not any(c is cache for c in _ALL_CACHES):
         _ALL_CACHES.append(cache)
     app = spark.sparkContext.applicationId
@@ -55,7 +87,11 @@ def get_or_compute(cache: dict, spark: SparkSession, extra_key, build: Callable)
         cache.pop(k)
     key = (app, extra_key)
     if key not in cache:
+        start = time.perf_counter()
         cache[key] = build()
+        BUILD_LOG[_log_key(label, extra_key)] = round(
+            time.perf_counter() - start, 4
+        )
     return cache[key]
 
 

@@ -174,6 +174,7 @@ def shingled_docs(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         sf,
         lambda: with_shingles(t(spark, sf, "documents")).select("doc_id", "sh"),
+        label="doc_shingles",
     )
 
 
@@ -184,7 +185,8 @@ def lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from goose_spark.operators.cache import get_or_persist
 
     return get_or_persist(
-        _PAIRS_CACHE, spark, sf, lambda: _build_pairs(spark, sf)
+        _PAIRS_CACHE, spark, sf, lambda: _build_pairs(spark, sf),
+        label="lsh_verified_pairs",
     )
 
 

@@ -91,6 +91,7 @@ def trained_codebooks(spark: SparkSession, sf: str):
     return get_or_compute(
         _PQ_BOOKS_CACHE, spark, sf,
         lambda: train_codebooks(_embeddings(spark, sf)),
+        label="pq_codebooks",
     )
 
 

@@ -69,6 +69,7 @@ def _embeddings(spark: SparkSession, sf: str) -> DataFrame:
         lambda: t(spark, sf, "embeddings").select(
             "vec_id", _as_double(F.col("embedding")).alias("emb")
         ),
+        label="embeddings_projected",
     )
 
 
@@ -80,6 +81,7 @@ def _bands(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         sf,
         lambda: _band_signatures(_embeddings(spark, sf), "vec_id"),
+        label="embedding_lsh_bands",
     )
 
 
@@ -278,6 +280,7 @@ def trained_ivf(spark: SparkSession, sf: str) -> list:
     return get_or_compute(
         _IVF_CENTROIDS_CACHE, spark, sf,
         lambda: _train_ivf(_embeddings(spark, sf)),
+        label="ivf_kmeans",
     )
 
 

@@ -74,3 +74,64 @@ def test_r11_seed_snapshot_is_valid():
     assert snap["sf"] == "/root/testdata/sf0.1"
     assert snap["queries"]["q29_approx_aggregates"] == 13.4183
     assert snap["plans"]["q29_approx_aggregates"]
+
+
+def test_round_tag_sort_is_numeric(tmp_path):
+    """r12 advice: lexicographic filename sort misorders r9 > r12 and
+    r99 > r100 — the newest snapshot must be picked by the NUMERIC tag,
+    and an unparseable tag must raise, not silently win or lose."""
+    import pytest
+
+    from bench_regression import _round_num
+
+    names = ["bench_full_r9.json", "bench_full_r12.json",
+             "bench_full_r100.json", "bench_full_r99.json"]
+    assert max(names, key=_round_num) == "bench_full_r100.json"
+    assert sorted(names, key=_round_num)[0] == "bench_full_r9.json"
+    # lexicographic would have picked r99 — pin the failure mode
+    assert max(sorted(names)) == "bench_full_r99.json"
+    with pytest.raises(ValueError):
+        _round_num("bench_full_final.json")
+
+
+def test_driver_diff_flags_host_state_band():
+    """The driver-record diff (VERDICT r12 directive #2) is informational:
+    a whole-sweep ratio outside ±30% emits a HOST-STATE note; inside the
+    band it reports the ratio without the note; per-query lines cover the
+    driver's recorded slowest queries."""
+    import bench_regression as br
+
+    cur = {"sf": "/root/testdata/sf0.1", "value": 100.0, "timing": "best-of-2",
+           "queries": {"qa": 10.0, "qb": 5.0}}
+    # monkeypatch-free: call driver_diff against a synthetic record file
+    rec = {"parsed": {"sf": "/root/testdata/sf0.1", "value": 229.0,
+                      "queries": {"qa": 23.0}, "loadavg_1m": [14.2, 9.1]}}
+    import json as _json
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="drvdiff-")
+    with open(os.path.join(d, "BENCH_r12.json"), "w") as fh:
+        _json.dump(rec, fh)
+    orig_repo = br.REPO
+    try:
+        br.REPO = d
+        lines = br.driver_diff(cur)
+    finally:
+        br.REPO = orig_repo
+    joined = "\n".join(lines)
+    assert "2.29x" in joined
+    assert "HOST-STATE" in joined
+    assert "driver-diff qa: driver 23.0 s vs builder 10.0 s" in joined
+    # in-band record: no HOST-STATE note
+    with open(os.path.join(d, "BENCH_r13.json"), "w") as fh:
+        _json.dump({"parsed": {"sf": "/root/testdata/sf0.1", "value": 110.0,
+                               "queries": {"qb": 5.5}}}, fh)
+    try:
+        br.REPO = d
+        lines = br.driver_diff(cur)
+    finally:
+        br.REPO = orig_repo
+    joined = "\n".join(lines)
+    assert "BENCH_r13" in joined  # numeric-newest wins
+    assert "HOST-STATE" not in joined

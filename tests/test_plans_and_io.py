@@ -476,3 +476,30 @@ def test_jsonl_quarantine_splits_good_bad(spark, tmp_path):
     # the declared schema survive for replay after a contract fix
     assert '"source": "crawl9"' in q["missing:text"]
     assert good.count() + bad.count() == 5  # blank line is not data
+
+
+def test_plans_md_single_partitions_all_annotated():
+    """Registry-wide invariant (VERDICT r12 directive #5): every
+    Exchange SinglePartition in the committed plan audit must carry the
+    `(agg)` boundedness annotation — either a scalar aggregate funnel or
+    a gen_plan_audit.BOUNDED_SINGLE entry with a written O(1) bound.
+    PLANS.md cannot silently grow an unannotated single-partition
+    exchange (the at-scale anti-pattern)."""
+    import re
+
+    rows = []
+    with open("/root/repo/PLANS.md") as fh:
+        for line in fh:
+            m = re.match(r"^\|\s*`([^`]+)`\s*\|", line)
+            if m:
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                rows.append((m.group(1), cells))
+    assert len(rows) >= 150  # the full inventory is tabled
+    offenders = []
+    for name, cells in rows:
+        single = cells[4] if len(cells) > 4 else ""
+        if single in ("0", "—", ""):
+            continue
+        if not single.endswith("(agg)"):
+            offenders.append((name, single))
+    assert offenders == [], offenders

@@ -21,6 +21,16 @@ it (VERDICT r11, directive #3). This tool closes that hole:
       auto-failed — a deliberate rewrite moves the plan, and the
       rewrite's own wall-clock is judged by the DuckDB-ratio gates.
 
+      The check ALSO diffs against the DRIVER's newest recorded
+      BENCH_r<N>.json in the repo root (VERDICT r12 directive #2): the
+      driver record is the official number but is captured on whatever
+      host state the driver happens to have (r12: 229 s driver vs 114 s
+      builder, same commit). The driver diff reports the whole-sweep
+      ratio and the driver's recorded slowest queries, and emits a
+      HOST-STATE note — never a failure — when the driver/builder
+      whole-sweep ratio leaves the documented ±30 % band (BASELINE.md
+      host-state drift). Driver-diff findings are informational.
+
 Run it on an idle host (memory/bench-isolation rule): both sides of
 the comparison must be warm, single-tenant numbers or the 2x trip wire
 fires on host drift instead of regressions.
@@ -84,9 +94,26 @@ def snapshot(tag: str) -> str:
     return dest
 
 
+def _round_num(path: str) -> int:
+    """Numeric round of a tagged file name. Lexicographic sort misorders
+    across digit widths (r9 > r12, r99 > r100 — r12 advice), so the tag
+    number is the ONLY valid sort key; an unparseable tag is an error,
+    not a silent skip."""
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    if m is None:
+        raise ValueError(f"unparseable round tag in {path!r} — expected r<N>")
+    return int(m.group(1))
+
+
 def newest_snapshot() -> str | None:
-    paths = sorted(glob.glob(os.path.join(HISTORY_DIR, "bench_full_*.json")))
-    return paths[-1] if paths else None
+    paths = glob.glob(os.path.join(HISTORY_DIR, "bench_full_*.json"))
+    return max(paths, key=_round_num) if paths else None
+
+
+def newest_driver_record() -> str | None:
+    """The driver's newest BENCH_r<N>.json in the repo root."""
+    paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    return max(paths, key=_round_num) if paths else None
 
 
 def compare(
@@ -135,6 +162,62 @@ def compare(
     return fails, notes
 
 
+#: Documented host-state drift band (BASELINE.md): whole-sweep ratios
+#: inside ±30 % are host noise, not signal.
+HOST_BAND = 1.30
+
+
+def driver_diff(current: dict) -> list[str]:
+    """Informational diff of the current BENCH_FULL against the DRIVER's
+    newest recorded BENCH_r<N>.json (its compact line: total + slowest
+    queries). Returns printable lines; never fails the gate — the
+    driver record is host-conditional, which is exactly what this diff
+    makes visible."""
+    lines: list[str] = []
+    rec_path = newest_driver_record()
+    if rec_path is None:
+        return [f"driver-diff: no BENCH_r*.json in {REPO} — skipped"]
+    rec = json.load(open(rec_path))
+    parsed = rec.get("parsed") or {}
+    if not parsed:
+        return [f"driver-diff: {os.path.basename(rec_path)} has no parsed line — skipped"]
+    tag = os.path.basename(rec_path)
+    if os.path.abspath(str(parsed.get("sf", ""))) != os.path.abspath(
+        str(current.get("sf", ""))
+    ):
+        return [
+            f"driver-diff vs {tag}: sf mismatch "
+            f"({parsed.get('sf')} vs {current.get('sf')}) — skipped"
+        ]
+    drv_v, cur_v = parsed.get("value"), current.get("value")
+    if drv_v and cur_v:
+        ratio = drv_v / cur_v
+        meth_d = parsed.get("timing", "single-shot (pre-r13)")
+        meth_c = current.get("timing", "best-of-2")
+        lines.append(
+            f"driver-diff vs {tag}: sweep driver {drv_v} s "
+            f"[{meth_d}] vs builder {cur_v} s [{meth_c}] — {ratio:.2f}x"
+        )
+        if ratio > HOST_BAND or ratio < 1 / HOST_BAND:
+            lines.append(
+                f"HOST-STATE driver/builder whole-sweep ratio {ratio:.2f}x "
+                f"outside the documented ±30% band — the driver record "
+                f"{tag} was likely captured on a contended host "
+                f"(loadavg sentinel in its compact line, if present: "
+                f"{parsed.get('loadavg_1m', 'n/a')})"
+            )
+    cur_q = current.get("queries", {})
+    for name, drv_sec in sorted(parsed.get("queries", {}).items()):
+        cur_sec = cur_q.get(name)
+        if cur_sec is None or cur_sec <= 0 or drv_sec <= 0:
+            continue
+        lines.append(
+            f"driver-diff {name}: driver {drv_sec} s vs builder "
+            f"{cur_sec} s ({drv_sec / cur_sec:.2f}x)"
+        )
+    return lines
+
+
 def check(baseline_path: str | None) -> int:
     baseline_path = baseline_path or newest_snapshot()
     if baseline_path is None:
@@ -151,6 +234,8 @@ def check(baseline_path: str | None) -> int:
     for f in fails:
         print(f"FAIL {f['query']}: {f['prev_sec']} -> {f['cur_sec']} s "
               f"({f['ratio']}x) at constant plan")
+    for line in driver_diff(current):
+        print(line)
     tot_c, tot_b = current.get("value"), baseline.get("value")
     print(
         f"checked {len(current.get('queries', {}))} queries vs "
