@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from goose_spark.plans.guards import local_relation
+from goose_spark.plans.guards import local_relation, persist_shared
 from goose_spark.queries.base import fixture, fixture_rel, register, t
 
 _DEC = "decimal(18,2)"
@@ -347,4 +347,185 @@ def qj9(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(b.batch_id, "declared", "total")
         .agg(F.count(j.id).cast("long").alias("members"), done.alias("done"))
         .orderBy("batch_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90/q91 — the registry numbering gap, backfilled (VERDICT r12 #7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q90_hierarchy_rollup_walk",
+    """WITH l0 AS (
+         SELECT c.c_nationkey, c.c_name AS node,
+                CAST(COUNT(*) AS BIGINT) AS members,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_nationkey, c.c_name),
+       l1 AS (
+         SELECT n.n_regionkey, n.n_name AS node,
+                CAST(COUNT(*) AS BIGINT) AS members, SUM(tot) AS tot
+         FROM l0 JOIN nation n ON n.n_nationkey = l0.c_nationkey
+         GROUP BY n.n_regionkey, n.n_name),
+       l2 AS (
+         SELECT r.r_name AS node,
+                CAST(COUNT(*) AS BIGINT) AS members, SUM(tot) AS tot
+         FROM l1 JOIN region r ON r.r_regionkey = l1.n_regionkey
+         GROUP BY r.r_name)
+       SELECT lvl, node, members, ROUND(CAST(tot AS DOUBLE), 2) AS total
+       FROM (SELECT 0 AS lvl, node, members, tot FROM l0
+             UNION ALL SELECT 1, node, members, tot FROM l1
+             UNION ALL SELECT 2, node, members, tot FROM l2)
+       ORDER BY lvl, node""",
+    doc="Recursive-CTE-shaped hierarchy walk (the reference's console "
+        "drill-down shape — queue → queue-group → broker dashboard, "
+        "data.clj:18-28 — over the TPC-H ownership chain orders → "
+        "customer → nation → region): each level aggregates the "
+        "PREVIOUS level's aggregate, not the raw fact table, so level k "
+        "moves O(level k-1 groups) rows — the walk a WITH RECURSIVE "
+        "rollup performs, expressed as chained aggregations. Level 0 "
+        "(per-customer: order count + exact-decimal spend) feeds level 1 "
+        "(per-nation: customer count + spend) feeds level 2 (per-region: "
+        "nation count + spend); all three emit into one tagged union. "
+        "Scale: level 0 is the only fact-sized aggregation (one "
+        "o_custkey hash shuffle + a customer join); it is persist_shared "
+        "so levels 0/1 never recompute it; level 1 collapses to 25 rows "
+        "-> local_relation (level 2 and the union read a driver-local "
+        "handful, zero extra shuffles); nation/region joins broadcast. "
+        "Totals stay DECIMAL(18,2)-exact until the final cast, so the "
+        "union hash-matches DuckDB regardless of aggregation order.",
+    tags=("relational", "hierarchy"),
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    n = F.broadcast(t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"))
+    r = F.broadcast(t(spark, sf, "region").select("r_regionkey", "r_name"))
+    l0 = persist_shared(
+        o.groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("members"),
+             F.sum(F.col("o_totalprice").cast(_DEC)).alias("tot"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select("c_nationkey", F.col("c_name").alias("node"), "members", "tot")
+    )
+    l1 = local_relation(
+        l0.groupBy("c_nationkey")
+        .agg(F.count("*").cast("long").alias("members"),
+             F.sum("tot").alias("tot"))
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .select("n_regionkey", F.col("n_name").alias("node"), "members", "tot")
+    )
+    l2 = (
+        l1.groupBy("n_regionkey")
+        .agg(F.count("*").cast("long").alias("members"),
+             F.sum("tot").alias("tot"))
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select(F.col("r_name").alias("node"), "members", "tot")
+    )
+    out = (
+        l0.select(F.lit(0).alias("lvl"), "node", "members", "tot")
+        .unionByName(l1.select(F.lit(1).alias("lvl"), "node", "members", "tot"))
+        .unionByName(l2.select(F.lit(2).alias("lvl"), "node", "members", "tot"))
+    )
+    return (
+        out.select("lvl", "node", "members",
+                   F.round(F.col("tot").cast("double"), 2).alias("total"))
+        .orderBy("lvl", "node")
+    )
+
+
+_JOB_EVENTS = fixture_rel("job_events")
+
+
+@register(
+    "q91_merge_upsert_state",
+    f"""WITH a AS (
+          SELECT job_id, kind, seq, queue FROM (
+            SELECT job_id, kind, seq, queue,
+                   ROW_NUMBER() OVER (PARTITION BY job_id ORDER BY seq DESC) AS rn
+            FROM {_JOB_EVENTS}
+            WHERE substr(md5(CAST(seq AS VARCHAR)), 1, 1) < '8') WHERE rn = 1),
+        b AS (
+          SELECT job_id, kind, seq, queue FROM (
+            SELECT job_id, kind, seq, queue,
+                   ROW_NUMBER() OVER (PARTITION BY job_id ORDER BY seq DESC) AS rn
+            FROM {_JOB_EVENTS}
+            WHERE substr(md5(CAST(seq AS VARCHAR)), 1, 1) >= '8') WHERE rn = 1)
+        SELECT COALESCE(b.job_id, a.job_id) AS job_id,
+               CASE WHEN a.job_id IS NULL THEN b.kind
+                    WHEN b.job_id IS NULL THEN a.kind
+                    WHEN b.seq > a.seq THEN b.kind ELSE a.kind END AS kind,
+               CAST(CASE WHEN a.job_id IS NULL THEN b.seq
+                         WHEN b.job_id IS NULL THEN a.seq
+                         WHEN b.seq > a.seq THEN b.seq ELSE a.seq END AS BIGINT) AS seq,
+               CASE WHEN a.job_id IS NULL THEN b.queue
+                    WHEN b.job_id IS NULL THEN a.queue
+                    WHEN b.seq > a.seq THEN b.queue ELSE a.queue END AS queue,
+               CASE WHEN a.job_id IS NULL THEN 'insert'
+                    WHEN b.job_id IS NULL THEN 'keep'
+                    WHEN b.seq > a.seq THEN 'update'
+                    ELSE 'skip' END AS merge_action
+        FROM a FULL OUTER JOIN b ON a.job_id = b.job_id
+        ORDER BY job_id""",
+    doc="MERGE/upsert semantics over the job-transition log (the r12-#7 "
+        "backfill): two writer shards of the ledger (appends "
+        "hash-partitioned across writers: md5(seq) first nibble) are "
+        "each reduced to latest-row-per-job state, "
+        "then reconciled with Delta-style conditional MERGE rules — "
+        "WHEN MATCHED AND source.seq > target.seq THEN UPDATE (newer "
+        "shard-B row wins: 'update'), WHEN MATCHED otherwise no-op "
+        "('skip'), WHEN NOT MATCHED THEN INSERT ('insert'), target-only "
+        "rows carried through ('keep'); the fixture populates all four "
+        "actions. This is the engine's ledger-compaction primitive made "
+        "declarative: the state view's latest-wins rule "
+        "(streaming/ledger.py state()) IS a continuous MERGE of new "
+        "transitions into the snapshot. Scale shape: two latest-per-key "
+        "reductions (WindowGroupLimit-ranked, one job_id hash shuffle "
+        "each) and one co-partitioned full-outer join on the same key — "
+        "the physical plan Delta Lake runs for MERGE at 100 TB (no "
+        "broadcast: both sides are state-sized; AQE may still broadcast "
+        "a genuinely small delta).",
+    tags=("jobs", "merge"),
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    ev = fixture(spark, "job_events").select("job_id", "kind", "seq", "queue")
+    w = Window.partitionBy("job_id").orderBy(F.col("seq").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    shard = F.substring(F.md5(F.col("seq").cast("string")), 1, 1)
+    a = latest(ev.filter(shard < "8")).alias("a")
+    b = latest(ev.filter(shard >= "8")).alias("b")
+    a_only = F.col("b.job_id").isNull()
+    b_only = F.col("a.job_id").isNull()
+    b_newer = F.col("b.seq") > F.col("a.seq")
+
+    def pick(col: str):
+        return (
+            F.when(b_only, F.col(f"b.{col}"))
+            .when(a_only, F.col(f"a.{col}"))
+            .when(b_newer, F.col(f"b.{col}"))
+            .otherwise(F.col(f"a.{col}"))
+        )
+
+    return (
+        a.join(b, F.col("a.job_id") == F.col("b.job_id"), "full_outer")
+        .select(
+            F.coalesce("b.job_id", "a.job_id").alias("job_id"),
+            pick("kind").alias("kind"),
+            pick("seq").cast("long").alias("seq"),
+            pick("queue").alias("queue"),
+            F.when(b_only, "insert")
+            .when(a_only, "keep")
+            .when(b_newer, "update")
+            .otherwise("skip")
+            .alias("merge_action"),
+        )
+        .orderBy("job_id")
     )
