@@ -1041,3 +1041,80 @@ def tx22(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx23 — Zipf rank-frequency slope per source (corpus-health regression)
+# ---------------------------------------------------------------------------
+
+#: regression window: the head of the rank-frequency curve (Zipf's law
+#: holds in the head; the tail bends under tokenization artifacts)
+ZIPF_HEAD_R = 200
+
+_TX23_ORACLE = f"""WITH toks AS (
+  SELECT source, unnest({_WORDS}) AS tok FROM documents),
+ tf AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks WHERE tok <> ''
+  GROUP BY source, tok),
+ ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, tok) AS r
+  FROM tf)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       ROUND(covar_pop(ln(r), ln(c)) / var_pop(ln(r)), 4) AS zipf_slope,
+       ROUND(POWER(corr(ln(r), ln(c)), 2), 4) AS fit_r2
+FROM ranked WHERE r <= {ZIPF_HEAD_R}
+GROUP BY source ORDER BY source"""
+
+
+@register(
+    "tx23_zipf_slope",
+    _TX23_ORACLE,
+    doc=f"Zipf rank-frequency slope per source: least-squares fit of "
+        f"ln(freq) on ln(rank) over each source's top-{ZIPF_HEAD_R} "
+        f"tokens (slope = covar_pop/var_pop, fit = corr²) — the "
+        f"corpus-health regression (natural text sits near slope −1 "
+        f"with high fit; templated/boilerplate slices flatten the head, "
+        f"token-noise slices steepen it and kill the fit — the Wenzek "
+        f"CCNet-style distribution gauge, read with tx16's drift PSI). "
+        f"Deterministic rank: ROW_NUMBER ordered (count DESC, token "
+        f"ASC), identical in both engines. Scale shape: one map-side-"
+        f"combinable (source, token) hash-agg; the per-source head cut "
+        f"is a rank filter on a (source)-partitioned window — "
+        f"WindowGroupLimit pushes the top-{ZIPF_HEAD_R} bound into each "
+        f"map partition, so the regression input is O(sources × "
+        f"{ZIPF_HEAD_R}) rows and the fit itself is one tiny agg.",
+    tags=("llm", "text"),
+)
+def tx23(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from goose_spark.operators.textlib import words
+
+    d = t(spark, sf, "documents")
+    tf = (
+        d.select("source", F.explode(words(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    ranked = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_HEAD_R)
+        .select("source", F.log(F.col("r")).alias("lr"),
+                F.log(F.col("c")).alias("lc"))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_ranked"),
+            F.round(
+                F.covar_pop("lr", "lc") / F.var_pop("lr"), 4
+            ).alias("zipf_slope"),
+            F.round(F.pow(F.corr("lr", "lc"), 2), 4).alias("fit_r2"),
+        )
+        .orderBy("source")
+    )
