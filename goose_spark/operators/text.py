@@ -20,7 +20,7 @@ from goose_spark.operators.textlib import (
     token_count_bpe,
     token_count_ws,
 )
-from goose_spark.plans.guards import persist_shared
+from goose_spark.plans.guards import local_relation, persist_shared
 from goose_spark.queries.base import register, t
 
 _WORDS = "string_split_regex(lower(text), '\\s+')"
@@ -1129,4 +1129,87 @@ def tx23(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.pow(F.corr("lr", "lc"), 2), 4).alias("fit_r2"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx24 — quality-filter calibration sweep (survival CDF over thresholds)
+# ---------------------------------------------------------------------------
+
+#: alpha-ratio thresholds swept by the calibration table
+_TX24_GRID = [0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90]
+
+_TX24_ORACLE = f"""WITH d AS (
+  SELECT CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         len({_WORDS}) AS n_toks
+  FROM documents),
+ tot AS (SELECT COUNT(*) AS nd, SUM(n_toks) AS nt FROM d),
+ grid AS (SELECT CAST(unnest([{', '.join(str(x) for x in _TX24_GRID)}]) AS DOUBLE) AS threshold)
+SELECT threshold,
+       CAST(SUM(CASE WHEN alpha_ratio >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS surviving_docs,
+       ROUND(CAST(SUM(CASE WHEN alpha_ratio >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(nd), 6) AS doc_survival,
+       CAST(SUM(CASE WHEN alpha_ratio >= threshold THEN n_toks ELSE 0 END) AS BIGINT) AS surviving_tokens,
+       ROUND(CAST(SUM(CASE WHEN alpha_ratio >= threshold THEN n_toks ELSE 0 END) AS DOUBLE)
+             / MAX(nt), 6) AS token_survival
+FROM grid CROSS JOIN d CROSS JOIN tot
+GROUP BY threshold ORDER BY threshold"""
+
+
+@register(
+    "tx24_filter_calibration",
+    _TX24_ORACLE,
+    doc=f"Quality-filter calibration sweep: for each alpha-ratio "
+        f"threshold in a {len(_TX24_GRID)}-point grid, the doc AND "
+        f"token survival rates — the table a pipeline owner reads to "
+        f"pick the quality cutoff (the Gopher/CCNet filter-tuning loop: "
+        f"too low keeps boilerplate, too high burns real tokens; the "
+        f"knee of the token-survival curve is the defensible setting). "
+        f"Spark plan: per-doc (alpha_ratio, n_toks) computed once in "
+        f"the scan, the threshold grid EXPLODED against it ({len(_TX24_GRID)} "
+        f"literal rows per doc — a map-side constant fan-out, not a "
+        f"join), one hash-agg to O(grid) rows; corpus totals ride the "
+        f"same aggregate via a windowless max-of-constant. One scan, "
+        f"one shuffle of {len(_TX24_GRID)} x partials at any corpus size.",
+    tags=("llm", "text"),
+)
+def tx24(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    alpha = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), F.lit(0)))
+        .cast("double") / F.length("text")
+    )
+    per_doc = d.select(
+        alpha.alias("alpha_ratio"),
+        token_count_ws(F.col("text")).alias("n_toks"),
+    )
+    tot = local_relation(
+        per_doc.agg(F.count("*").alias("nd"),
+                    F.sum("n_toks").alias("nt"))
+    )
+    grid = F.array(*[F.lit(x) for x in _TX24_GRID])
+    surv_docs = F.sum(
+        F.when(F.col("alpha_ratio") >= F.col("threshold"), 1).otherwise(0)
+    ).cast("long")
+    surv_toks = F.sum(
+        F.when(F.col("alpha_ratio") >= F.col("threshold"), F.col("n_toks"))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        per_doc.select("alpha_ratio", "n_toks",
+                       F.explode(grid).alias("threshold"))
+        .groupBy("threshold")
+        .agg(surv_docs.alias("surviving_docs"), surv_toks.alias("surviving_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "surviving_docs",
+            F.round(F.col("surviving_docs").cast("double") / F.col("nd"), 6)
+            .alias("doc_survival"),
+            "surviving_tokens",
+            F.round(F.col("surviving_tokens").cast("double") / F.col("nt"), 6)
+            .alias("token_survival"),
+        )
+        .orderBy("threshold")
     )

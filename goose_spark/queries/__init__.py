@@ -38,6 +38,7 @@ def load_all() -> dict:
         semdedup,
         similarity,
         sketches,
+        sq,
         text,
     )
 
