@@ -163,7 +163,7 @@ def build_scaled(spark, n_copies: int) -> str:
         evbig = evbig.unionAll(c)
     evbig.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    for dim in ("supplier", "nation", "part"):
+    for dim in ("supplier", "nation", "part", "region"):
         spark.read.parquet(f"{SF}/{dim}.parquet").write.mode("overwrite").parquet(
             f"{out}/{dim}.parquet"
         )
