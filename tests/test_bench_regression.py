@@ -135,3 +135,104 @@ def test_driver_diff_flags_host_state_band():
     joined = "\n".join(lines)
     assert "BENCH_r13" in joined  # numeric-newest wins
     assert "HOST-STATE" not in joined
+
+
+def test_driver_diff_caps_per_query_lines():
+    """ADVICE r13: a driver record carrying the FULL ~183-query map must
+    not produce ~183 informational lines that bury the HOST-STATE note —
+    per-query output is capped to the top-10 by driver seconds, with a
+    one-line summary of what was elided."""
+    import json as _json
+    import os
+    import tempfile
+
+    import bench_regression as br
+
+    n = 50
+    cur = {"sf": "/root/testdata/sf0.1", "value": 100.0,
+           "queries": {f"q{i:03d}": 1.0 for i in range(n)}}
+    rec = {"parsed": {"sf": "/root/testdata/sf0.1", "value": 105.0,
+                      "queries": {f"q{i:03d}": float(i + 1) for i in range(n)}}}
+    d = tempfile.mkdtemp(prefix="drvdiff-cap-")
+    with open(os.path.join(d, "BENCH_r13.json"), "w") as fh:
+        _json.dump(rec, fh)
+    orig_repo = br.REPO
+    try:
+        br.REPO = d
+        lines = br.driver_diff(cur)
+    finally:
+        br.REPO = orig_repo
+    per_q = [ln for ln in lines if ln.startswith("driver-diff q")]
+    assert len(per_q) == 10
+    # top-by-driver-seconds: the slowest (q049, 50.0 s) leads
+    assert "q049" in per_q[0]
+    assert any("+40 more queries" in ln for ln in lines)
+
+
+def test_bench_idle_gate_bounded_wait(monkeypatch):
+    """VERDICT r13 directive #1: the idle gate waits in bounded steps and
+    (a) returns immediately on an idle host, (b) stops at the budget and
+    reports exhaustion on a permanently-contended host — it must never
+    block the sweep forever."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import bench
+
+    # idle host: loadavg under threshold -> zero wait, not exhausted
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_LOADAVG", "2.0")
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 1.0, 1.0))
+    waited, exhausted = bench.wait_for_idle_host()
+    assert waited == 0.0 and exhausted is False
+
+    # contended host, tiny budget: sleeps are counted, budget exhausts
+    slept: list[float] = []
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_MAX_WAIT", "45")
+    waited, exhausted = bench.wait_for_idle_host()
+    assert exhausted is True
+    assert waited == 45.0  # 30 s step + 15 s remainder, then stop
+    assert slept == [30.0, 15.0]
+
+
+def test_cache_miss_path_is_locked():
+    """ADVICE r13 (medium): two concurrent callers that both miss must
+    build exactly once — the loser of the old race left an orphaned
+    persisted frame pinned in JVM storage. Exercised with a slow build
+    under real threads (no Spark needed: a stub object suffices for
+    get_or_compute; get_or_persist shares the same lock + double-check)."""
+    import threading
+    import time as _time
+
+    from goose_spark.operators.cache import get_or_compute
+
+    class _Ctx:
+        applicationId = "app-race"
+
+    class _Spark:
+        sparkContext = _Ctx()
+
+    cache: dict = {}
+    builds: list[int] = []
+
+    def build():
+        builds.append(1)
+        _time.sleep(0.05)  # widen the old race window
+        return object()
+
+    results: list = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(
+                get_or_compute(cache, _Spark(), "k", build, label="race")
+            )
+        )
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1  # exactly one build despite 8 concurrent misses
+    assert len({id(r) for r in results}) == 1  # all callers share it

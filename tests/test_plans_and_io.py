@@ -503,3 +503,12 @@ def test_plans_md_single_partitions_all_annotated():
         if not single.endswith("(agg)"):
             offenders.append((name, single))
     assert offenders == [], offenders
+
+
+def test_tx24_calibration_single_scan(spark):
+    """VERDICT r13 directive #2: the corpus totals (nd, nt) must fold
+    into the grid aggregate — each threshold group holds every doc
+    exactly once, so count(*)/sum(n_toks) per group ARE the totals —
+    instead of a second documents pass."""
+    r = report(REGISTRY["tx24_filter_calibration"].builder(spark, SF_CORRECT))
+    assert r.text.count("FileScan") == 1

@@ -206,14 +206,27 @@ def driver_diff(current: dict) -> list[str]:
                 f"(loadavg sentinel in its compact line, if present: "
                 f"{parsed.get('loadavg_1m', 'n/a')})"
             )
+    # per-query lines capped to the top-N by driver seconds (ADVICE
+    # r13): pre-r13 driver records carry the FULL ~183-query map, and
+    # printing every entry buried the HOST-STATE note this diff exists
+    # to surface. The docstring's contract is "slowest queries" only.
     cur_q = current.get("queries", {})
-    for name, drv_sec in sorted(parsed.get("queries", {}).items()):
-        cur_sec = cur_q.get(name)
-        if cur_sec is None or cur_sec <= 0 or drv_sec <= 0:
-            continue
+    comparable = [
+        (name, drv_sec, cur_q[name])
+        for name, drv_sec in parsed.get("queries", {}).items()
+        if cur_q.get(name) is not None and cur_q[name] > 0 and drv_sec > 0
+    ]
+    top_n = 10
+    shown = sorted(comparable, key=lambda t: -t[1])[:top_n]
+    for name, drv_sec, cur_sec in shown:
         lines.append(
             f"driver-diff {name}: driver {drv_sec} s vs builder "
             f"{cur_sec} s ({drv_sec / cur_sec:.2f}x)"
+        )
+    if len(comparable) > len(shown):
+        lines.append(
+            f"driver-diff: +{len(comparable) - len(shown)} more queries "
+            f"compared (showing top {top_n} by driver seconds)"
         )
     return lines
 

@@ -337,6 +337,17 @@ def render_table(base: dict, bench: dict) -> tuple[str, list[str]]:
         f"work exists (dd2/dd4/dd6/dd7 blocked dedup joins), Spark's "
         f"partitioned plans win by 20-80×.",
         "",
+        "**Methodology asymmetry (read before quoting the ratios):** both "
+        "sides time best-of-2, but the Spark sweep's deliberate "
+        "cross-query session caches (trained k-means, the dedup pair "
+        "table — built once, attributed in `cache_builds`) stay warm "
+        "across queries, while DuckDB re-pays equivalent work inside "
+        "every query. Per-query Spark numbers are therefore "
+        "session-cache-warm and the ratio tables are cache-advantaged "
+        "by construction for the queries that consume a shared cache "
+        "(dd*/ss* families); the `cache_builds` sidecar carries the "
+        "one-time build cost the per-query numbers exclude.",
+        "",
         f"{n_over} queries exceed 2× single-node DuckDB — {n_floor} are "
         f"floor-dominated (Spark's fixed per-query scheduling/plan/Arrow cost "
         f"on inputs this small, ~10-60 MB at sf0.1; the per-row cost that "
