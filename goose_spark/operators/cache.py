@@ -34,8 +34,10 @@ _ALL_CACHES: list[dict] = []
 #: same frame twice, and the overwritten loser stays pinned in JVM
 #: storage with no remaining handle until session stop. One module
 #: lock (not per-cache): builds are rare, contention is nil, and it
-#: also serializes BUILD_LOG writes.
-_MISS_LOCK = threading.Lock()
+#: also serializes BUILD_LOG writes. MUST be reentrant — builds nest
+#: (lsh_pairs' build calls shingled_docs, both cached); a plain Lock
+#: self-deadlocks the calling thread on the inner miss.
+_MISS_LOCK = threading.RLock()
 
 #: label → build seconds for every cache build THIS process performed
 #: (misses only; hits cost nothing and are not logged). Sweep harnesses

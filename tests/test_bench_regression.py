@@ -236,3 +236,25 @@ def test_cache_miss_path_is_locked():
         t.join()
     assert len(builds) == 1  # exactly one build despite 8 concurrent misses
     assert len({id(r) for r in results}) == 1  # all callers share it
+
+
+def test_cache_miss_lock_is_reentrant():
+    """The miss lock must be an RLock: cached builds NEST (lsh_pairs'
+    build calls shingled_docs, both under get_or_*) — a plain Lock
+    self-deadlocked the whole bench sweep when first shipped."""
+    from goose_spark.operators.cache import get_or_compute
+
+    class _Ctx:
+        applicationId = "app-nest"
+
+    class _Spark:
+        sparkContext = _Ctx()
+
+    outer: dict = {}
+    inner: dict = {}
+
+    def build_outer():
+        # nested miss on a DIFFERENT cache while holding the lock
+        return get_or_compute(inner, _Spark(), "i", lambda: 42, label="in")
+
+    assert get_or_compute(outer, _Spark(), "o", build_outer, label="out") == 42
