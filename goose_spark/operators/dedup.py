@@ -542,3 +542,26 @@ def embedding_near_dup_lsh_blocked(spark: SparkSession, sf: str,
         .distinct()
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "dd8_embedding_near_dup_blocked",
+    None,  # approximate by construction (pairs colliding in no band are
+    # missed); recall vs the exact label-blocked dd5 is pinned in
+    # tests/test_similarity.py::test_lsh_blocked_near_dup_recall_and_precision
+    doc="dd5's documented 100 TB form, driver-timed (VERDICT r13 "
+        "directive #4): sign-random-projection LSH banding (8 bands x "
+        "2 bits, seeded planes — deterministic) replaces the label "
+        "block, the same per-bucket BLAS cosine kernel verifies "
+        "exactly, pairs dedupe across bands with one distinct. Finds "
+        "cross-label near-dups label-blocking cannot; misses pairs "
+        "colliding in no band — the recall/cost dial "
+        "(test_similarity pins recall AND precision on this corpus). "
+        "Scale shape: banding is map-only Arrow, each bucket is an "
+        "independent O(bucket^2) task (hot-bucket frequency cap "
+        "available as max_bucket), the distinct is one exchange on "
+        "(a_id, b_id) — no all-pairs stage anywhere.",
+    tags=("llm", "dedup"),
+)
+def dd8(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_near_dup_lsh_blocked(spark, sf)

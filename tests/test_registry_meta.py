@@ -19,6 +19,8 @@ def test_every_query_documented():
 def test_rows_only_entries_are_the_known_approximates():
     rows_only = sorted(n for n, s in REG.items() if s.oracle is None)
     assert rows_only == [
+        "dd8_embedding_near_dup_blocked",  # LSH-blocked near-dup (recall
+        # + precision pin: test_similarity)
         "q78_sketch_rollup",  # sketch estimates (error bound: test_sketches)
         "q79_bpe_merges",  # iterative induction (cross-impl check: test_bpe)
         "q80_bpe_encode",  # merge-table-derived (kernel check: test_bpe)
@@ -40,18 +42,19 @@ def test_rows_only_entries_are_the_known_approximates():
 
 
 def test_graded_window_is_stable():
-    """The driver grades the first 50 sorted names; they must stay
-    exactly the round-5 window (dd1-7, ev1, mm1-3, q01-q39) so
-    CORRECTNESS stays comparable across rounds. New queries must sort
-    after q39 (no new dd*/ev*/mm* or q00-q39 prefixes)."""
+    """The driver grades the first 50 sorted names. Round 14 shifts the
+    window by ONE deliberate slot: VERDICT r13 directive #4 registers
+    dd8_embedding_near_dup_blocked (rows-only, recall-pinned), which
+    sorts into the dd block; q39 moves out of the driver window (it
+    stays in the oracle gate, which covers the full inventory). Any
+    OTHER new query must still sort after q39 (no new dd*/ev*/mm* or
+    q00-q39 prefixes)."""
     window = sorted(REG)[:50]
-    assert window[:7] == [f"dd{i}_" + REG[f"dd{i}_" + n.split("_", 1)[1]].name.split("_", 1)[1]
-                         for i, n in zip(range(1, 8), window[:7])]
     assert [w.split("_")[0] for w in window] == (
-        [f"dd{i}" for i in range(1, 8)]
+        [f"dd{i}" for i in range(1, 9)]
         + ["ev1"]
         + [f"mm{i}" for i in range(1, 4)]
-        + [f"q{i:02d}" for i in range(1, 40)]
+        + [f"q{i:02d}" for i in range(1, 39)]
     )
 
 
