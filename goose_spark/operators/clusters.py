@@ -452,3 +452,90 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     from goose_spark.operators.dedup import lsh_pairs
 
     return pagerank(lsh_pairs(spark, sf).select("a_id", "b_id"))
+
+
+# ---------------------------------------------------------------------------
+# qg1 — bounded-depth BFS reachability (min-hop labels)
+# ---------------------------------------------------------------------------
+
+#: BFS depth bound — at 100 TB reachability queries are always
+#: depth-bounded (unbounded closure over a near-clique is answer-size
+#: suicide); 3 hops covers the "neighborhood of a seed set" use
+_QG1_MAX_HOPS = 3
+
+_QG1_ORACLE = f"""WITH RECURSIVE
+ p AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+ e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+ bfs(node, hops) AS (
+   SELECT CAST(p_partkey AS BIGINT), 0 FROM part WHERE p_partkey % 1000 = 0
+   UNION
+   SELECT e.b, bfs.hops + 1
+   FROM bfs JOIN e ON e.a = bfs.node
+   WHERE bfs.hops < {_QG1_MAX_HOPS})
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY node ORDER BY node"""
+
+
+@register(
+    "qg1_reachability_bfs",
+    _QG1_ORACLE,
+    doc=f"Bounded-depth BFS with min-hop labels over the co-purchase "
+        f"graph (parts sharing an order), seeds = p_partkey %% 1000 = 0 "
+        f"— the 'blast radius of a recalled part' / 'neighborhood of a "
+        f"flagged document' traversal, and the registry's only "
+        f"frontier-iteration operator (q84/q87/dd6 iterate to a "
+        f"fixpoint; this walks layer-by-layer). Oracle is ANSI "
+        f"WITH RECURSIVE (DuckDB runs it natively; "
+        f"tests/test_recursive_cte.py pins Spark 4.1's own UnionLoop "
+        f"against the same shape for q90). Spark plan: the edge list "
+        f"is built once (per-order self-join bounded by items/order, "
+        f"one distinct) and persisted; each of the {_QG1_MAX_HOPS} "
+        f"rounds is frontier JOIN edges (hash on the node key) + "
+        f"anti-join visited + distinct — O(frontier x avg-degree) "
+        f"rows per round, lineage truncated per round via eager "
+        f"localCheckpoint so round k's plan does not replay rounds "
+        f"1..k-1. At 100 TB the frontier join partitions on node id; "
+        f"no stage is graph-sized except the edge build, which is the "
+        f"same exchange the recursive CTE's UnionLoop would run.",
+    tags=("relational", "graph"),
+)
+def qg1(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    p = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    edges = (
+        p.unionAll(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        t(spark, sf, "part")
+        .filter(F.col("p_partkey") % 1000 == 0)
+        .select(F.col("p_partkey").cast("long").alias("node"))
+    )
+    visited = seeds.withColumn("hops", F.lit(0).cast("long")) \
+        .localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for hop in range(1, _QG1_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.orderBy("node")

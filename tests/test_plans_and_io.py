@@ -512,3 +512,25 @@ def test_tx24_calibration_single_scan(spark):
     instead of a second documents pass."""
     r = report(REGISTRY["tx24_filter_calibration"].builder(spark, SF_CORRECT))
     assert r.text.count("FileScan") == 1
+
+
+def test_sp17_prunes_increment_free_blocks(spark):
+    """sp17's scale claim: blocks with no increment doc are eliminated
+    by a broadcast semi-join on the block key before shingle rows move."""
+    r = report(REGISTRY["sp17_incremental_dedup"].builder(spark, SF_CORRECT))
+    assert "LeftSemi" in r.text
+    assert "BroadcastHashJoin" in r.text or "BroadcastExchange" in r.text
+    assert "CartesianProduct" not in r.text
+
+
+def test_qg1_bfs_layers_are_min_hops(spark):
+    """qg1: seed rows carry hop 0, every hop is within the depth bound,
+    and a node's hop equals its FIRST reachable layer (the anti-join
+    guarantees no node is relabeled by a later round)."""
+    rows = {r["node"]: r["hops"]
+            for r in REGISTRY["qg1_reachability_bfs"]
+            .builder(spark, SF_CORRECT).collect()}
+    assert rows, "BFS returned nothing"
+    assert all(0 <= h <= 3 for h in rows.values())
+    seeds = [n for n, h in rows.items() if h == 0]
+    assert seeds and all(n % 1000 == 0 for n in seeds)
