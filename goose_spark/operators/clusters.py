@@ -539,3 +539,112 @@ def qg1(spark: SparkSession, sf: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# qg2 — link prediction: common-neighbor Jaccard over non-edges
+# ---------------------------------------------------------------------------
+
+#: predicted links kept per source node — the serving contract of a
+#: link-prediction op is always top-k, never the full score matrix
+_QG2_TOP_K = 3
+
+_QG2_ORACLE = f"""WITH p AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+ e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+ deg AS (SELECT a AS node, COUNT(*) AS d FROM e GROUP BY a),
+ w AS (SELECT e1.b AS a, e2.b AS b, COUNT(*) AS cn
+       FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+       GROUP BY e1.b, e2.b),
+ nw AS (SELECT w.a, w.b, w.cn FROM w
+        LEFT JOIN p ON w.a = p.a AND w.b = p.b
+        WHERE p.a IS NULL),
+ j AS (SELECT nw.a, nw.b, CAST(nw.cn AS BIGINT) AS cn,
+              ROUND(CAST(nw.cn AS DOUBLE)
+                    / (da.d + db.d - nw.cn), 6) AS jac
+       FROM nw JOIN deg da ON da.node = nw.a
+               JOIN deg db ON db.node = nw.b),
+ r AS (SELECT *, ROW_NUMBER() OVER
+         (PARTITION BY a ORDER BY jac DESC, b) AS rk
+       FROM j)
+SELECT a, b, cn, jac, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_QG2_TOP_K} AND a % 100 = 0
+ORDER BY a, rk"""
+
+
+@register(
+    "qg2_link_prediction",
+    _QG2_ORACLE,
+    doc=f"Link prediction by common-neighbor Jaccard: for node pairs "
+        f"NOT currently connected, score |N(a) n N(b)| / |N(a) u N(b)| "
+        f"and keep the top-{_QG2_TOP_K} predicted links per source "
+        f"node (reported for the a %% 100 = 0 probe slice) — the "
+        f"'parts frequently co-purchased with yours but never with "
+        f"each other' / 'documents whose neighbor sets overlap but "
+        f"which no near-dup edge joins' recommender shape, and the "
+        f"registry's first non-edge-scoring graph op (q87 counts "
+        f"closed wedges; this scores the OPEN ones). Plan: wedge "
+        f"enumeration at each center (e1 JOIN e2 on the center key, "
+        f"one shuffle), hash-agg to per-pair common-neighbor counts, "
+        f"LEFT ANTI against the edge list to keep non-edges only, "
+        f"degree joins partitioned on each endpoint (the degree table "
+        f"is node-sized — never broadcast), then WindowGroupLimit "
+        f"keeps {_QG2_TOP_K} rows per node pre-shuffle. Scale: wedge "
+        f"volume is sum_c deg(c)^2 — the hub-cap dial (cap centers at "
+        f"max-degree D by sampling neighbors, q87's orientation "
+        f"argument) bounds it at 100 TB; exact here because the "
+        f"oracle must match.",
+    tags=("relational", "graph"),
+)
+def qg2(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    p = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        # both the wedge join and the anti-join read the pair list —
+        # one eager truncation pays the per-order self-join once
+        .localCheckpoint(eager=True)
+    )
+    e = p.unionAll(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = e.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    w = (
+        e1.join(
+            e2,
+            (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+        )
+        .groupBy(F.col("e1.b").alias("a"), F.col("e2.b").alias("b"))
+        .agg(F.count("*").alias("cn"))
+    )
+    nw = w.join(p, ["a", "b"], "left_anti")
+    j = (
+        nw.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            "a", "b", F.col("cn").cast("long").alias("cn"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jac"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("a").orderBy(F.desc("jac"), F.asc("b"))
+    )
+    return (
+        j.withColumn("rk", rk.cast("long"))
+        .filter((F.col("rk") <= _QG2_TOP_K) & (F.col("a") % 100 == 0))
+        .orderBy("a", "rk")
+    )

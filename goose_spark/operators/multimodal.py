@@ -238,3 +238,87 @@ def mm3(spark: SparkSession, sf: str) -> DataFrame:
 
     out = d.mapInPandas(sample, schema="doc_id long, frame_idx long, byte_offset long")
     return out.orderBy("doc_id", "frame_idx").limit(300)
+
+
+# ---------------------------------------------------------------------------
+# mm4 — perceptual-hash duplicate grouping over binary payloads
+# ---------------------------------------------------------------------------
+
+#: aHash window: the hash reads this many leading payload bytes (every
+#: corpus doc clears it — generator min length is 48 chars)
+_AHASH_BYTES = 32
+
+_MM4_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         (SELECT SUM(CASE WHEN ascii(substr(text, CAST(i AS INT), 1))
+                               * {_AHASH_BYTES} > s.tot
+                          THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+                          ELSE 0 END)
+          FROM range(1, {_AHASH_BYTES} + 1) r(i),
+               (SELECT SUM(ascii(substr(text, CAST(j AS INT), 1))) AS tot
+                FROM range(1, {_AHASH_BYTES} + 1) rr(j)) s
+         ) AS ahash
+  FROM documents)
+SELECT CAST(ahash AS BIGINT) AS ahash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper
+FROM h GROUP BY ahash HAVING COUNT(*) > 1
+ORDER BY ahash"""
+
+
+@register(
+    "mm4_phash_dedup",
+    _MM4_ORACLE,
+    doc=f"Perceptual-hash duplicate grouping — the image-dedup op a "
+        f"100 TB multimodal pipeline runs before training: decode each "
+        f"binary payload, reduce it to a compact perceptual signature "
+        f"(here average-hash: bit i set iff byte i of the first "
+        f"{_AHASH_BYTES} exceeds their mean — integer-exact as "
+        f"byte*{_AHASH_BYTES} > sum, no float threshold; a real "
+        f"pipeline swaps in DCT-pHash over decoded pixels through the "
+        f"SAME kernel signature), then group by signature and keep "
+        f"min doc_id. The payload is real binary (UTF-8 bytes standing "
+        f"in for image bytes, as mm1-mm3); the hash is computed in an "
+        f"Arrow mapInPandas kernel over a numpy byte matrix — "
+        f"map-only, no Python per-row. Scale shape: signatures are 8 "
+        f"bytes/doc, so the dedup shuffle moves O(docs) tiny rows on "
+        f"the hash key — the whole corpus never moves, exactly how "
+        f"image dedup stays tractable at billions of images. "
+        f"Near-dup (hamming<=t) banding over these signatures is dd8's "
+        f"band trick on 4-bit nibbles; exact-equality grouping here "
+        f"keeps the oracle exact.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def mm4(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.frombuffer(
+                b"".join(bytes(b)[:_AHASH_BYTES] for b in pdf["payload"]),
+                dtype=np.uint8,
+            ).reshape(len(pdf), _AHASH_BYTES).astype(np.int64)
+            tot = mat.sum(axis=1, keepdims=True)
+            bits = (mat * _AHASH_BYTES > tot).astype(np.int64)
+            weights = (1 << np.arange(_AHASH_BYTES, dtype=np.int64))[None, :]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash": (bits * weights).sum(axis=1)}
+            )
+
+    out = d.mapInPandas(ahash, schema="doc_id long, ahash long")
+    return (
+        out.groupBy("ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("ahash")
+    )

@@ -937,3 +937,119 @@ def sp17(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sp18 — data-constrained repeat-epochs allocation (the UP-sampling side)
+# ---------------------------------------------------------------------------
+
+#: token budget as a multiple of the corpus (3.0 → three average
+#: epochs; chosen so the 4-epoch cap BINDS for the smaller language
+#: domains of this corpus — the water-fill branch is exercised, not
+#: dead code)
+_SP18_BUDGET_EPOCHS = 3.0
+#: repeat ceiling per domain — past ~4 epochs repeated tokens stop
+#: helping (Muennighoff et al., "Scaling Data-Constrained Language
+#: Models", NeurIPS'23 — the public result this dial encodes)
+_SP18_MAX_EPOCHS = 4.0
+
+_SP18_ORACLE = f"""
+WITH s AS (SELECT lang,
+                  CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+                       AS BIGINT) AS n_tok
+           FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_tok) AS DOUBLE) AS t, COUNT(*) AS n_src FROM s),
+a1 AS (SELECT lang, n_tok,
+              CAST(ROUND(LEAST(({_SP18_BUDGET_EPOCHS} * t) / n_src,
+                               {_SP18_MAX_EPOCHS} * n_tok), 4)
+                   AS DECIMAL(18,4)) AS alloc1,
+              ({_SP18_BUDGET_EPOCHS} * t) / n_src
+                >= {_SP18_MAX_EPOCHS} * n_tok AS capped,
+              CAST(ROUND({_SP18_BUDGET_EPOCHS} * t, 4) AS DECIMAL(18,4))
+                AS budget
+       FROM s, tot),
+t2 AS (SELECT CAST(SUM(alloc1) AS DECIMAL(18,4)) AS sb,
+              CAST(SUM(CASE WHEN NOT capped THEN n_tok ELSE 0 END)
+                   AS BIGINT) AS u
+       FROM a1),
+f AS (SELECT lang, n_tok, capped,
+             CASE WHEN capped THEN CAST(alloc1 AS DOUBLE)
+                  ELSE LEAST({_SP18_MAX_EPOCHS} * n_tok,
+                             CAST(alloc1 AS DOUBLE)
+                             + (CAST(budget - sb AS DOUBLE) * n_tok) / u)
+             END AS alloc2
+      FROM a1, t2)
+SELECT lang, n_tok, ROUND(alloc2, 2) AS alloc_tokens,
+       ROUND(alloc2 / n_tok, 6) AS epochs, capped
+FROM f ORDER BY lang"""
+
+
+@register(
+    "sp18_epoch_allocation",
+    _SP18_ORACLE,
+    doc=f"Data-constrained repeat-epochs allocation — the UP-sampling "
+        f"twin of sp15/sp16 (those subsample an over-supplied corpus; "
+        f"this decides how many EPOCHS each scarce domain repeats when "
+        f"the token budget exceeds supply): fair share = "
+        f"budget/n_domains with budget = {_SP18_BUDGET_EPOCHS}x corpus "
+        f"tokens (domain = language here, the corpus axis with real "
+        f"supply skew — en has ~3x the tokens of de), a domain is capped at {_SP18_MAX_EPOCHS} epochs "
+        f"(past ~4 repeats, repeated tokens stop improving loss — the "
+        f"published data-constrained-scaling dial), and one "
+        f"water-fill round redistributes the capped surplus to "
+        f"uncapped domains proportional to their supply (cannot "
+        f"divide by zero: all-capped would need budget >= "
+        f"{_SP18_MAX_EPOCHS}x corpus > {_SP18_BUDGET_EPOCHS}x). "
+        f"Output is the per-domain repeat plan (epochs, alloc_tokens, "
+        f"capped) a sampler like sp16 then materializes. Scale shape: "
+        f"ONE map-side-combined agg over documents (O(domains) rows "
+        f"out), then pure O(domains) local arithmetic — the 100 TB "
+        f"cost is the single token-count scan, shared with any other "
+        f"per-domain stat. Hash-exact across engines: intermediate "
+        f"sums pinned to DECIMAL(18,4) so double summation order "
+        f"cannot skew the water-fill; per-domain arithmetic mirrors "
+        f"the oracle's op order exactly.",
+    tags=("llm", "pipeline"),
+)
+def sp18(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    s = d.groupBy("lang").agg(
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = local_relation(s)
+    tot = w.agg(
+        F.sum("n_tok").cast("double").alias("t"),
+        F.count("*").alias("n_src"),
+    )
+    fair = (F.lit(_SP18_BUDGET_EPOCHS) * F.col("t")) / F.col("n_src")
+    cap = F.lit(_SP18_MAX_EPOCHS) * F.col("n_tok")
+    a1 = w.join(F.broadcast(tot)).select(
+        "lang", "n_tok",
+        F.round(F.least(fair, cap), 4).cast("decimal(18,4)").alias("alloc1"),
+        (fair >= cap).alias("capped"),
+        F.round(F.lit(_SP18_BUDGET_EPOCHS) * F.col("t"), 4)
+            .cast("decimal(18,4)").alias("budget"),
+    )
+    t2 = a1.agg(
+        F.sum("alloc1").cast("decimal(18,4)").alias("sb"),
+        F.sum(F.when(~F.col("capped"), F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long").alias("u"),
+    )
+    alloc2 = F.when(F.col("capped"), F.col("alloc1").cast("double")).otherwise(
+        F.least(
+            F.lit(_SP18_MAX_EPOCHS) * F.col("n_tok"),
+            F.col("alloc1").cast("double")
+            + ((F.col("budget") - F.col("sb")).cast("double") * F.col("n_tok"))
+              / F.col("u"),
+        )
+    )
+    return (
+        a1.join(F.broadcast(t2))
+        .select(
+            "lang", "n_tok",
+            F.round(alloc2, 2).alias("alloc_tokens"),
+            F.round(alloc2 / F.col("n_tok"), 6).alias("epochs"),
+            "capped",
+        )
+        .orderBy("lang")
+    )

@@ -534,3 +534,88 @@ def test_qg1_bfs_layers_are_min_hops(spark):
     assert all(0 <= h <= 3 for h in rows.values())
     seeds = [n for n, h in rows.items() if h == 0]
     assert seeds and all(n % 1000 == 0 for n in seeds)
+
+
+def test_qg2_predicts_only_non_edges(spark):
+    """qg2's defining property: every predicted link is an OPEN wedge —
+    the (a, b) pair must NOT be an existing co-purchase edge — and the
+    per-node WindowGroupLimit keeps at most the declared top-k."""
+    from goose_spark.operators.clusters import _QG2_TOP_K
+    from goose_spark.queries.base import t as _t
+
+    df = REGISTRY["qg2_link_prediction"].builder(spark, SF_CORRECT)
+    r = report(df)
+    assert "WindowGroupLimit" in r.text, "top-k must prune pre-shuffle"
+    assert "CartesianProduct" not in r.text
+    rows = df.collect()
+    assert rows, "no predicted links"
+    li = _t(spark, SF_CORRECT, "lineitem")
+    edges = {
+        (x["a"], x["b"])
+        for x in li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .selectExpr("x.l_partkey AS a", "y.l_partkey AS b")
+        .where("a < b")
+        .distinct()
+        .collect()
+    }
+    per_node: dict = {}
+    for x in rows:
+        assert (x["a"], x["b"]) not in edges, "predicted an existing edge"
+        per_node.setdefault(x["a"], []).append(x["rk"])
+    assert all(
+        sorted(v) == list(range(1, len(v) + 1)) and len(v) <= _QG2_TOP_K
+        for v in per_node.values()
+    )
+
+
+def test_mm4_ahash_groups_are_exact_byte_duplicates_of_prefix(spark):
+    """mm4: the signature is a pure function of the first 32 payload
+    bytes — two docs with identical prefixes MUST share a hash (numpy
+    cross-check), and the dedup output only reports groups >= 2."""
+    import numpy as np
+
+    from goose_spark.queries.base import t as _t
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _t(spark, SF_CORRECT, "documents")
+        .select("doc_id", "text").collect()
+    }
+
+    def ref_hash(s: str) -> int:
+        b = np.frombuffer(s.encode()[:32], dtype=np.uint8).astype(np.int64)
+        return int(((b * 32 > b.sum()).astype(np.int64) << np.arange(32)).sum())
+
+    out = REGISTRY["mm4_phash_dedup"].builder(spark, SF_CORRECT).collect()
+    assert out and all(r["n_docs"] >= 2 for r in out)
+    groups: dict = {}
+    for did, txt in docs.items():
+        groups.setdefault(ref_hash(txt), []).append(did)
+    expect = {h: v for h, v in groups.items() if len(v) >= 2}
+    assert {r["ahash"]: (r["n_docs"], r["keeper"]) for r in out} == {
+        h: (len(v), min(v)) for h, v in expect.items()
+    }
+
+
+def test_sp18_allocation_conserves_budget_and_caps(spark):
+    """sp18 invariants: every epochs value is within (0, cap]; capped
+    domains sit exactly at cap; total allocated tokens never exceeds
+    the budget; and at least one domain is capped AND one uncapped on
+    this corpus (the water-fill branch is exercised, not dead code)."""
+    from goose_spark.operators.pipeline import (
+        _SP18_BUDGET_EPOCHS,
+        _SP18_MAX_EPOCHS,
+    )
+
+    rows = REGISTRY["sp18_epoch_allocation"].builder(spark, SF_CORRECT).collect()
+    assert rows
+    total_tok = sum(r["n_tok"] for r in rows)
+    budget = _SP18_BUDGET_EPOCHS * total_tok
+    assert sum(r["alloc_tokens"] for r in rows) <= budget + 1e-6
+    assert any(r["capped"] for r in rows)
+    assert any(not r["capped"] for r in rows)
+    for r in rows:
+        assert 0 < r["epochs"] <= _SP18_MAX_EPOCHS + 1e-9
+        if r["capped"]:
+            assert abs(r["epochs"] - _SP18_MAX_EPOCHS) < 1e-9

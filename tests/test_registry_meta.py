@@ -43,18 +43,19 @@ def test_rows_only_entries_are_the_known_approximates():
 
 def test_graded_window_is_stable():
     """The driver grades the first 50 sorted names. Round 14 shifts the
-    window by ONE deliberate slot: VERDICT r13 directive #4 registers
-    dd8_embedding_near_dup_blocked (rows-only, recall-pinned), which
-    sorts into the dd block; q39 moves out of the driver window (it
-    stays in the oracle gate, which covers the full inventory). Any
-    OTHER new query must still sort after q39 (no new dd*/ev*/mm* or
-    q00-q39 prefixes)."""
+    window by TWO deliberate slots: VERDICT r13 directive #4 registers
+    dd8_embedding_near_dup_blocked (rows-only, recall-pinned) into the
+    dd block, and the r14 wave registers mm4_phash_dedup (hash-matched)
+    into the mm block; q38/q39 move out of the driver window (both stay
+    in the oracle gate, which covers the full inventory). Any OTHER new
+    query must still sort after q38 (no new dd*/ev*/mm* or q00-q38
+    prefixes)."""
     window = sorted(REG)[:50]
     assert [w.split("_")[0] for w in window] == (
         [f"dd{i}" for i in range(1, 9)]
         + ["ev1"]
-        + [f"mm{i}" for i in range(1, 4)]
-        + [f"q{i:02d}" for i in range(1, 39)]
+        + [f"mm{i}" for i in range(1, 5)]
+        + [f"q{i:02d}" for i in range(1, 38)]
     )
 
 
