@@ -221,15 +221,19 @@ def _assign(df: DataFrame, centroids, id_col: str = "vec_id") -> DataFrame:
     return df.mapInPandas(go, schema=f"{id_col} long, cluster int")
 
 
-def _train_ivf(v: DataFrame) -> list:
-    """Deterministic k-means: init = first IVF_K vectors by vec_id, a
+def _train_ivf(v: DataFrame, k: int = IVF_K) -> list:
+    """Deterministic k-means: init = first ``k`` vectors by vec_id, a
     fixed number of Lloyd iterations. Assignment is distributed
     (mapInPandas matmul); the centroid update collects only k×dim floats
-    to the driver — the standard scalable k-means shape."""
+    to the driver — the standard scalable k-means shape. ``k`` defaults
+    to the registry's IVF_K; the cells-proportional-to-corpus scale
+    experiment (tools/scale_cells64.py) passes a larger k — the dial
+    that keeps per-query candidate volume BOUNDED as the corpus grows
+    (the fixed-k index degrades to a constant-fraction scan)."""
     import numpy as np
 
     init = (
-        v.orderBy("vec_id").limit(IVF_K).select("emb").collect()
+        v.orderBy("vec_id").limit(k).select("emb").collect()
     )
     centroids = np.asarray([r["emb"] for r in init], dtype=np.float64)
     emb_only = v.select("emb")
@@ -240,23 +244,23 @@ def _train_ivf(v: DataFrame) -> list:
             # fused assign + partial-centroid-sum: one matmul per Arrow
             # batch, NO shuffle join back to the embeddings — each task
             # emits only k rows of (count, dim-sum) partials
-            sums = np.zeros((IVF_K, _DIM), dtype=np.float64)
-            counts = np.zeros(IVF_K, dtype=np.int64)
+            sums = np.zeros((k, _DIM), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
             for pdf in batches:
                 mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
                 scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
                 cl = scores.argmax(axis=1)
                 np.add.at(sums, cl, mat)
-                counts += np.bincount(cl, minlength=IVF_K)
+                counts += np.bincount(cl, minlength=k)
             yield pd.DataFrame(
-                {"cluster": np.arange(IVF_K), "n": counts, "s": list(sums)}
+                {"cluster": np.arange(k), "n": counts, "s": list(sums)}
             )
 
         rows = emb_only.mapInPandas(
             partials, schema="cluster int, n long, s array<double>"
         ).collect()  # ≤ partitions × k tiny rows — the only driver traffic
-        tot = np.zeros((IVF_K, _DIM), dtype=np.float64)
-        cnt = np.zeros(IVF_K, dtype=np.int64)
+        tot = np.zeros((k, _DIM), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
         for r in rows:
             tot[r["cluster"]] += np.asarray(r["s"])
             cnt[r["cluster"]] += r["n"]
@@ -683,3 +687,183 @@ def ss17(spark: SparkSession, sf: str) -> DataFrame:
     idx = ivf_index_for(spark, sf)
     return ivf_range_search(spark, idx, q, tau=RANGE_TAU, nprobe=nprobe,
                             allowed=allowed)
+
+
+# ---------------------------------------------------------------------------
+# ss19 — k-NN label propagation (semi-supervised labeling / classifier
+# bootstrap)
+# ---------------------------------------------------------------------------
+
+#: vectors treated as UNLABELED (the prediction targets); the rest are
+#: the labeled support set
+_SS19_QUERY_MOD = 10
+#: neighbors consulted per prediction
+_SS19_K = 10
+
+_SS19_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+q AS (SELECT vec_id, label AS true_label, emb AS qe FROM v
+      WHERE vec_id % {_SS19_QUERY_MOD} = 0),
+c AS (SELECT vec_id AS nid, label, emb FROM v
+      WHERE vec_id % {_SS19_QUERY_MOD} <> 0),
+scored AS (
+  SELECT q.vec_id, q.true_label, c.label,
+         list_dot_product(q.qe, c.emb)
+           / sqrt(list_dot_product(q.qe, q.qe)
+                  * list_dot_product(c.emb, c.emb)) AS cos,
+         c.nid
+  FROM q JOIN c ON TRUE),
+knn AS (
+  SELECT vec_id, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, nid) AS rank
+  FROM scored),
+votes AS (
+  SELECT vec_id, true_label, label, COUNT(*) AS votes
+  FROM knn WHERE rank <= {_SS19_K}
+  GROUP BY vec_id, true_label, label),
+best AS (
+  SELECT vec_id, true_label, label AS pred_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY votes DESC, label) AS vr
+  FROM votes)
+SELECT vec_id, CAST(pred_label AS INT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes,
+       pred_label = true_label AS correct
+FROM best WHERE vr = 1 ORDER BY vec_id"""
+
+
+@register(
+    "ss19_knn_label_propagation",
+    _SS19_ORACLE,
+    doc=f"k-NN label propagation — the semi-supervised labeling step a "
+        f"curation pipeline uses to bootstrap a quality/topic "
+        f"classifier from a small labeled seed set: every {_SS19_QUERY_MOD}th "
+        f"vector is treated as unlabeled, its {_SS19_K} nearest "
+        f"labeled neighbors by exact cosine vote, majority wins (ties "
+        f"break to the smaller label id — deterministic, no RNG), and "
+        f"the output carries (pred_label, votes, correct) so the "
+        f"held-out accuracy IS the result the pipeline reads. Plan: "
+        f"the bounded query side broadcasts against one corpus scan "
+        f"(ss1's kernel), WindowGroupLimit cuts each query's "
+        f"candidate list to k BEFORE the vote agg, and the vote/argmax "
+        f"stages shuffle O(queries x labels) tiny rows. The 100 TB "
+        f"form swaps the brute-force scan for the persisted IVF "
+        f"probed-cell read (ss5/ss14's index serve) under the SAME "
+        f"vote stages; exact here because the oracle must match. "
+        f"Integer votes, not averaged scores, cross the engine "
+        f"boundary — no float-summation-order hazard in the vote. "
+        f"(On THIS corpus the reported accuracy is ~chance: the "
+        f"synthetic labels are independent of the embedding geometry, "
+        f"and the op reports that honestly rather than faking signal.)",
+    tags=("llm", "similarity"),
+)
+def ss19(spark: SparkSession, sf: str) -> DataFrame:
+    v = _embeddings(spark, sf)
+    lab = t(spark, sf, "embeddings").select("vec_id", "label")
+    v = v.join(lab, "vec_id")
+    q = v.filter(F.col("vec_id") % _SS19_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("qe"),
+    )
+    c = v.filter(F.col("vec_id") % _SS19_QUERY_MOD != 0).select(
+        F.col("vec_id").alias("nid"), "label", "emb"
+    )
+    cos = _dot(F.col("qe"), F.col("emb")) / F.sqrt(
+        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
+    )
+    scored = (
+        bounded_broadcast(
+            q, max_rows=EMBEDDING_ROW_CAP,
+            n_rows=None, label="ss19 queries",
+        )
+        .crossJoin(c)
+        .select("qid", "true_label", "label", cos.alias("cos"), "nid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    knn = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _SS19_K
+    )
+    votes = knn.groupBy("qid", "true_label", "label").agg(
+        F.count("*").alias("votes")
+    )
+    vw = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+#: ss20 probes MORE cells than the rank-1 serves (6/16 vs 3/16): a
+#: majority vote amplifies neighbor substitutions that top-k retrieval
+#: tolerates, so label propagation buys vote stability with a deeper
+#: probe — still a 2.7x candidate cut vs the full scan, and the dial
+#: scales the same way at a 100 TB cell count
+_SS20_NPROBE = 6
+
+@register(
+    "ss20_knn_label_propagation_indexed",
+    None,  # approximate neighbors → rows-only; agreement pinned in tests
+    doc=f"ss19's documented 100 TB form, MEASURED and registered (the "
+        f"dd5→dd8 pattern): the brute-force query×corpus scan is "
+        f"replaced by the persisted IVF index serve — probes computed "
+        f"per Arrow batch, probed cells read with static partition "
+        f"pruning, and the labeled-only support set enforced as the "
+        f"filtered serve's semi-join PRE-filter inside the cell read "
+        f"(never post-filter, which would bias the k) — under the "
+        f"IDENTICAL vote/argmax stages as ss19. Cost per query batch "
+        f"drops from O(corpus) cosines to O(probed cells' rows): "
+        f"6/{IVF_K} of the corpus — ss20 probes DEEPER than the rank-1 "
+        f"serves (6 vs 3 cells) because a majority vote amplifies "
+        f"neighbor substitutions top-k retrieval tolerates; measured "
+        f"on this corpus: neighbor recall 0.742, prediction agreement "
+        f"0.60 vs exact ss19 (floors pinned in tests/test_similarity). "
+        f"Agreement is corpus-capped, not serve-capped: labels are "
+        f"independent of geometry here, so exact vote margins are "
+        f"mostly 0-1 and any substitution can flip them — on a real "
+        f"labeled corpus (geometric label structure, wide margins) the "
+        f"same composition is vote-stable. Rows-only by design: "
+        f"approximate neighbor sets are not oracle-replayable in SQL.",
+    tags=("llm", "similarity"),
+)
+def ss20(spark: SparkSession, sf: str) -> DataFrame:
+    from goose_spark.operators.annindex import ivf_index_query
+
+    v = _embeddings(spark, sf)
+    lab = t(spark, sf, "embeddings").select("vec_id", "label")
+    q = v.filter(F.col("vec_id") % _SS19_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    allowed = lab.filter(F.col("vec_id") % _SS19_QUERY_MOD != 0).select("vec_id")
+    idx = ivf_index_for(spark, sf)
+    knn = ivf_index_query(spark, idx, q, nprobe=_SS20_NPROBE, topk=_SS19_K,
+                          allowed=allowed)
+    votes = (
+        knn.join(lab.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    truth = lab.withColumnRenamed("vec_id", "query_id") \
+        .withColumnRenamed("label", "true_label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .join(truth, "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )

@@ -32,6 +32,8 @@ def test_rows_only_entries_are_the_known_approximates():
         "ss16_filtered_ann_serve",  # indexed filtered serve (recall parity: test_sixth_wave)
         "ss17_filtered_range_search",  # filtered range serve (parity: test_sixth_wave)
         "ss18_ann_sq8",  # 8-bit reconstruction (recall + exact-rerank parity: test_sq)
+        "ss20_knn_label_propagation_indexed",  # IVF-served votes
+        # (prediction agreement vs exact ss19: test_similarity)
         "ss2_ann_lsh", "ss3_ann_ivf",
         "ss5_ann_ivf_index",
         "ss6_ann_pq",  # quantized distances (recall floor: test_pq)

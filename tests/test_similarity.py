@@ -259,3 +259,107 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     got = ivf_index_query(spark, idx, q, topk=3).collect()
     ids = [r["neighbor_id"] for r in got]
     assert set(ids[:2]) == {10_000_000, 10_000_001}, ids
+
+
+def test_knn_label_propagation_matches_numpy_recompute(spark):
+    """ss19 cross-check: recompute the k-NN vote with numpy over the
+    collected embeddings — predictions, vote counts and the correct
+    flag must agree exactly (including the votes-desc/label-asc
+    tie-break)."""
+    import numpy as np
+
+    from goose_spark.operators.similarity import _SS19_K, _SS19_QUERY_MOD
+    from goose_spark.queries.base import t as _t
+
+    rows = _t(spark, SF_CORRECT, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labs = np.array([r["label"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    is_q = ids % _SS19_QUERY_MOD == 0
+    expect = {}
+    for qi in np.flatnonzero(is_q):
+        cos = mat[~is_q] @ mat[qi]
+        nid, nlab = ids[~is_q], labs[~is_q]
+        order = np.lexsort((nid, -cos))[:_SS19_K]
+        votes: dict = {}
+        for la in nlab[order]:
+            votes[la] = votes.get(la, 0) + 1
+        pred = min(votes, key=lambda la: (-votes[la], la))
+        expect[int(ids[qi])] = (int(pred), votes[pred],
+                                bool(pred == labs[qi]))
+    got = {
+        r["vec_id"]: (r["pred_label"], r["votes"], r["correct"])
+        for r in REGISTRY["ss19_knn_label_propagation"]
+        .builder(spark, SF_CORRECT).collect()
+    }
+    assert got == expect
+
+
+def test_indexed_label_propagation_agrees_with_exact(spark):
+    """ss20 (IVF-served votes, nprobe 6/16) vs ss19 (exact): the whole
+    pipeline is deterministic (seeded k-means, pinned tie-breaks), so
+    the measured values — neighbor recall 0.742, prediction agreement
+    0.60 on this corpus — are exact; the floors below are regression
+    tripwires with margin, not quality claims. Agreement is capped by
+    the corpus itself: labels are independent of geometry, so exact
+    vote margins are mostly 0-1 and flip under any neighbor
+    substitution (ss19's docstring states the same chance-accuracy
+    caveat). Every query must still receive a prediction."""
+    import numpy as np
+
+    from goose_spark.operators.annindex import ivf_index_query
+    from goose_spark.operators.similarity import (
+        _SS19_K,
+        _SS19_QUERY_MOD,
+        _SS20_NPROBE,
+        _embeddings,
+        ivf_index_for,
+    )
+    from goose_spark.queries.base import t as _t
+    from pyspark.sql import functions as F
+
+    rows = _t(spark, SF_CORRECT, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    is_q = ids % _SS19_QUERY_MOD == 0
+    exact_sets = {}
+    for qi in np.flatnonzero(is_q):
+        cos = mat[~is_q] @ mat[qi]
+        nid = ids[~is_q]
+        order = np.lexsort((nid, -cos))[:_SS19_K]
+        exact_sets[int(ids[qi])] = set(nid[order].tolist())
+
+    v = _embeddings(spark, SF_CORRECT)
+    q = v.filter(F.col("vec_id") % _SS19_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    lab = _t(spark, SF_CORRECT, "embeddings").select("vec_id", "label")
+    allowed = lab.filter(F.col("vec_id") % _SS19_QUERY_MOD != 0).select("vec_id")
+    knn = ivf_index_query(
+        spark, ivf_index_for(spark, SF_CORRECT), q,
+        nprobe=_SS20_NPROBE, topk=_SS19_K, allowed=allowed,
+    ).collect()
+    served_sets: dict = {}
+    for r in knn:
+        served_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = float(np.mean(
+        [len(served_sets.get(k, set()) & s) / len(s)
+         for k, s in exact_sets.items()]
+    ))
+    assert recall >= 0.70, f"neighbor recall {recall:.3f} below floor"
+
+    exact = {
+        r["vec_id"]: r["pred_label"]
+        for r in REGISTRY["ss19_knn_label_propagation"]
+        .builder(spark, SF_CORRECT).collect()
+    }
+    served = {
+        r["vec_id"]: r["pred_label"]
+        for r in REGISTRY["ss20_knn_label_propagation_indexed"]
+        .builder(spark, SF_CORRECT).collect()
+    }
+    assert set(served) == set(exact), "every query must be predicted"
+    agree = sum(1 for k in exact if served[k] == exact[k]) / len(exact)
+    assert agree >= 0.55, f"agreement {agree:.2f} below floor"
