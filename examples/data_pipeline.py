@@ -17,6 +17,10 @@ operator primitives:
       → vocabulary report    (tx13 Misra-Gries + exact recount: the
                               frequent-token statistics a BPE train
                               starts from, no full-token shuffle)
+      → payload dup audit    (mm4 perceptual-signature grouping over
+                              the train split's binary payloads)
+      → repeat-epochs plan   (sp18 data-constrained allocation: epochs
+                              per language domain under the budget)
 
 Every stage is DataFrame algebra or an Arrow kernel — the same code
 paths the oracle-checked registry queries run — and each stage hands the
@@ -237,6 +241,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         pe = load_all()["sp11_packing_efficiency"].builder(spark, stage_dir)
         stats["packing_curve"] = [
             (r["seq_len"], r["utilization"]) for r in pe.collect()
+        ]
+
+        # 11. payload-level duplicate audit (mm4 kernel) over the
+        #     staged train split: the perceptual-signature grouping a
+        #     multimodal corpus runs on its binary column — here it
+        #     catches prefix-identical texts the normalized-fingerprint
+        #     stage kept (different tails, same opening boilerplate)
+        ph = load_all()["mm4_phash_dedup"].builder(spark, stage_dir)
+        stats["payload_dup_groups"] = ph.count()
+
+        # 12. repeat-epochs plan (sp18 kernel): with the corpus now
+        #     deduped/filtered, decide how many epochs each scarce
+        #     language domain repeats under the token budget — the
+        #     knob a data-constrained training run is actually tuned by
+        ep = load_all()["sp18_epoch_allocation"].builder(spark, stage_dir)
+        stats["epoch_plan"] = [
+            (r["lang"], r["epochs"], bool(r["capped"])) for r in ep.collect()
         ]
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
