@@ -83,8 +83,17 @@ def get_spark(app_name: str = "gosling", cpus: int | None = None,
         # deeper thread stacks: Catalyst TreeNode transforms and the
         # JDK's backtracking regex both recurse with input length; the
         # 30-min soak overflowed a stream-execution thread at the 1 MiB
-        # default (regex frames) — 4 MiB is cheap insurance local-mode
-        .config("spark.driver.extraJavaOptions", "-Xss4m")
+        # default (regex frames) — 4 MiB is cheap insurance local-mode.
+        # ReservedCodeCacheSize: a 191-query sweep compiles hundreds of
+        # WholeStageCodegen classes; at the JVM's 240 MB default the
+        # code cache fills mid-sweep, the JIT stops compiling and hot
+        # loops run INTERPRETED — measured on the r14 baseline sweep as
+        # late-sweep queries running 5-6x their isolated time (tx15:
+        # 28.4 s in-sweep vs 5.1 s isolated, identical plan). 512 MB
+        # holds the whole inventory's generated code; this is the
+        # setting Spark's own build ships for exactly this reason.
+        .config("spark.driver.extraJavaOptions",
+                "-Xss4m -XX:ReservedCodeCacheSize=512m")
     )
     return builder.getOrCreate()
 
