@@ -745,8 +745,11 @@ FROM best WHERE vr = 1 ORDER BY vec_id"""
         f"break to the smaller label id — deterministic, no RNG), and "
         f"the output carries (pred_label, votes, correct) so the "
         f"held-out accuracy IS the result the pipeline reads. Plan: "
-        f"the bounded query side broadcasts against one corpus scan "
-        f"(ss1's kernel), WindowGroupLimit cuts each query's "
+        f"the bounded query batch rides the task closure into ONE "
+        f"Arrow kernel over ONE corpus scan (vectorized numpy scoring "
+        f"with the dim-indexed sequential fold that is bit-exact vs "
+        f"F.aggregate — guide-style batch scoring, zero per-row "
+        f"work), WindowGroupLimit cuts each query's "
         f"candidate list to k BEFORE the vote agg, and the vote/argmax "
         f"stages shuffle O(queries x labels) tiny rows. The 100 TB "
         f"form swaps the brute-force scan for the persisted IVF "
@@ -760,28 +763,71 @@ FROM best WHERE vr = 1 ORDER BY vec_id"""
     tags=("llm", "similarity"),
 )
 def ss19(spark: SparkSession, sf: str) -> DataFrame:
-    v = _embeddings(spark, sf)
-    lab = t(spark, sf, "embeddings").select("vec_id", "label")
-    v = v.join(lab, "vec_id")
-    q = v.filter(F.col("vec_id") % _SS19_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("true_label"),
-        F.col("emb").alias("qe"),
+    # One scan serves queries, labels AND corpus (the old shape joined
+    # the projected-emb cache back to a second scan for labels, then
+    # scored a broadcast crossJoin through the interpreted F.aggregate
+    # HOF: O(queries x corpus x dim) lambda steps with no codegen —
+    # the measured 5.5 s at sf0.1 was almost entirely that).
+    base = t(spark, sf, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
-    c = v.filter(F.col("vec_id") % _SS19_QUERY_MOD != 0).select(
-        F.col("vec_id").alias("nid"), "label", "emb"
+    # Bounded query-batch collect (the IVF serve path's documented
+    # convention: probe maps / query batches are driver-bounded).
+    qrows = (
+        base.filter(F.col("vec_id") % _SS19_QUERY_MOD == 0)
+        .limit(EMBEDDING_ROW_CAP + 1)
+        .collect()
     )
-    cos = _dot(F.col("qe"), F.col("emb")) / F.sqrt(
-        _dot(F.col("qe"), F.col("qe")) * _dot(F.col("emb"), F.col("emb"))
-    )
-    scored = (
-        bounded_broadcast(
-            q, max_rows=EMBEDDING_ROW_CAP,
-            n_rows=None, label="ss19 queries",
+    if len(qrows) > EMBEDDING_ROW_CAP:
+        raise ValueError(
+            f"ss19: query batch exceeds {EMBEDDING_ROW_CAP} rows — "
+            "split the batch (same cap as bounded_broadcast)"
         )
-        .crossJoin(c)
-        .select("qid", "true_label", "label", cos.alias("cos"), "nid")
-    )
+    schema = "qid long, true_label int, label int, cos double, nid long"
+    if qrows:
+        qrows.sort(key=lambda r: r.vec_id)
+        qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+        qlab = np.array([r.label for r in qrows], dtype=np.int32)
+        qmat = np.array([r.emb for r in qrows], dtype=np.float64)
+        nq, dim = qmat.shape
+        # Dim-indexed sequential folds: acc = acc + (a_j * b_j) per
+        # step in float64 — BIT-EXACT to F.aggregate's left-to-right
+        # fold (and to DuckDB's list_dot_product), so ranks and the
+        # rounded scores match the oracle to the last ulp. np.dot would
+        # use pairwise/SIMD summation and can flip last-ulp ties.
+        qq = np.zeros(nq)
+        for j in range(dim):
+            qq += qmat[:, j] * qmat[:, j]
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                mat = np.array(list(pdf["emb"]), dtype=np.float64)
+                dot = np.zeros((n, nq))
+                cc = np.zeros(n)
+                for j in range(dim):
+                    cj = mat[:, j]
+                    dot += cj[:, None] * qmat[:, j][None, :]
+                    cc += cj * cj
+                cos = dot / np.sqrt(cc[:, None] * qq[None, :])
+                nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+                lbl = pdf["label"].to_numpy(dtype=np.int32)
+                yield pd.DataFrame({
+                    "qid": np.tile(qids, n),
+                    "true_label": np.tile(qlab, n),
+                    "label": np.repeat(lbl, nq),
+                    "cos": cos.ravel(),
+                    "nid": np.repeat(nid, nq),
+                })
+
+        scored = (
+            base.filter(F.col("vec_id") % _SS19_QUERY_MOD != 0)
+            .mapInPandas(score, schema=schema)
+        )
+    else:
+        scored = spark.createDataFrame([], schema)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
     knn = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= _SS19_K
