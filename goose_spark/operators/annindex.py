@@ -114,6 +114,54 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     )
 
 
+#: Session-scoped centroid-matrix / codebook caches keyed
+#: (index_dir, manifest version): the serve path previously paid a
+#: parquet read + collect for the ≤k×dim centroid table on EVERY call
+#: (2 Spark jobs), though the matrix is immutable for a given index
+#: version. The manifest version — bumped by every append/delete/
+#: compact — is the invalidation key, read driver-side (no job); one
+#: entry per index_dir (old versions evicted on write).
+_CENTROID_CACHE: dict = {}
+_BOOKS_CACHE: dict = {}
+
+
+def index_manifest(index_dir: str) -> dict:
+    """The index's manifest.json (k, dim, n = live rows, version) —
+    a driver-side file read, zero Spark jobs. ``n`` is maintained by
+    every writer (build/append/delete/compact), so serve-path callers
+    that only need the corpus size (e.g. selectivity-scaled probing)
+    read it here instead of paying a count job."""
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        return json.load(fh)
+
+
+def _manifest_version(index_dir: str) -> int:
+    try:
+        with open(os.path.join(index_dir, "manifest.json")) as fh:
+            return int(json.load(fh).get("version", 0))
+    except OSError:
+        return -1
+
+
+def _centroid_matrix(spark: SparkSession, index_dir: str):
+    """The index's centroid matrix as an ndarray, session-cached per
+    (index_dir, manifest version)."""
+    import numpy as np
+
+    ver = _manifest_version(index_dir)
+    hit = _CENTROID_CACHE.get(index_dir)
+    if hit is not None and hit[0] == ver:
+        return hit[1]
+    cent = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cmat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+    _CENTROID_CACHE[index_dir] = (ver, cmat)
+    return cmat
+
+
 def _probe_kernel(cmat, nprobe: int):
     """Factory for the nearest-nprobe-centroid probe kernel — the ONE
     probe implementation shared by ivf_index_query and ivfpq_query
@@ -183,16 +231,9 @@ def ivfpq_query(spark: SparkSession, index_dir: str, queries: DataFrame,
     cosine RE-RANK of only the top ``topk×refine`` ADC candidates —
     the standard IVFPQ+refine pipeline: quantized distances pick a
     small candidate set cheaply, full-precision vectors order it."""
-    import numpy as np
-
     from goose_spark.operators.pq import adc_topk
 
-    cent = (
-        spark.read.parquet(os.path.join(index_dir, "centroids"))
-        .orderBy("cluster")
-        .collect()
-    )
-    cmat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+    cmat = _centroid_matrix(spark, index_dir)
     books = _load_books(spark, index_dir)
 
     q_probes = queries.mapInPandas(
@@ -242,15 +283,21 @@ def ivfpq_query(spark: SparkSession, index_dir: str, queries: DataFrame,
 
 def _load_books(spark: SparkSession, index_dir: str):
     """The persisted PQ codebooks as the (m, k, sub) ndarray every code
-    producer/consumer shares — O(m×k) rows."""
+    producer/consumer shares — O(m×k) rows; session-cached per
+    (index_dir, manifest version) like the centroid matrix."""
     import numpy as np
 
+    ver = _manifest_version(index_dir)
+    hit = _BOOKS_CACHE.get(index_dir)
+    if hit is not None and hit[0] == ver:
+        return hit[1]
     brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
     mmax = max(r["m"] for r in brows) + 1
     kmax = max(r["k"] for r in brows) + 1
     books = np.zeros((mmax, kmax, len(brows[0]["centroid"])))
     for r in brows:
         books[r["m"], r["k"]] = r["centroid"]
+    _BOOKS_CACHE[index_dir] = (ver, books)
     return books
 
 
@@ -453,16 +500,12 @@ def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
     semantics hold wherever the new row lands."""
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
-    cent = (
-        spark.read.parquet(os.path.join(index_dir, "centroids"))
-        .orderBy("cluster")
-        .collect()
-    )
+    cmat = _centroid_matrix(spark, index_dir)
     # IVFPQ index: appendees must carry PQ codes from the FROZEN
     # codebooks, or the ADC scan would hit NULL codes
     books = _load_books(spark, index_dir) if manifest.get("pq_m") else None
     (
-        _assign_with_emb(new_vectors, [r["centroid"] for r in cent], books=books)
+        _assign_with_emb(new_vectors, cmat, books=books)
         .repartition("cluster")
         .write.mode("append")
         .partitionBy("cluster")
@@ -550,40 +593,48 @@ def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
     100 TB the semi-join keys on the same vec_id the cells are stored
     by, so the filter prunes candidates at the cell scan, and the
     distance kernel only ever sees admissible vectors."""
-    import numpy as np
+    cmat = _centroid_matrix(spark, index_dir)
 
-    cent = (
-        spark.read.parquet(os.path.join(index_dir, "centroids"))
-        .orderBy("cluster")
-        .collect()
-    )
-    cmat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
-
-    # computed twice (cell-set collect + candidate join) — deliberately
-    # NOT persisted: a .persist() here would pin an entry in the JVM
-    # CacheManager per query call (cached plans are not GC-reclaimed),
-    # and the kernel is one matmul per Arrow batch — cheaper to redo
-    q_probes = queries.mapInPandas(
-        _probe_kernel(cmat, nprobe), schema="query_id long, cluster int"
-    )
-    # the probed-cell set is bounded by k (the index's cluster count),
-    # so collecting it is O(k) — the static IN filter it produces is
-    # what guarantees partition pruning at ANY query volume
-    probed = sorted({r["cluster"] for r in q_probes.select("cluster").distinct().collect()})
-    cells = _live_cells(spark, index_dir, probed)
-    if allowed is not None:
-        # attribute pre-filter INSIDE the probed-cell read: candidates
-        # shrink before the distance kernel (ss16 filtered serve)
-        cells = cells.join(allowed.select("vec_id"), "vec_id", "left_semi")
-    # the query-batch convention (≤ ~20k queries per serve call) is
-    # ENFORCED here, not assumed: one limit-bounded count job sizes the
-    # batch; an oversized batch drops the hints and degrades to the
-    # planner's shuffle strategy instead of an executor-memory cliff
-    n_q = queries.limit(EMBEDDING_ROW_CAP + 1).count()
+    probe_schema = "query_id long, cluster int"
+    q_probes = queries.mapInPandas(_probe_kernel(cmat, nprobe), schema=probe_schema)
+    # ONE bounded collect of the probe table serves THREE consumers
+    # that previously each cost their own job: the probed-cell set
+    # (static IN partition filter), the query count (one probe row per
+    # (query, probed cell) — n_q = |distinct query_id|, replacing the
+    # limit-bounded count job), and the probe map itself, rebuilt as a
+    # driver-local relation so the candidate join never re-executes the
+    # probe kernel (the old plan ran the Python kernel twice per call).
+    # The collect is O(n_q × nprobe) ≤ the broadcast cap — the same
+    # bound the broadcast already imposed.
+    probe_cap = EMBEDDING_ROW_CAP * nprobe
+    probe_rows = q_probes.limit(probe_cap + 1).collect()
+    if len(probe_rows) > probe_cap:
+        # oversized batch: same degraded path as before (no driver
+        # copy, no hints — the planner picks shuffle strategies)
+        probed = sorted({
+            r["cluster"]
+            for r in q_probes.select("cluster").distinct().collect()
+        })
+        cells = _live_cells(spark, index_dir, probed)
+        if allowed is not None:
+            cells = cells.join(allowed.select("vec_id"), "vec_id", "left_semi")
+        n_q = queries.limit(EMBEDDING_ROW_CAP + 1).count()
+        cand_src = q_probes
+        cand_n = n_q * nprobe  # > probe_cap → the guard drops the hint
+    else:
+        probed = sorted({int(r["cluster"]) for r in probe_rows})
+        n_q = len({int(r["query_id"]) for r in probe_rows})
+        cells = _live_cells(spark, index_dir, probed)
+        if allowed is not None:
+            # attribute pre-filter INSIDE the probed-cell read:
+            # candidates shrink before the distance kernel (ss16)
+            cells = cells.join(allowed.select("vec_id"), "vec_id", "left_semi")
+        cand_src = spark.createDataFrame(probe_rows, probe_schema)
+        cand_n = len(probe_rows)
     cand = (
         bounded_broadcast(
-            q_probes, max_rows=EMBEDDING_ROW_CAP * nprobe,
-            n_rows=n_q * nprobe, label="ivf-serve q_probes",
+            cand_src, max_rows=probe_cap,
+            n_rows=cand_n, label="ivf-serve q_probes",
         )
         .join(cells, "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))

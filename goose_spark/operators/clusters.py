@@ -488,6 +488,43 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
 # qg1 — bounded-depth BFS reachability (min-hop labels)
 # ---------------------------------------------------------------------------
 
+#: Session cache for the co-purchase pair table shared by qg1 AND qg2
+#: (optimization r14, guide §2.4: both queries were independently
+#: paying the lineitem per-order self-join + distinct — measured
+#: 3.1 s warm at sf0.1 — for the IDENTICAL (a, b) pair list). Same
+#: pattern and lifecycle as dedup's lsh_verified_pairs: keyed on
+#: sf_dir, build attributed to first use via BUILD_LOG / the bench
+#: cache_builds sidecar, evicted with the session.
+_COPURCHASE_CACHE: dict = {}
+
+
+def copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct undirected co-purchase pairs (a < b): parts sharing an
+    order. One hash-shuffle on l_orderkey bounded by items/order, one
+    distinct — the exact `p` CTE of the qg1/qg2 oracles."""
+    from goose_spark.operators.cache import get_or_persist
+
+    def build() -> DataFrame:
+        li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        x, y = li.alias("x"), li.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+            )
+            .select(
+                F.col("x.l_partkey").alias("a"),
+                F.col("y.l_partkey").alias("b"),
+            )
+            .distinct()
+        )
+
+    return get_or_persist(
+        _COPURCHASE_CACHE, spark, sf, build, label="copurchase_pairs"
+    )
+
+
 #: BFS depth bound — at 100 TB reachability queries are always
 #: depth-bounded (unbounded closure over a near-clique is answer-size
 #: suicide); 3 hops covers the "neighborhood of a seed set" use
@@ -532,23 +569,18 @@ FROM bfs GROUP BY node ORDER BY node"""
     tags=("relational", "graph"),
 )
 def qg1(spark: SparkSession, sf: str) -> DataFrame:
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = li.alias("x"), li.alias("y")
-    p = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-    )
-    edges = (
-        p.unionAll(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=True)
-    )
+    p = copurchase_pairs(spark, sf)
+    # both orientations in ONE pass over the cached pair table
+    # (explode beats union: the cache is scanned once per consumer,
+    # not twice — same shape as pagerank's edge build)
+    edges = p.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     seeds = (
         t(spark, sf, "part")
         .filter(F.col("p_partkey") % 1000 == 0)
@@ -564,9 +596,17 @@ def qg1(spark: SparkSession, sf: str) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("hops", F.lit(hop).cast("long"))
+            # nxt is each round's ONLY new lineage — checkpointing it
+            # keeps round k's plan from replaying rounds 1..k-1
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # visited stays a LAZY union of already-checkpointed layers
+        # (depth-_QG1_MAX_HOPS lineage of ExistingRDD scans): the old
+        # per-round eager visited checkpoint re-materialized the whole
+        # visited set every hop — one full job per round for data the
+        # layer checkpoints already hold (guide §1.2: don't recompute
+        # what you already have)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("node")
     return visited.orderBy("node")
 
@@ -617,7 +657,10 @@ ORDER BY a, rk"""
         f"registry's first non-edge-scoring graph op (q87 counts "
         f"closed wedges; this scores the OPEN ones). Plan: wedge "
         f"enumeration at each center (e1 JOIN e2 on the center key, "
-        f"one shuffle), hash-agg to per-pair common-neighbor counts, "
+        f"one shuffle) with the probe slice pushed onto e1 BEFORE the "
+        f"join (a kept pair's a is always e1.b, so the cut is lossless "
+        f"and shrinks the wedge side ~100x), "
+        f"hash-agg to per-pair common-neighbor counts, "
         f"LEFT ANTI against the edge list to keep non-edges only, "
         f"degree joins partitioned on each endpoint (the degree table "
         f"is node-sized — never broadcast), then WindowGroupLimit "
@@ -631,25 +674,28 @@ ORDER BY a, rk"""
 def qg2(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = li.alias("x"), li.alias("y")
-    p = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-        # both the wedge join and the anti-join read the pair list —
-        # one eager truncation pays the per-order self-join once
-        .localCheckpoint(eager=True)
-    )
-    e = p.unionAll(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # shared session-cached pair table (built once for qg1 AND qg2)
+    p = copurchase_pairs(spark, sf)
+    e = p.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     deg = e.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
-    e1, e2 = e.alias("e1"), e.alias("e2")
+    # Probe-slice pushdown (guide §2.3 filter before the exchange): the
+    # query only REPORTS pairs whose smaller endpoint a is in the
+    # a % 100 = 0 slice, the per-a window rank never mixes slices, and
+    # a predicted pair's a is always e1.b of its wedges — so wedges
+    # whose e1.b is outside the slice can never reach the output.
+    # Filtering e1 BEFORE the wedge join cuts its left side (and the
+    # pair hash-agg) ~100x without changing any kept row's cn: the
+    # common-neighbor count for a kept (a, b) ranges over e2 centers,
+    # which stay unfiltered.
+    e1 = e.filter(F.col("b") % 100 == 0).alias("e1")
+    e2 = e.alias("e2")
     w = (
         e1.join(
             e2,

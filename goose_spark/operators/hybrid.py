@@ -179,7 +179,14 @@ def _lexical_ranks(spark: SparkSession, sf: str, nv: int) -> DataFrame:
     hash-agg — never doc×doc text comparison."""
     d = t(spark, sf, "documents").filter(F.col("doc_id") < nv)
 
-    toks = (
+    # the token index feeds THREE subplans (df table, query tokens, the
+    # posting join) and the planner does not reuse the exchange across
+    # them (0 ReusedExchange in the before plan — the explode+agg ran
+    # 3x per query): one persist_shared materialization, released by
+    # sweep callers between queries
+    from goose_spark.plans.guards import persist_shared
+
+    toks = persist_shared(
         d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("doc_id", "tok")
@@ -225,14 +232,16 @@ def _lexical_ranks(spark: SparkSession, sf: str, nv: int) -> DataFrame:
     tags=("llm", "similarity", "text"),
 )
 def ss14(spark: SparkSession, sf: str) -> DataFrame:
-    from goose_spark.operators.annindex import ivf_index_query
+    from goose_spark.operators.annindex import index_manifest, ivf_index_query
     from goose_spark.operators.similarity import _embeddings, ivf_index_for
 
     emb = _embeddings(spark, sf)
-    nv = emb.count()
+    # vector-corpus size from the index manifest (zero-job driver
+    # read; every vector is indexed) instead of a count job
+    idx = ivf_index_for(spark, sf)
+    nv = index_manifest(idx)["n"]
     lex_r = _lexical_ranks(spark, sf, nv)
 
-    idx = ivf_index_for(spark, sf)
     q = emb.filter(F.col("vec_id") < N_Q).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )

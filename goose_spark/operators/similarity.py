@@ -625,7 +625,7 @@ def ss15(spark: SparkSession, sf: str) -> DataFrame:
 def ss16(spark: SparkSession, sf: str) -> DataFrame:
     import math
 
-    from goose_spark.operators.annindex import ivf_index_query
+    from goose_spark.operators.annindex import index_manifest, ivf_index_query
 
     v = _embeddings(spark, sf)
     allowed = (
@@ -642,12 +642,14 @@ def ss16(spark: SparkSession, sf: str) -> DataFrame:
     # matching the UNfiltered serve's candidate volume needs ~nprobe/s
     # cells (capped at the index's k — a very selective predicate
     # degrades to scanning all cells of the pruned column, which is
-    # exactly ss15's exact form). Two count() scalars, both metadata-
-    # cheap next to the serve itself.
-    n_all = v.count()
+    # exactly ss15's exact form). Corpus size comes from the index
+    # manifest (every vector is indexed; maintained by all writers —
+    # a zero-job driver-side read), so only the predicate count
+    # remains as a metadata-cheap scalar job.
+    idx = ivf_index_for(spark, sf)
+    n_all = index_manifest(idx)["n"]
     n_ok = max(allowed.count(), 1)
     nprobe = min(IVF_K, math.ceil(IVF_NPROBE * n_all / n_ok))
-    idx = ivf_index_for(spark, sf)
     return ivf_index_query(spark, idx, q, nprobe=nprobe, topk=TOP_K, allowed=allowed)
 
 
@@ -670,7 +672,7 @@ def ss16(spark: SparkSession, sf: str) -> DataFrame:
 def ss17(spark: SparkSession, sf: str) -> DataFrame:
     import math
 
-    from goose_spark.operators.annindex import ivf_range_search
+    from goose_spark.operators.annindex import index_manifest, ivf_range_search
 
     v = _embeddings(spark, sf)
     allowed = (
@@ -681,10 +683,12 @@ def ss17(spark: SparkSession, sf: str) -> DataFrame:
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
-    n_all = v.count()
+    # corpus size from the index manifest (see ss16) — one count job
+    # (the predicate) instead of two
+    idx = ivf_index_for(spark, sf)
+    n_all = index_manifest(idx)["n"]
     n_ok = max(allowed.count(), 1)
     nprobe = min(IVF_K, math.ceil(IVF_NPROBE * n_all / n_ok))
-    idx = ivf_index_for(spark, sf)
     return ivf_range_search(spark, idx, q, tau=RANGE_TAU, nprobe=nprobe,
                             allowed=allowed)
 
