@@ -355,7 +355,16 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     where n_wedges = Σ C(deg, 2) over the UNDIRECTED graph and
     gcc = 3·triangles / wedges (the transitivity ratio).
     """
-    e = (
+    from goose_spark.plans.guards import persist_shared
+
+    # e fans out to FOUR subplans (both node scans, the degree joins,
+    # the edge-count agg) and o to THREE (both wedge sides, the closing
+    # semi-join): without materialization the canonicalize+distinct and
+    # the degree joins re-executed per branch — the before plan ran 37
+    # Spark jobs for a query whose data passes number ~4. One
+    # persist_shared at each fan-out point (released between queries by
+    # the sweep harness) collapses it (optimization r14, guide §1.2).
+    e = persist_shared(
         pairs.filter(F.col("a_id") != F.col("b_id"))
         .select(
             F.least("a_id", "b_id").alias("a_id"),
@@ -374,11 +383,11 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a_id") < F.col("b_id"))
     )
-    o = de.select(
+    o = persist_shared(de.select(
         F.when(a_first, F.col("a_id")).otherwise(F.col("b_id")).alias("src"),
         F.when(a_first, F.col("b_id")).otherwise(F.col("a_id")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    )
+    ))
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedges = e1.join(
         e2,

@@ -499,7 +499,13 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
 
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf, "part").select("p_partkey", "p_brand")
-    ob = (
+    # ob fans out to FOUR subplans (order count, per-brand counts, both
+    # self-join sides) — without materialization the join+distinct ran
+    # once per branch (optimization r14, guide §1.2); persist_shared is
+    # released between queries by the sweep harness
+    from goose_spark.plans.guards import persist_shared
+
+    ob = persist_shared(
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("br"))
         .distinct()
