@@ -58,15 +58,26 @@ GROUP BY doc_id, lang ORDER BY doc_id"""
     tags=("llm", "curation"),
 )
 def sp6(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents").select("doc_id", "lang", "text")
-    sh = (
-        with_ngrams(d, _DECON_N)
+    # the bench/train split depends only on doc_id, so it is applied
+    # BELOW the n-gram kernel: Catalyst cannot push a filter through a
+    # MapInPandas node, and with the filter above it each branch
+    # tokenized the FULL corpus (2x the dominant cost). Filtering first
+    # tokenizes each doc exactly once across the two branches
+    # (optimization r14, guide §2.2 shuffle/compute fewer bytes).
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
         .withColumn("b", F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2))
-        .select("doc_id", "lang", "b", F.explode("grams").alias("g"))
     )
-    bench = sh.filter(F.col("b") < _BENCH_LT).select("g").distinct()
+
+    def sh(side: DataFrame) -> DataFrame:
+        return with_ngrams(side, _DECON_N).select(
+            "doc_id", "lang", "b", F.explode("grams").alias("g")
+        )
+
+    bench = sh(d.filter(F.col("b") < _BENCH_LT)).select("g").distinct()
     return (
-        sh.filter(F.col("b") >= _BENCH_LT)
+        sh(d.filter(F.col("b") >= _BENCH_LT))
         .join(F.broadcast(bench), "g", "left_semi")
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_hit_grams"))
@@ -725,22 +736,29 @@ FROM hits GROUP BY 1, 2 ORDER BY train_source, bench_lang"""
     tags=("llm", "curation"),
 )
 def sp12(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents").select("doc_id", "lang", "source", "text")
-    sh = (
-        with_ngrams(d, _DECON_N)
+    # same below-the-kernel bucket split as sp6: each doc tokenized
+    # once, not once per branch (optimization r14, guide §2.2)
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang", "source", "text")
         .withColumn(
             "b",
             F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
         )
-        .select("doc_id", "lang", "source", "b", F.explode("grams").alias("g"))
     )
+
+    def sh(side: DataFrame) -> DataFrame:
+        return with_ngrams(side, _DECON_N).select(
+            "doc_id", "lang", "source", "b", F.explode("grams").alias("g")
+        )
+
     bench = (
-        sh.filter(F.col("b") < _BENCH_LT)
+        sh(d.filter(F.col("b") < _BENCH_LT))
         .select("g", F.col("lang").alias("bench_lang"))
         .distinct()
     )
     return (
-        sh.filter(F.col("b") >= _BENCH_LT)
+        sh(d.filter(F.col("b") >= _BENCH_LT))
         .join(F.broadcast(bench), "g")
         .select(F.col("source").alias("train_source"), "bench_lang", "doc_id")
         .distinct()

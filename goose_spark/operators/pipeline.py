@@ -880,8 +880,16 @@ def sp17(spark: SparkSession, sf: str) -> DataFrame:
     # the incremental win: only blocks that contain >=1 increment doc
     # participate at all. The increment's block list is tiny (O(new
     # docs)) -> broadcast left-semi; every other block's rows never
-    # leave the scan.
-    new_blocks = d.filter("is_new").select("lang", "bkt").distinct()
+    # leave the scan. The block list needs only documents columns, so
+    # it reads the narrow documents scan directly instead of re-scanning
+    # the (much wider) shingle cache and re-paying its join
+    # (optimization r14, guide §2.2 shuffle fewer bytes).
+    new_blocks = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("lang", (F.col("n_chars") / 64).cast("long").alias("bkt"))
+        .distinct()
+    )
     d = d.join(F.broadcast(new_blocks), ["lang", "bkt"], "left_semi")
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

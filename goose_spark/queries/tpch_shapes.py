@@ -106,29 +106,35 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
        GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
        ORDER BY qty DESC, o_orderkey LIMIT 20""",
-    doc="TPC-H Q18 shape: IN over a HAVING-filtered aggregate (semi-join "
-        "on the grouped fact — the aggregate runs once, Catalyst reuses "
-        "the exchange for both sides).",
+    doc="TPC-H Q18 shape: IN over a HAVING-filtered aggregate. The IN "
+        "subquery's sum IS the output qty (orderkey is unique in "
+        "orders), so the plan computes the per-order aggregate once, "
+        "filters it, and joins orders to the survivors — one lineitem "
+        "scan and one shuffle instead of the literal semi-join form's "
+        "two of each.",
 )
 def q39(spark: SparkSession, sf: str) -> DataFrame:
+    # the HAVING filter and the output aggregate are the SAME per-order
+    # quantity sum (o_orderkey is unique in orders, so grouping the
+    # joined rows by (okey, date, totalprice) degenerates to the
+    # per-orderkey sum): compute it once and join orders to the
+    # filtered aggregate — one lineitem scan + one shuffle instead of
+    # the semi-join form's two of each (optimization r14, guide §2.2;
+    # oracle equivalence is exact, not approximate)
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
-    big = (
+    per = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("qty"))
+        o.join(per, o.o_orderkey == per.l_orderkey)
         .select(
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).cast("double").alias("total"),
-            "qty",
+            F.col("q").cast("double").alias("qty"),
         )
         .orderBy(F.col("qty").desc(), "o_orderkey")
         .limit(20)
