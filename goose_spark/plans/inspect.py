@@ -16,6 +16,64 @@ def physical_plan(df: DataFrame) -> str:
 
 
 @dataclass
+class TreeCounts:
+    """Operator counts from a WALK of the physical-plan tree — what
+    actually executes. ``SparkPlan.toString`` (and PLANS.md's former
+    text counts) re-prints a cached frame's ENTIRE build plan at every
+    InMemoryTableScan site, and prints BOTH the final and initial AQE
+    plans of executed cached subtrees, so a query scanning one persisted
+    frame N times appeared to contain ~2N copies of the build's
+    exchanges — execution builds the cache once and every further scan
+    reads blocks. The walk descends into each distinct cached plan
+    exactly once and into AQE's current plan only."""
+
+    shuffles: int = 0
+    broadcast_joins: int = 0
+    sort_merge_joins: int = 0
+    single_partition_exchanges: int = 0
+
+
+def tree_counts(df: DataFrame) -> TreeCounts:
+    plan = df._jdf.queryExecution().executedPlan()
+    counts = TreeCounts()
+    seen_caches: set[int] = set()
+    stack = [plan]
+    while stack:
+        p = stack.pop()
+        cls = p.getClass().getSimpleName()
+        if cls == "ShuffleExchangeExec":
+            part = p.outputPartitioning().toString()
+            if "SinglePartition" in part:
+                counts.single_partition_exchanges += 1
+            elif "hashpartitioning" in part or "rangepartitioning" in part:
+                counts.shuffles += 1
+        elif cls == "BroadcastHashJoinExec":
+            counts.broadcast_joins += 1
+        elif cls == "SortMergeJoinExec":
+            counts.sort_merge_joins += 1
+        elif cls == "InMemoryTableScanExec":
+            cached = p.relation().cachedPlan()
+            key = cached.hashCode()
+            if key not in seen_caches:
+                seen_caches.add(key)
+                stack.append(cached)
+            continue
+        elif cls == "AdaptiveSparkPlanExec":
+            stack.append(p.executedPlan())
+            continue
+        elif cls == "ReusedExchangeExec":
+            # references an exchange counted at its original site
+            continue
+        elif cls.endswith("QueryStageExec"):
+            stack.append(p.plan())
+            continue
+        ch = p.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return counts
+
+
+@dataclass
 class PlanReport:
     text: str
 

@@ -211,3 +211,36 @@ def test_release_shared_drops_only_tracked_frames(spark):
     assert session_cache.storageLevel.useMemory  # untouched
     session_cache.unpersist()
     assert release_shared() == 0  # list drained
+
+
+def test_tree_counts_count_cached_build_once(spark):
+    """tree_counts walks the plan tree: a persisted frame scanned N
+    times contributes its build-plan exchanges ONCE (execution builds
+    the cache once), while the text counts re-count the build at every
+    `toString` re-print — the PLANS.md q87 artifact (475 printed
+    shuffles for a 7-exchange query, optimization r14)."""
+    from pyspark.sql import functions as F
+
+    from goose_spark.plans.inspect import report, tree_counts
+
+    base = (
+        spark.range(1000)
+        .select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))  # one hash shuffle in the build
+        .persist()
+    )
+    base.count()
+    a, b = base.alias("a"), base.alias("b")
+    two_scans = a.join(b, "k").filter(F.col("a.s") <= F.col("b.s"))
+    try:
+        tc = tree_counts(two_scans)
+        r = report(two_scans)
+        # the build's exchange counts once despite two scan sites (the
+        # join of two 7-row cached sides itself broadcasts, adding none)
+        assert tc.shuffles == 1
+        # the text count re-prints the cached build per scan site (and
+        # per AQE final/initial section) — strictly more than the walk
+        assert r.shuffles > tc.shuffles
+    finally:
+        base.unpersist()
