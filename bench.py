@@ -121,6 +121,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     cache_builds: dict[str, dict] = {}
+    # VERDICT r14 directive #1 (additive, sidecar-only): the r14 driver
+    # record held two same-code outliers (tx14 10.4 s vs 2.8 s snapshot,
+    # ss9 5.8 vs 1.2) that the record couldn't adjudicate because
+    # loadavg was stamped only at sweep start/end. Two additions:
+    # (a) a per-query 1-min loadavg stamp (queries_loadavg sidecar map),
+    # (b) a THIRD timed attempt when the best-of-2 lands ≥3x the
+    #     committed bench_history snapshot AND ≥1 s absolute — a
+    #     mid-run contention window on one query block then
+    #     self-corrects instead of poisoning the round's record.
+    snapshot = load_snapshot()
+    queries_loadavg: dict[str, float] = {}
+    outlier_retries: dict[str, dict] = {}
     for name in sorted(registry):
         spec = registry[name]
         runs: list[float] = []
@@ -131,7 +143,19 @@ def main() -> None:
         # attempts are skipped, not fatal: a transient run-2 failure
         # must not discard a valid run-1 measurement (ADVICE r13) —
         # the query is failed (-1.0) only when NO attempt succeeded.
-        for attempt in range(2):
+        # Attempt 3 exists ONLY for snapshot-relative outliers (above).
+        for attempt in range(3):
+            if attempt == 2:
+                snap = snapshot.get(name, 0.0)
+                best = min(runs) if runs else -1.0
+                if not (runs and snap > 0
+                        and best >= 3.0 * snap and best >= 1.0):
+                    break
+                outlier_retries[name] = {
+                    "best_of_2": round(best, 4),
+                    "snapshot": snap,
+                    "loadavg_1m": round(os.getloadavg()[0], 2),
+                }
             seen = set(BUILD_LOG)
             start = time.perf_counter()
             try:
@@ -154,12 +178,15 @@ def main() -> None:
             # k-means) stay warm — clearCache() here cost the sweep
             # ~8-15 s in rebuilt caches
             release_shared()
+        queries_loadavg[name] = round(os.getloadavg()[0], 2)
         if not runs:
             timings[name] = cold[name] = -1.0
         else:
             # cold = first SUCCESSFUL run; min over successful runs
             cold[name] = round(runs[0], 4)
             timings[name] = round(min(runs), 4)
+        if name in outlier_retries:
+            outlier_retries[name]["final"] = timings[name]
     load_after = tuple(round(v, 2) for v in os.getloadavg())
 
     ok = [v for v in timings.values() if v >= 0]
@@ -167,7 +194,8 @@ def main() -> None:
         "metric": "declared-query wall-clock (sum over inventory)",
         "value": round(sum(ok), 4),
         "unit": "sec",
-        "timing": "best-of-2 per query (min); queries_cold = first run",
+        "timing": ("best-of-2 per query (min); queries_cold = first run; "
+                   "+1 retry when best ≥3x snapshot (outlier_retries)"),
         "queries": timings,
         "queries_cold": cold,
         "cache_builds": cache_builds,
@@ -179,6 +207,15 @@ def main() -> None:
         "failed": sorted(k for k, v in timings.items() if v < 0),
         "vs_duckdb": vs_duckdb(timings, sf_dir),
         "jobs_throughput": jobs_throughput(spark),
+        # per-query host-state stamps + any snapshot-relative third
+        # attempts (VERDICT r14 directive #1; empty dict = none fired)
+        "queries_loadavg": queries_loadavg,
+        "outlier_retries": outlier_retries,
+        # JIT code-cache headroom at sweep end (VERDICT r14 directive
+        # #9): the r14 ReservedCodeCacheSize=512m fix must keep >20%
+        # headroom as the inventory grows, or late-sweep queries start
+        # running interpreted again
+        "code_cache": code_cache_usage(spark),
     }
     # Sidecar carries the full per-query map; stdout gets ONE COMPACT
     # line. The grading driver tail-captures ~2 kB of output — nine
@@ -232,6 +269,57 @@ def main() -> None:
         line = json.dumps(compact)
     print(line)
     spark.stop()
+
+
+def load_snapshot() -> dict:
+    """Per-query seconds from the newest committed bench_history
+    snapshot — the reference scale for the outlier third attempt.
+    Empty dict (no retries ever fire) when no snapshot exists."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(here, "bench_history", "bench_full_r*.json"))
+
+    def rnum(p: str) -> int:
+        m = re.search(r"bench_full_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    if not paths:
+        return {}
+    try:
+        with open(max(paths, key=rnum)) as fh:
+            data = json.load(fh)
+        return {k: v for k, v in data.get("queries", {}).items()
+                if isinstance(v, (int, float)) and v > 0}
+    except (OSError, ValueError):
+        return {}
+
+
+def code_cache_usage(spark) -> dict | None:
+    """JIT code-cache occupancy via the driver JVM's MemoryPoolMXBeans
+    (the CodeHeap pools on segmented code caches, 'Code Cache' on
+    unsegmented). Driver-side JMX read, zero Spark jobs."""
+    try:
+        beans = (spark._jvm.java.lang.management.ManagementFactory
+                 .getMemoryPoolMXBeans())
+        used = mx = 0
+        for i in range(beans.size()):
+            b = beans.get(i)
+            name = b.getName()
+            if "CodeHeap" in name or "Code Cache" in name:
+                u = b.getUsage()
+                used += u.getUsed()
+                mx += u.getMax()
+        if mx <= 0:
+            return None
+        return {
+            "used_mb": round(used / 2**20, 1),
+            "max_mb": round(mx / 2**20, 1),
+            "headroom_pct": round(100.0 * (1 - used / mx), 1),
+        }
+    except Exception:  # pragma: no cover — JMX shape drift must not fail a sweep
+        return None
 
 
 def vs_duckdb(timings: dict, sf_dir: str) -> dict | None:

@@ -96,8 +96,13 @@ def build_ivf_index_from(spark: SparkSession, vectors: DataFrame,
         .parquet(os.path.join(index_dir, "assignments"))
     )
     # row count from the written index's parquet footers — a v.count()
-    # here would re-execute the whole embeddings pipeline a third time
-    manifest = {"k": k, "dim": dim, "n": _count_index_rows(index_dir), "version": 1}
+    # here would re-execute the whole embeddings pipeline a third time.
+    # version continues from any manifest already at index_dir (ADVICE
+    # r14): an in-place rebuild must invalidate the session-scoped
+    # centroid/codebook caches keyed (index_dir, version), or serves in
+    # the same session would keep the previous build's quantizers.
+    manifest = {"k": k, "dim": dim, "n": _count_index_rows(index_dir),
+                "version": max(_manifest_version(index_dir), 0) + 1}
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest
@@ -215,8 +220,12 @@ def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
         .partitionBy("cluster")
         .parquet(os.path.join(index_dir, "assignments"))
     )
+    # version continues from any existing manifest (ADVICE r14): see
+    # build_ivf_index_from — in-place rebuilds must not alias the
+    # previous build's cached centroids/codebooks.
     manifest = {"k": k, "dim": _DIM, "pq_m": PQ_M,
-                "n": _count_index_rows(index_dir), "version": 1}
+                "n": _count_index_rows(index_dir),
+                "version": max(_manifest_version(index_dir), 0) + 1}
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest

@@ -336,3 +336,29 @@ def test_range_search_excludes_tombstoned(spark, tmp_path):
     delete_from_ivf_index(spark, idx, [victim])
     after = ivf_range_search(spark, idx, q, tau=0.25).collect()
     assert victim not in {r["neighbor_id"] for r in after}
+
+
+def test_inplace_rebuild_invalidates_cached_quantizers(spark, tmp_path):
+    """ADVICE r14: rebuilding an index at an existing index_dir within a
+    session must not leave the previous build's centroids current in the
+    (index_dir, version)-keyed session cache — the rebuild continues the
+    version counter instead of resetting to 1."""
+    from goose_spark.operators.annindex import (
+        _centroid_matrix,
+        build_ivf_index_from,
+    )
+
+    idx = str(tmp_path / "ivf-rebuild")
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, emb array<double>",
+    )
+    man0 = build_ivf_index_from(spark, vecs, [[0.0, 0.0], [9.0, 0.0]], idx)
+    assert man0["version"] == 1
+    m0 = _centroid_matrix(spark, idx)  # prime the session cache
+    assert m0[0].tolist() == [0.0, 0.0]
+
+    man1 = build_ivf_index_from(spark, vecs, [[1.0, 1.0], [8.0, 1.0]], idx)
+    assert man1["version"] == man0["version"] + 1
+    m1 = _centroid_matrix(spark, idx)  # must see the NEW quantizer
+    assert m1[0].tolist() == [1.0, 1.0]
