@@ -692,8 +692,16 @@ def tx18(spark: SparkSession, sf: str) -> DataFrame:
     from goose_spark.operators.textlib import words
 
     d = t(spark, sf, "documents")
-    tk = d.select(
-        F.filter(words(F.col("text")), lambda x: x != "").alias("w")
+    # tokenize the corpus ONCE: the token-array frame feeds BOTH the
+    # bigram branch and the unigram branch, and each previously re-ran
+    # the regex tokenizer over every document (2 full tokenize passes
+    # per query — the dominant cost; guide §1.2). persist_shared
+    # materializes the arrays a single time; both aggs read the cache
+    # (released by sweep callers between queries), r15.
+    tk = persist_shared(
+        d.select(
+            F.filter(words(F.col("text")), lambda x: x != "").alias("w")
+        )
     )
     # size guard matters: Spark's sequence(0, -1) REVERSES instead of
     # returning empty, so a 0/1-token doc would index w[-1] → nulls

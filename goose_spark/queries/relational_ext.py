@@ -282,13 +282,23 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     # (the Expand/SortAggregate cliff, 57 s). Results join driver-side.
     # NOT localCheckpoint(eager=False): that re-executed the lineage at
     # checkpoint build (27.8 s at sf0.1 vs ~1 s for the aggregates).
+    # the HLL estimate rides the qty pass, NOT the countDistinct pass:
+    # mixed into the same agg as a distinct aggregate, Spark's
+    # distinct-rewrite hoists the HLL buffer into the per-(rf, orderkey)
+    # partial aggregate — every one of the ~450k distinct pairs carries
+    # a 53-long HLL sketch through the first exchange (plan-verified,
+    # plans/r15/q29_cd_pass_before.txt). As a plain non-distinct agg in
+    # the qty pass it buffers per returnflag (3 groups) only; the pair
+    # shuffle shrinks to (rf, orderkey). Same column, same rsd — the
+    # HLL++ estimate is bit-identical (register-max merge is
+    # order-insensitive), r15.
     passes = {
         "cd": li.groupBy("l_returnflag").agg(
-            F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
-            F.approx_count_distinct("l_orderkey").alias("_hll")),
+            F.countDistinct("l_orderkey").cast("long").alias("exact_orders")),
         "qty": li.groupBy("l_returnflag").agg(
             F.percentile("l_quantity", env_q).alias("_qp"),
-            F.percentile_approx("l_quantity", 0.5, _Q29_ACC).alias("_ap50")),
+            F.percentile_approx("l_quantity", 0.5, _Q29_ACC).alias("_ap50"),
+            F.approx_count_distinct("l_orderkey").alias("_hll")),
         "prc": li.groupBy("l_returnflag").agg(
             F.percentile("l_extendedprice", env_p).alias("_pp"),
             F.percentile_approx("l_extendedprice", 0.99, _Q29_ACC).alias("_ap99")),
