@@ -188,6 +188,28 @@ def _probe_kernel(cmat, nprobe: int):
     return probe
 
 
+def _probe_qe_kernel(cmat, nprobe: int):
+    """``_probe_kernel`` emitting ONE row per query — (query_id, qe,
+    clusters) — so a single bounded collect serves the probed-cell set,
+    the query count AND the query-embedding batch the scoring kernel
+    needs (the qe values pass through untouched; the cell choice uses
+    the numerically identical scores/argsort as ``_probe_kernel``)."""
+    import numpy as np
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf["qe"]), dtype=np.float64)
+            scores = mat @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)[None, :]
+            top = np.argsort(-scores, axis=1)[:, :nprobe]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "qe": pdf["qe"],
+                "clusters": [[int(c) for c in cl] for cl in top],
+            })
+
+    return probe
+
+
 def build_ivfpq_index(spark: SparkSession, sf: str, index_dir: str) -> dict:
     """IVF+PQ index (FAISS IndexIVFPQ shape): the IVF layout bounds
     what a query READS (partition-pruned cells), the PQ codes bound
@@ -585,14 +607,23 @@ def attach_index_stream(stream: DataFrame, index_dir: str, checkpoint: str,
 
 
 def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
-                       nprobe: int, allowed: DataFrame | None = None) -> DataFrame:
+                       nprobe: int, allowed: DataFrame | None = None,
+                       with_emb: bool = False) -> DataFrame:
     """The shared IVF serve stage: probes computed per Arrow batch (one
     matmul against the ≤k×dim broadcast centroid matrix), probed cells
     collected as a ≤k-value STATIC partition filter (guaranteed
     ``PartitionFilters`` pruning on the assignments scan), exact cosine
-    within the pruned cells. Returns (query_id, qe, neighbor_id, ne,
-    cos) unranked — ``_ranked_candidates`` adds the per-query top-k
-    window, ``ivf_range_search`` filters by threshold instead.
+    within the pruned cells — scored by ONE vectorized Arrow kernel
+    over the probed-cell scan (the bounded query batch rides the task
+    closure; numpy dim-indexed folds, bit-exact vs the interpreted
+    F.aggregate HOF it replaced in r15). Returns (query_id, neighbor_id,
+    cos) unranked — plus the qe/ne embedding columns when ``with_emb``
+    (only ``ivf_candidates`` needs them; everyone else projects them
+    away, and emitting two ~dim-double arrays per candidate through
+    Arrow costs more than the scoring, so the kernel emits only what
+    the caller reads — guide §4). ``_ranked_candidates`` adds the
+    per-query top-k window, ``ivf_range_search`` filters by threshold
+    instead.
 
     ``allowed`` (optional, one ``vec_id`` column) is the attribute
     PRE-filter of filtered vector search (ss15/ss16): a semi-join
@@ -602,24 +633,32 @@ def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
     100 TB the semi-join keys on the same vec_id the cells are stored
     by, so the filter prunes candidates at the cell scan, and the
     distance kernel only ever sees admissible vectors."""
+    import numpy as np
+
     cmat = _centroid_matrix(spark, index_dir)
 
-    probe_schema = "query_id long, cluster int"
-    q_probes = queries.mapInPandas(_probe_kernel(cmat, nprobe), schema=probe_schema)
-    # ONE bounded collect of the probe table serves THREE consumers
-    # that previously each cost their own job: the probed-cell set
-    # (static IN partition filter), the query count (one probe row per
-    # (query, probed cell) — n_q = |distinct query_id|, replacing the
-    # limit-bounded count job), and the probe map itself, rebuilt as a
-    # driver-local relation so the candidate join never re-executes the
-    # probe kernel (the old plan ran the Python kernel twice per call).
-    # The collect is O(n_q × nprobe) ≤ the broadcast cap — the same
-    # bound the broadcast already imposed.
-    probe_cap = EMBEDDING_ROW_CAP * nprobe
-    probe_rows = q_probes.limit(probe_cap + 1).collect()
-    if len(probe_rows) > probe_cap:
-        # oversized batch: same degraded path as before (no driver
-        # copy, no hints — the planner picks shuffle strategies)
+    # ONE bounded collect — one row per query carrying the probe set AND
+    # the query embedding — serves every driver-side consumer: the
+    # probed-cell set (static IN partition filter), the query count, and
+    # the query batch the scoring kernel closes over. Bounded by
+    # EMBEDDING_ROW_CAP, the same cap the qe broadcast imposed (r15).
+    out_schema = (
+        "query_id long, qe array<double>, neighbor_id long, "
+        "ne array<double>, cos double"
+        if with_emb else "query_id long, neighbor_id long, cos double"
+    )
+    qrows = (
+        queries.mapInPandas(_probe_qe_kernel(cmat, nprobe),
+                            schema="query_id long, qe array<double>, clusters array<int>")
+        .limit(EMBEDDING_ROW_CAP + 1)
+        .collect()
+    )
+    if len(qrows) > EMBEDDING_ROW_CAP:
+        # oversized batch: degraded path, shape unchanged from r14 (no
+        # driver copy, no hints, executor-side probe pairs + interpreted
+        # HOF scoring — the planner picks shuffle strategies)
+        probe_schema = "query_id long, cluster int"
+        q_probes = queries.mapInPandas(_probe_kernel(cmat, nprobe), schema=probe_schema)
         probed = sorted({
             r["cluster"]
             for r in q_probes.select("cluster").distinct().collect()
@@ -628,51 +667,117 @@ def _scored_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
         if allowed is not None:
             cells = cells.join(allowed.select("vec_id"), "vec_id", "left_semi")
         n_q = queries.limit(EMBEDDING_ROW_CAP + 1).count()
-        cand_src = q_probes
-        cand_n = n_q * nprobe  # > probe_cap → the guard drops the hint
-    else:
-        probed = sorted({int(r["cluster"]) for r in probe_rows})
-        n_q = len({int(r["query_id"]) for r in probe_rows})
-        cells = _live_cells(spark, index_dir, probed)
-        if allowed is not None:
-            # attribute pre-filter INSIDE the probed-cell read:
-            # candidates shrink before the distance kernel (ss16)
-            cells = cells.join(allowed.select("vec_id"), "vec_id", "left_semi")
-        cand_src = spark.createDataFrame(probe_rows, probe_schema)
-        cand_n = len(probe_rows)
-    cand = (
-        bounded_broadcast(
-            cand_src, max_rows=probe_cap,
-            n_rows=cand_n, label="ivf-serve q_probes",
+        probe_cap = EMBEDDING_ROW_CAP * nprobe
+        cand = (
+            bounded_broadcast(
+                q_probes, max_rows=probe_cap,
+                n_rows=n_q * nprobe,  # > probe_cap → the guard drops the hint
+                label="ivf-serve q_probes",
+            )
+            .join(cells, "cluster")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+            .distinct()
         )
-        .join(cells, "cluster")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
-        .distinct()
-    )
-    qe = queries.select("query_id", "qe")
-    dot = F.aggregate(
-        F.zip_with("qe", "ne", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    ))
-    cos = dot / (nrm(F.col("qe")) * nrm(F.col("ne")))
-    return cand.join(
-        bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, n_rows=n_q,
-                          label="ivf-serve qe"),
-        "query_id",
-    ).select("query_id", "qe", "neighbor_id", "ne", cos.alias("cos"))
+        qe = queries.select("query_id", "qe")
+        dot = F.aggregate(
+            F.zip_with("qe", "ne", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+            F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ))
+        cos = dot / (nrm(F.col("qe")) * nrm(F.col("ne")))
+        scored = cand.join(
+            bounded_broadcast(qe, max_rows=EMBEDDING_ROW_CAP, n_rows=n_q,
+                              label="ivf-serve qe"),
+            "query_id",
+        ).select("query_id", "qe", "neighbor_id", "ne", cos.alias("cos"))
+        return scored if with_emb else scored.select(
+            "query_id", "neighbor_id", "cos")
+
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    probed = sorted({int(c) for r in qrows for c in r["clusters"]})
+    cells = _live_cells(spark, index_dir, probed)
+    if allowed is not None:
+        # attribute pre-filter INSIDE the probed-cell read: candidates
+        # shrink before the distance kernel (ss16)
+        cells = cells.join(allowed.select("vec_id"), "vec_id", "left_semi")
+    # Duplicate assignment rows (an id appended twice pre-delete) must
+    # not occupy two rank slots. Dedupe corpus-side: assignment is a
+    # deterministic function of emb given the index's centroids (both
+    # build and append go through _assign_with_emb), so duplicate
+    # (vec_id, emb) rows always share a cluster and this distinct is
+    # equivalent to the old per-(query, neighbor, ne) distinct — on ≤
+    # probed-cell corpus rows instead of the full candidate fan-out.
+    corpus = cells.select("cluster", "vec_id", "emb").distinct()
+
+    qrows.sort(key=lambda r: int(r["query_id"]))
+    n_q = len(qrows)
+    qids = np.asarray([int(r["query_id"]) for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r["qe"] for r in qrows], dtype=np.float64)
+    # per-query embedding as an ndarray row (Arrow converts ndarray
+    # list-values by buffer copy; lists of Python floats convert
+    # element-wise and dominated the kernel's cost in the wide form)
+    qe_rows = list(qmat)
+    dim = qmat.shape[1]
+    # per-query probed-cell membership as a (k, n_q) bool mask
+    pmask = np.zeros((cmat.shape[0], n_q), dtype=bool)
+    for qi, r in enumerate(qrows):
+        for c in r["clusters"]:
+            pmask[int(c), qi] = True
+    # Dim-indexed sequential folds — acc += a_j*b_j per step in float64,
+    # BIT-EXACT vs the interpreted F.aggregate HOF this kernel replaces
+    # (left-to-right fold order preserved per pair; the ss19 r14
+    # precedent). np.dot would use pairwise/SIMD summation and can flip
+    # last-ulp ties that the rank window then amplifies.
+    qq = np.zeros(n_q)
+    for j in range(dim):
+        qq += qmat[:, j] * qmat[:, j]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            dot = np.zeros((n, n_q))
+            cc = np.zeros(n)
+            for j in range(dim):
+                cj = mat[:, j]
+                dot += cj[:, None] * qmat[:, j][None, :]
+                cc += cj * cj
+            # Multiply(sqrt(nn), sqrt(qq)) then Divide — elementwise
+            # identical to the HOF's nrm(qe) * nrm(ne) denominator
+            cos = dot / (np.sqrt(cc)[:, None] * np.sqrt(qq)[None, :])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            ok = pmask[pdf["cluster"].to_numpy(dtype=np.int64)] & (
+                ids[:, None] != qids[None, :]
+            )
+            ri, qi = np.nonzero(ok)
+            cols = {"query_id": qids[qi]}
+            if with_emb:
+                cols["qe"] = [qe_rows[x] for x in qi]
+            cols["neighbor_id"] = ids[ri]
+            if with_emb:
+                cols["ne"] = pdf["emb"].to_numpy()[ri]
+            cols["cos"] = cos[ri, qi]
+            yield pd.DataFrame(cols)
+
+    return corpus.mapInPandas(score, schema=out_schema)
 
 
 def _ranked_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
                        nprobe: int, limit: int,
-                       allowed: DataFrame | None = None) -> DataFrame:
+                       allowed: DataFrame | None = None,
+                       with_emb: bool = False) -> DataFrame:
     """``_scored_candidates`` + the per-query WindowGroupLimit rank ≤
-    limit. Returns (query_id, qe, neighbor_id, ne, cos, rank)."""
+    limit. Returns (query_id, neighbor_id, cos, rank), plus qe/ne when
+    ``with_emb``."""
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        _scored_candidates(spark, index_dir, queries, nprobe, allowed=allowed)
+        _scored_candidates(spark, index_dir, queries, nprobe, allowed=allowed,
+                           with_emb=with_emb)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= limit)
     )
@@ -710,9 +815,9 @@ def ivf_candidates(spark: SparkSession, index_dir: str, queries: DataFrame,
     with partition-pruned cell reads. This is the candidate stage the
     MMR re-ranker (ss9) plugs in for its brute-force corpus scan: at
     corpus scale the scan reads only the probed cells' files."""
-    return _ranked_candidates(spark, index_dir, queries, nprobe, cand_k).select(
-        "query_id", "qe", "neighbor_id", F.col("ne").alias("emb")
-    )
+    return _ranked_candidates(
+        spark, index_dir, queries, nprobe, cand_k, with_emb=True
+    ).select("query_id", "qe", "neighbor_id", F.col("ne").alias("emb"))
 
 
 def ivf_index_query(spark: SparkSession, index_dir: str, queries: DataFrame,
