@@ -43,10 +43,20 @@ from goose_spark.queries.base import register
 #: Rarest shingles each doc probes the inverted index with.
 K_PROBE = 3
 
-#: Width multiplier for the two array-heavy verify exchanges
-#: (VERIFY_PARTS × cores shuffle partitions) — the operator-scoped
-#: alternative to a global initialPartitionNum; see session.py NOTE.
-VERIFY_PARTS = 8
+#: Target bytes per verify-exchange partition: the two verify joins
+#: carry an ~8·|sh| byte hash array per candidate row, and candidate
+#: volume tracks the shingle-table size, so the partition count derives
+#: from the INPUT SIZE (Catalyst stats of the shingled frame — exact
+#: for the materialized session cache) instead of a constant × cores
+#: (r15; guide §2 scale-adaptive partitioning). At sf0.1 (7 MB shingle
+#: cache) this floors at defaultParallelism — the old 8×cores=256
+#: constant was tuned on the 64x densified smoke (~450 MB → ~226
+#: partitions here, within 12% of the measured-good 256) and cost
+#: ~0.8 s/run in 512 near-empty tasks at sf0.1.
+VERIFY_TARGET_BYTES = 2 * 1024 * 1024
+#: Hard cap on the derived width (runaway-stats guard: an unmaterialized
+#: input's size estimate can be wildly conservative).
+VERIFY_MAX_PARTS_PER_CORE = 64
 #: Containment threshold (fraction of the inner doc inside the outer).
 CONTAIN_T = 0.8
 
@@ -131,13 +141,18 @@ def containment_pairs(docs_shingled: DataFrame, k_probe: int = K_PROBE,
     # candidate rows) the session's 32 static shuffle partitions put
     # GBs in one task and OOM the heap — and AQE only splits partitions
     # it flags as SKEWED, so uniform oversize keeps the static count.
-    # Size these two joins explicitly (VERIFY_PARTS × cores);
-    # pre-partitioning on each join key means the join REUSES the
-    # distribution (no extra exchange), and a global initialPartitionNum
-    # — the config-level alternative — was measured to tax every
-    # iterative/cached plan.
-    verify_parts = (
-        VERIFY_PARTS * docs_shingled.sparkSession.sparkContext.defaultParallelism
+    # Size these two joins explicitly from the input size (see
+    # VERIFY_TARGET_BYTES); pre-partitioning on each join key means the
+    # join REUSES the distribution (no extra exchange), and a global
+    # initialPartitionNum — the config-level alternative — was measured
+    # to tax every iterative/cached plan.
+    cores = docs_shingled.sparkSession.sparkContext.defaultParallelism
+    sh_bytes = int(
+        str(docs_shingled._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    verify_parts = max(
+        cores,
+        min(VERIFY_MAX_PARTS_PER_CORE * cores, sh_bytes // VERIFY_TARGET_BYTES),
     )
     return (
         cand.repartition(verify_parts, "inner_id")

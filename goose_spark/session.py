@@ -69,7 +69,8 @@ def get_spark(app_name: str = "gosling", cpus: int | None = None,
         # dd2 12.8 → 16.9 s fresh-session at sf0.1: every cached pair
         # table and per-iteration exchange inherits 256 partitions). The
         # array-heavy verify stages that need wide shuffles size them
-        # EXPLICITLY instead (operators/containment.py VERIFY_PARTS).
+        # EXPLICITLY instead, sized from the input's Catalyst stats
+        # (operators/containment.py VERIFY_TARGET_BYTES).
         # -- scans ---------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
