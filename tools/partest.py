@@ -57,8 +57,11 @@ def run_one(path: str, extra: list[str]) -> tuple[str, int, dict, str, float]:
     )
     t0 = time.perf_counter()
     proc = subprocess.run(
+        # "-o addopts=" clears pytest.ini's default "-m 'not slowsuite'"
+        # deselection: partest is the FULL-coverage runner (the default
+        # pytest invocation is time-bounded for the grading driver)
         [sys.executable, "-m", "pytest", path, "-q",
-         "-p", "no:cacheprovider", *extra],
+         "-p", "no:cacheprovider", "-o", "addopts=", *extra],
         cwd=cwd, env=env, capture_output=True, text=True,
     )
     wall = time.perf_counter() - t0
